@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table bootstrap for the graft engine.
+  *
+  * The engine is DataFrame/Dataset-first: every operator declares a logical
+  * plan and lets Catalyst/Tungsten pick the physical strategy. Session
+  * defaults are chosen for scale-out behavior (AQE on, shuffle partitions
+  * sized to cores locally — on a real cluster this would be set to
+  * ~2-3x total cores or left to AQE coalescing).
+  */
+object Engine {
+
+  /** Number of local cores to use; the driver exports SPARK_GRAFT_CPUS. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      // local mode: match shuffle parallelism to cores, not the 200 default
+      .config("spark.sql.shuffle.partitions", cpus)
+      // AQE: runtime coalescing of small shuffle partitions + skew-join
+      // splitting — the knobs that keep plans healthy at 100 TB.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, converted
+      // to microsecond timestamps in table() below.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one of the driver-generated parquet tables under `dir`.
+    * Single-file parquet locally; the same call works on a partitioned
+    * directory at cluster scale (partition pruning comes for free).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+    // (with nanosAsLong) it arrives as bigint nanos; truncate to micros
+    // with integer division (matches DuckDB's ns -> us cast).
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every registered operator from the query modules:
+  *   - queries.Relational: scans, filter/project, joins, aggs, windows,
+  *     top-k, set ops (SURVEY §2 native inventory)
+  *   - queries.TextOps: word count / grep (the reference's golden
+  *     queries, SURVEY §2.4) + text-quality operators
+  *   - queries.EventOps: time-window aggs, sessionization, JSON
+  *   - queries.DedupOps: exact + MinHash/LSH/SimHash near-dup
+  *   - queries.SimilarityOps: brute-force + LSH ANN over embeddings
+  *   - mr.PipeOps: the generic external-executable map/reduce surface
+  *     (reference O1/O6, `mapreduce/worker/__main__.py:55-87`)
+  */
 object SparkEntry {
+
+  def allDefs: Seq[QueryDef] =
+    _root_.graft.queries.Relational.entries ++
+      _root_.graft.queries.TextOps.entries ++
+      _root_.graft.queries.EventOps.entries ++
+      _root_.graft.queries.DedupOps.entries ++
+      _root_.graft.queries.SimilarityOps.entries ++
+      mr.PipeOps.entries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    _root_.graft.queries.Relational.entries.head.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,144 @@
+package graft.mr
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.SparkSession
+
+/** A MapReduce job spec — the engine-API form of the reference's JSON job
+  * message (`/root/reference/mapreduce/submit.py:68-76`): no socket
+  * protocol, just a method call. Mapper/reducer are arbitrary shell
+  * commands, invoked exactly like the reference worker does
+  * (`mapreduce/worker/__main__.py:75-77`): `sh -c "<cmd> <file>"` with
+  * the input also streamed on stdin, output captured line-oriented.
+  *
+  * `parityPartitioning=true` replays the reference's grouping byte-for-byte:
+  * distinct keys ranked in sorted order, rank % numReducers chooses the
+  * partition (`mapreduce/manager/__main__.py:431-437` — the Python
+  * `(count % n) - 1` with -1 wrapping to the last file is plain
+  * round-robin over 0-based ranks). Default (false) is a hash partition
+  * on the key — same grouping guarantee, no global rank pass, scales.
+  */
+final case class JobSpec(
+    inputDir: String,
+    outputDir: String,
+    mapperCmd: String,
+    reducerCmd: String,
+    numMappers: Int,
+    numReducers: Int,
+    parityPartitioning: Boolean = false,
+    /** key = text before first '\t' (the wc/grep contract,
+      * `tests/testdata/exec/wc_map.sh:12`). If true, replicate the
+      * reference's quirk of text before the LAST space
+      * (`mapreduce/manager/__main__.py:432-434`, see SURVEY §1.1). */
+    legacyKeyExtraction: Boolean = false
+)
+
+object MapReduceJob {
+
+  /** Grouping key of an intermediate line. */
+  def groupKey(line: String, legacy: Boolean): String =
+    if (legacy) {
+      val i = line.lastIndexOf(' ')
+      if (i < 0) line else line.substring(0, i)
+    } else {
+      val i = line.indexOf('\t')
+      if (i < 0) line else line.substring(0, i)
+    }
+
+  /** Unsigned-UTF-8-byte (= Unicode codepoint) line ordering — matches
+    * Python `sorted()` on str (`mapreduce/worker/__main__.py:98-99`).
+    * (String.compareTo would differ for supplementary-plane chars.)
+    */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+  }
+
+  /** Hash partitioner over the group key extracted from the sort key
+    * (the full line). Same key -> same partition; partitions arrive
+    * fully sorted via repartitionAndSortWithinPartitions.
+    */
+  private final class GroupKeyPartitioner(n: Int, legacy: Boolean) extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = {
+      val k = groupKey(key.asInstanceOf[String], legacy)
+      val h = k.hashCode % n
+      if (h < 0) h + n else h
+    }
+  }
+
+  /** Parity partitioner: partition = sorted-distinct-key rank % n.
+    * Needs a global rank map — a replay/validation tool, not the scale
+    * path (the rank map is broadcast; fine for test corpora).
+    */
+  private final class KeyRankPartitioner(ranks: Map[String, Int], n: Int, legacy: Boolean)
+      extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int =
+      ranks(groupKey(key.asInstanceOf[String], legacy)) % n
+  }
+
+  /** Run a full map -> sort/group -> reduce job. Returns the output files
+    * (exactly numReducers, named outputfileNN like
+    * `mapreduce/manager/__main__.py:486-487`).
+    */
+  def run(spark: SparkSession, spec: JobSpec): Seq[File] = {
+    val sc = spark.sparkContext
+
+    // --- source: sorted file listing, round-robined into numMappers
+    // tasks by index (mapreduce/manager/__main__.py:311-328)
+    val files = new File(spec.inputDir).listFiles
+      .filter(_.isFile)
+      .map(_.getAbsolutePath)
+      .sorted(Ordering.String)
+      .toSeq
+    val tasks: Seq[Seq[String]] =
+      (0 until spec.numMappers).map(j => files.zipWithIndex.collect { case (f, i) if i % spec.numMappers == j => f })
+
+    // --- map stage: one external process per input file (O1)
+    val mapperCmd = spec.mapperCmd
+    val mapped = sc
+      .parallelize(tasks, math.max(tasks.length, 1))
+      .flatMap(fileList => fileList.iterator.flatMap(f => Pipes.pipeFile(mapperCmd, f)))
+
+    // --- group stage: shuffle on group key, external sort by full line
+    // (O2/O3/O5 collapse into Spark's sort-based shuffle)
+    implicit val ord: Ordering[String] = utf8Ordering
+    val partitioner: Partitioner =
+      if (spec.parityPartitioning) {
+        val ranks = mapped
+          .map(l => groupKey(l, spec.legacyKeyExtraction))
+          .distinct()
+          .collect()
+          .sorted(utf8Ordering)
+          .zipWithIndex
+          .toMap
+        new KeyRankPartitioner(ranks, spec.numReducers, spec.legacyKeyExtraction)
+      } else new GroupKeyPartitioner(spec.numReducers, spec.legacyKeyExtraction)
+
+    val grouped = mapped
+      .map(l => (l, null))
+      .repartitionAndSortWithinPartitions(partitioner)
+
+    // --- reduce stage: one external process per sorted partition (O6)
+    val reducerCmd = spec.reducerCmd
+    val reduced = grouped.mapPartitions(it => Pipes.pipePartition(reducerCmd, it.map(_._1)))
+
+    // --- sink: exactly numReducers files named outputfileNN (S4);
+    // empty partitions still produce files (test_integration_03.py:79)
+    val tmpOut = Files.createTempDirectory("graft-mr-").toString + "/out"
+    reduced.saveAsTextFile(tmpOut)
+    val outDir = new File(spec.outputDir)
+    outDir.mkdirs()
+    (0 until spec.numReducers).map { i =>
+      val part = Paths.get(tmpOut, f"part-$i%05d")
+      val dest = Paths.get(spec.outputDir, f"outputfile${i + 1}%02d")
+      if (Files.exists(part)) Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      else Files.write(dest, Array.emptyByteArray)
+      dest.toFile
+    }
+  }
+}

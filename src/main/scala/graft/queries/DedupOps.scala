@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline. Exact dedup (hash group-by), shingle-set Jaccard near-dup,
+  * MinHash+LSH (band/bucket join), and SimHash fingerprints.
+  *
+  * Determinism across engines: hashes are md5 hex strings (identical in
+  * Spark and DuckDB), minhash = lexicographic MIN over md5 strings (no
+  * integer parsing needed), Jaccard = int/int double division (exactly
+  * rounded in both engines).
+  *
+  * Scale notes (100 TB): exact dedup is one shuffle on the hash key.
+  * MinHash-LSH is the scale path for near-dup: signature computation is
+  * a narrow map; the candidate join shuffles on the *bucket* key only
+  * (tiny vs a cross join); verification touches only candidate pairs.
+  * The block-Jaccard query (q51) is the quadratic-within-block baseline
+  * used to validate LSH recall on samples — at full scale you run q52.
+  */
+object DedupOps {
+
+  /** distinct word-3-gram shingles; tokenizer matches TextOps. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn(
+        "sg",
+        array_distinct(
+          expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+          )
+        )
+      )
+
+  private val shinglesSql =
+    """WITH t AS (
+      SELECT doc_id, lang, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang, source,
+        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+      FROM t WHERE len(toks) >= 3)"""
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q50
+    // Exact dedup: one shuffle on the content hash; keep lowest doc_id.
+    QueryDef(
+      "q50_exact_dedup",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy(col("h")),
+      Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+             FROM documents GROUP BY md5(text) ORDER BY h""")
+    ),
+    // ---------------------------------------------------------------- q51
+    // N-gram Jaccard near-dup, blocked by (lang, source): the quadratic
+    // baseline. Top-50 pairs by similarity (quantized for determinism).
+    QueryDef(
+      "q51_ngram_jaccard",
+      (s, dir) => {
+        val sh = withShingles(Engine.table(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("source"), col("sg"))
+        sh.as("a")
+          .join(
+            sh.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            round(jaccard(col("a.sg"), col("b.sg")), 6).as("jaccard")
+          )
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some(s"""$shinglesSql
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+             FROM sh a JOIN sh b
+               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             ORDER BY jaccard DESC, id_a, id_b LIMIT 50""")
+    ),
+    // ---------------------------------------------------------------- q52
+    // MinHash + LSH: 8 md5-minhashes, 4 bands x 2 rows -> bucket join ->
+    // verify candidates with exact Jaccard >= 0.3.
+    QueryDef(
+      "q52_minhash_lsh",
+      (s, dir) => {
+        val sh = withShingles(Engine.table(s, dir, "documents")).select(col("doc_id"), col("sg"))
+        val sig = sh.withColumn(
+          "sig",
+          array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
+        )
+        val banded = sig.select(
+          col("doc_id"),
+          explode(
+            array((0 until 4).map(b =>
+              md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
+            ): _*)
+          ).as("bucket")
+        )
+        val cand = banded
+          .as("l")
+          .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(sh.as("x"), col("id_a") === col("x.doc_id"))
+          .join(sh.as("y"), col("id_b") === col("y.doc_id"))
+          .filter(jaccard(col("x.sg"), col("y.sg")) >= 0.3)
+          .select(col("id_a"), col("id_b"), round(jaccard(col("x.sg"), col("y.sg")), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""$shinglesSql,
+             m AS (SELECT doc_id, sg,
+               [list_min(list_transform(sg, x -> md5('0|' || x))),
+                list_min(list_transform(sg, x -> md5('1|' || x))),
+                list_min(list_transform(sg, x -> md5('2|' || x))),
+                list_min(list_transform(sg, x -> md5('3|' || x))),
+                list_min(list_transform(sg, x -> md5('4|' || x))),
+                list_min(list_transform(sg, x -> md5('5|' || x))),
+                list_min(list_transform(sg, x -> md5('6|' || x))),
+                list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM sh),
+             bk AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+               md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+             p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+               FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+             SELECT p.id_a, p.id_b,
+               round(CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sg, y.sg))), 6) AS jaccard
+             FROM p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b
+             WHERE CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sg, y.sg))) >= 0.3
+             ORDER BY id_a, id_b""")
+    ),
+    // ---------------------------------------------------------------- q53
+    // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
+    // small Hamming distance. Per-doc fingerprints (pairs via q52 path).
+    QueryDef(
+      "q53_simhash",
+      (s, dir) =>
+        withShingles(Engine.table(s, dir, "documents"))
+          .withColumn("hs", expr("transform(sg, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"))
+          .withColumn(
+            "simhash",
+            expr(
+              """aggregate(sequence(0, 31), 0L,
+                 (acc, j) -> acc + if(2 * size(filter(hs, h -> (h div shiftleft(1L, j)) % 2 = 1)) >= size(hs),
+                                      shiftleft(1L, j), 0L))"""
+            )
+          )
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id")),
+      None // 32-bit hex parse is not cleanly expressible in DuckDB SQL; rows-only check
+    )
+  )
+}

