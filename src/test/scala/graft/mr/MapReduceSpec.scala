@@ -1,0 +1,89 @@
+package graft.mr
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-parity tests for the generic MapReduce path, replaying the
+  * reference's integration contract (tests/test_integration_01/02/03):
+  * real executables, real corpus, sorted-line equality vs golden files.
+  */
+class MapReduceSpec extends AnyFunSuite {
+  private val ref = "/root/reference"
+  private lazy val spark = graft.Engine.session("test")
+
+  private def sortedLines(files: Seq[java.io.File]): Seq[String] =
+    files.flatMap(f => Files.readAllLines(f.toPath).asScala).sorted(MapReduceJob.utf8Ordering)
+
+  private def golden(name: String): Seq[String] =
+    Files.readAllLines(Paths.get(s"$ref/tests/testdata/correct/$name")).asScala.toSeq
+      .sorted(MapReduceJob.utf8Ordering)
+
+  test("word count job matches reference golden output") {
+    val out = Files.createTempDirectory("mr-wc-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input", out, s"$ref/tests/testdata/exec/wc_map.sh",
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 2)
+    )
+    assert(files.length == 2) // exactly numReducers outputs (test_integration_03.py:79)
+    assert(sortedLines(files) == golden("word_count_correct.txt"))
+  }
+
+  test("grep job matches reference golden output") {
+    val out = Files.createTempDirectory("mr-grep-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input", out, s"python3 $ref/tests/testdata/exec/grep_map.py",
+        s"python3 $ref/tests/testdata/exec/grep_reduce.py", numMappers = 4, numReducers = 1)
+    )
+    assert(sortedLines(files) == golden("grep_correct.txt"))
+  }
+
+  test("parity partitioning groups keys by sorted-rank round-robin") {
+    val out = Files.createTempDirectory("mr-parity-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input", out, s"$ref/tests/testdata/exec/wc_map.sh",
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 2,
+        parityPartitioning = true)
+    )
+    assert(sortedLines(files) == golden("word_count_correct.txt"))
+    // reference semantics: k-th distinct key (sorted) -> partition k % 2,
+    // so the two files partition the sorted key space alternately
+    // (mapreduce/manager/__main__.py:431-437)
+    val perFile = files.map(f => Files.readAllLines(f.toPath).asScala.map(_.split("\t")(0)).toSeq)
+    val allKeys = perFile.flatten.sorted(MapReduceJob.utf8Ordering)
+    val expected = Seq.tabulate(2)(j => allKeys.zipWithIndex.collect { case (k, i) if i % 2 == j => k })
+    assert(perFile.map(_.toSet) == expected.map(_.toSet))
+  }
+
+  test("empty reducers still produce output files") {
+    val out = Files.createTempDirectory("mr-empty-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input_small", out, s"$ref/tests/testdata/exec/wc_map.sh",
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 8)
+    )
+    assert(files.length == 8)
+    assert(files.forall(_.exists))
+  }
+
+  test("group key extraction: tab contract and legacy space quirk") {
+    assert(MapReduceJob.groupKey("word\t1", legacy = false) == "word")
+    assert(MapReduceJob.groupKey("noseparator", legacy = false) == "noseparator")
+    // legacy = text before LAST space (manager/__main__.py:432-434)
+    assert(MapReduceJob.groupKey("1\tsome line text", legacy = true) == "1\tsome line")
+    assert(MapReduceJob.groupKey("word\t1", legacy = true) == "word\t1")
+  }
+
+  test("utf8 ordering matches python codepoint sort for tab-vs-space") {
+    // '\t' (0x09) < ' ' (0x20): "hello\t1" < "hello world" (SURVEY §2.5.1)
+    assert(MapReduceJob.utf8Ordering.compare("hello\t1", "hello world\t1") < 0)
+    assert(MapReduceJob.utf8Ordering.compare("a", "é") < 0) // ascii < accented
+    // supplementary plane char (U+10000) sorts after U+FFFF under
+    // codepoint order (String.compareTo would get this wrong)
+    assert(MapReduceJob.utf8Ordering.compare("￿", new String(Character.toChars(0x10000))) < 0)
+  }
+}

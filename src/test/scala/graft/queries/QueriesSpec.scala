@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator smoke + invariant tests over sf0.001. The DuckDB
+  * hash-match is the driver's job (scripts/selfcheck.py locally); here we
+  * pin engine-side invariants that don't need an oracle.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = graft.Engine.session("test")
+
+  test("every registered query runs at sf0.001") {
+    val counts = graft.SparkEntry.allDefs.map(d => d.name -> d.run(spark, dir).count()).toMap
+    // queries that legitimately may be empty at tiny scale
+    val mayBeEmpty = Set("q13_except")
+    counts.foreach { case (name, n) =>
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val q = graft.SparkEntry.queries.keySet
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(q))
+  }
+
+  test("q01 pricing summary: counts partition the filtered table") {
+    val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val total = df.agg(sum(col("count_order"))).head.getLong(0)
+    val expected = graft.Engine
+      .table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .count()
+    assert(total == expected)
+  }
+
+  test("q40 wordcount total equals token count") {
+    val wc = graft.SparkEntry.queries("q40_wordcount")(spark, dir)
+    val totalFromWc = wc.agg(sum(col("n"))).head.getLong(0)
+    val totalTokens = graft.Engine
+      .table(spark, dir, "documents")
+      .select(explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")))
+      .count()
+    assert(totalFromWc == totalTokens)
+  }
+
+  test("q60 knn: 5 neighbors per query, cosine within [-1, 1], ranks ordered") {
+    val knn = graft.SparkEntry.queries("q60_knn_bruteforce")(spark, dir).collect()
+    val byQ = knn.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 20)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val cs = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("q61 LSH ANN returns only true same-bucket candidates ranked like brute force") {
+    // every (qid, cid) in the LSH result must appear in the brute-force
+    // scores with the same cosine value
+    val ann = graft.SparkEntry.queries("q61_ann_lsh")(spark, dir).collect()
+    assert(ann.nonEmpty)
+    val bf = graft.SparkEntry
+      .queries("q60_knn_bruteforce")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cos"))
+      .toMap
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9))
+    }
+  }
+
+  test("q52 minhash-lsh finds the planted near-duplicates of q51") {
+    // pairs that blocked-exact-jaccard scores >= 0.8 must be recalled by LSH
+    val exact = graft.SparkEntry
+      .queries("q51_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    val lsh = graft.SparkEntry
+      .queries("q52_minhash_lsh")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(exact.subsetOf(lsh), s"LSH missed: ${exact.diff(lsh)}")
+  }
+
+  test("q50 exact dedup: keep_ids are distinct and group sizes sum to table size") {
+    val df = graft.SparkEntry.queries("q50_exact_dedup")(spark, dir)
+    val nDocs = graft.Engine.table(spark, dir, "documents").count()
+    assert(df.agg(sum(col("n_dups"))).head.getLong(0) == nDocs)
+    assert(df.select(col("keep_id")).distinct().count() == df.count())
+  }
+}
