@@ -47,8 +47,14 @@ object DedupOps {
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
       FROM t WHERE len(toks) >= 3)"""
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Jaccard over distinct-element arrays via |a∩b| / (|a|+|b|-|a∩b|) —
+    * one set-intersection per pair instead of intersect+union (the
+    * arrays are already distinct, so the value is identical).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q50
@@ -86,13 +92,14 @@ object DedupOps {
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(50)
       },
-      Some(s"""$shinglesSql
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
-             FROM sh a JOIN sh b
-               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-             ORDER BY jaccard DESC, id_a, id_b LIMIT 50""")
+      Some(s"""$shinglesSql,
+             pairs AS (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sg, b.sg)) AS i, len(a.sg) AS la, len(b.sg) AS lb
+               FROM sh a JOIN sh b
+                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+             SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+             FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 50""")
     ),
     // ---------------------------------------------------------------- q52
     // MinHash + LSH: 8 md5-minhashes, 4 bands x 2 rows -> bucket join ->
@@ -121,8 +128,9 @@ object DedupOps {
         cand
           .join(sh.as("x"), col("id_a") === col("x.doc_id"))
           .join(sh.as("y"), col("id_b") === col("y.doc_id"))
-          .filter(jaccard(col("x.sg"), col("y.sg")) >= 0.3)
-          .select(col("id_a"), col("id_b"), round(jaccard(col("x.sg"), col("y.sg")), 6).as("jaccard"))
+          .withColumn("j", jaccard(col("x.sg"), col("y.sg")))
+          .filter(col("j") >= 0.3)
+          .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""$shinglesSql,
@@ -139,13 +147,12 @@ object DedupOps {
              bk AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
                md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
              p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-               FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
-             SELECT p.id_a, p.id_b,
-               round(CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sg, y.sg))), 6) AS jaccard
-             FROM p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b
-             WHERE CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sg, y.sg))) >= 0.3
+               FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+             v AS (SELECT p.id_a, p.id_b,
+                 len(list_intersect(x.sg, y.sg)) AS i, len(x.sg) AS la, len(y.sg) AS lb
+               FROM p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b)
+             SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+             FROM v WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.3
              ORDER BY id_a, id_b""")
     ),
     // ---------------------------------------------------------------- q53

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Engine, QueryDef}
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,19 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** embeddings with the squared norm precomputed once per row — pair
+    * scoring then costs one dot product instead of three array passes.
+    * The arithmetic (dot / sqrt(n2a * n2b)) is identical to computing
+    * norms per pair, so results are bit-equal to the naive form.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Engine
       .table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", norm2(col("e")))
 
   private val embSql =
-    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+    """SELECT vec_id, label, e, list_sum(list_transform(e, x -> x * x)) AS n2 FROM
+       (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings) raw"""
 
-  /** explicit-formula cosine for the DuckDB side (matches VectorOps.cosine) */
-  private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
-       / sqrt(list_sum(list_transform($a, x -> x * x))
-            * list_sum(list_transform($b, x -> x * x))))"""
+  /** explicit-formula cosine with precomputed norms (matches the Spark side) */
+  private def cosSql(a: String, b: String, n2a: String, n2b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / sqrt($n2a * $n2b))"
+
+  private def cosCol(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dot(a, b) / sqrt(n2a * n2b)
 
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q54
@@ -52,14 +61,14 @@ object SimilarityOps {
           .select(
             col("a.vec_id").as("id_a"),
             col("b.vec_id").as("id_b"),
-            round(cosine(col("a.e"), col("b.e")), 6).as("cos")
+            round(cosCol(col("a.e"), col("b.e"), col("a.n2"), col("b.n2")), 6).as("cos")
           )
           .orderBy(col("cos").desc, col("id_a"), col("id_b"))
           .limit(100)
       },
       Some(s"""WITH t AS ($embSql)
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${cosSql("a.e", "b.e")}, 6) AS cos
+               round(${cosSql("a.e", "b.e", "a.n2", "b.n2")}, 6) AS cos
              FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
              ORDER BY cos DESC, id_a, id_b LIMIT 100""")
     ),
@@ -69,14 +78,16 @@ object SimilarityOps {
       "q60_knn_bruteforce",
       (s, dir) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("e").as("qe"))
+        val q = e
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
         broadcast(q)
           .join(e, col("qid") =!= col("vec_id"))
           .select(
             col("qid"),
             col("vec_id").as("cid"),
-            round(cosine(col("qe"), col("e")), 6).as("cos")
+            round(cosCol(col("qe"), col("e"), col("qn2"), col("n2")), 6).as("cos")
           )
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
@@ -84,8 +95,8 @@ object SimilarityOps {
           .orderBy(col("qid"), col("rn"))
       },
       Some(s"""WITH t AS ($embSql),
-             q AS (SELECT vec_id AS qid, e AS qe FROM t WHERE vec_id < 20),
-             sc AS (SELECT q.qid, t.vec_id AS cid, round(${cosSql("q.qe", "t.e")}, 6) AS cos
+             q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM t WHERE vec_id < 20),
+             sc AS (SELECT q.qid, t.vec_id AS cid, round(${cosSql("q.qe", "t.e", "q.qn2", "t.n2")}, 6) AS cos
                FROM q JOIN t ON q.qid <> t.vec_id),
              r AS (SELECT qid, cid, cos,
                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM sc)
@@ -111,12 +122,16 @@ object SimilarityOps {
         )
         val q = bucketed
           .filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("e").as("qe"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"), col("bucket"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
         broadcast(q)
           .join(bucketed, Seq("bucket"))
           .filter(col("qid") =!= col("vec_id"))
-          .select(col("qid"), col("vec_id").as("cid"), round(cosine(col("qe"), col("e")), 6).as("cos"))
+          .select(
+            col("qid"),
+            col("vec_id").as("cid"),
+            round(cosCol(col("qe"), col("e"), col("qn2"), col("n2")), 6).as("cos")
+          )
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("qid"), col("cid"), col("cos"), col("rn"))

@@ -206,9 +206,10 @@ object TextOps {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            // one digest per partition, reused across rows (cheap, no JNI)
+            // one digest per partition, reset per row (no per-row alloc)
+            val md = java.security.MessageDigest.getInstance("SHA-256")
             it.map { case (id, bytes) =>
-              val md = java.security.MessageDigest.getInstance("SHA-256")
+              md.reset()
               val sha = md.digest(bytes).map("%02x".format(_)).mkString
               val n = bytes.length.toLong
               // stub "decode": fake width/height derived from byte length
