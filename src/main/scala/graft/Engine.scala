@@ -20,6 +20,7 @@ object Engine {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       // local mode: match shuffle parallelism to cores, not the 200 default
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE: runtime coalescing of small shuffle partitions + skew-join

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Session extensions registering graft's native Catalyst functions so
+  * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
+  * Column API. Installed by Engine.session via .withExtensions; also
+  * loadable with spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))
+      )
+    )
+  }
+}

@@ -23,7 +23,8 @@ object SparkEntry {
       _root_.graft.queries.EventOps.entries ++
       _root_.graft.queries.DedupOps.entries ++
       _root_.graft.queries.SimilarityOps.entries ++
-      mr.PipeOps.entries
+      mr.PipeOps.entries ++
+      streaming.StreamOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** codegen'd native loop (graft.functions.DotProduct) */
+  def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+
+  /** the composable higher-order-function form — same value bit-for-bit,
+    * kept for cross-checking the native expression in tests
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = dot(a, a)

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table — additive to the
+  * reference (which has no stream concepts, SURVEY §1.1), required of a
+  * modern pipeline engine: windowed aggregation with a watermark and
+  * arbitrary stateful processing via mapGroupsWithState.
+  *
+  * Locally these are driven from the parquet file as a file-stream
+  * source with a memory sink (`processAllAvailable`); at scale the same
+  * plans run unchanged over Kafka/file streams with checkpointing —
+  * state lives in the state store, partitioned by the grouping key.
+  */
+object EventStreaming {
+
+  /** The events table as a file-source stream (schema from the batch
+    * read; ts arrives as bigint nanos — converted like Engine.table).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a directory: stream the sf dir with a
+    // glob filter selecting just the events table
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour
+    * watermark. Returns the streaming DataFrame (caller attaches sink).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API).
+    */
+  def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) { case ((c, s), (_, x)) =>
+            (c + 1, s + x)
+          }
+          val next = UserAgg(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result. Batch-on-stream harness for tests
+    * and Verify.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Complete()
+  ): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

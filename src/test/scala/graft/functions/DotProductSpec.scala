@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd DotProduct must agree bit-for-bit with the
+  * composable higher-order-function form (same sequential summation),
+  * and be callable from SQL via the injected graft_dot function.
+  */
+class DotProductSpec extends AnyFunSuite {
+  private lazy val spark = graft.Engine.session("test")
+
+  test("native dot equals HOF dot bit-for-bit on the embeddings table") {
+    val e = graft.Engine
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val diffs = e
+      .select(
+        VectorOps.dot(col("e"), col("e")).as("native"),
+        VectorOps.dotHof(col("e"), col("e")).as("hof")
+      )
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+    assert(r.head.getDouble(0) == 32.0)
+  }
+
+  test("dot product matches scala computation on seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(50) {
+      val n = 1 + rnd.nextInt(128)
+      (List.fill(n)(rnd.nextGaussian()), List.fill(n)(rnd.nextGaussian()))
+    }
+    val got = cases
+      .toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .collect()
+      .map(_.getDouble(0))
+    val expected = cases.map { case (xs, ys) =>
+      xs.zip(ys).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+    }
+    got.zip(expected).foreach { case (g, e) => assert(g == e) }
+  }
+}
