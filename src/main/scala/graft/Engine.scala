@@ -18,7 +18,9 @@ object Engine {
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      // local[N,2]: N threads, 2 task attempts — task retry gives the
+      // reference's dead-worker reassignment semantics (O9) for free
+      .master(s"local[$cpus,2]")
       .appName(appName)
       .withExtensions(new GraftExtensions)
       // local mode: match shuffle parallelism to cores, not the 200 default

@@ -56,6 +56,64 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** the full MinHash-LSH candidate pipeline as DuckDB CTEs; `v` ends
+    * with verified pairs (id_a, id_b, j) at Jaccard >= 0.3
+    */
+  private val minhashPairsSql: String =
+    s"""$shinglesSql,
+       m AS (SELECT doc_id, sg,
+         [list_min(list_transform(sg, x -> md5('0|' || x))),
+          list_min(list_transform(sg, x -> md5('1|' || x))),
+          list_min(list_transform(sg, x -> md5('2|' || x))),
+          list_min(list_transform(sg, x -> md5('3|' || x))),
+          list_min(list_transform(sg, x -> md5('4|' || x))),
+          list_min(list_transform(sg, x -> md5('5|' || x))),
+          list_min(list_transform(sg, x -> md5('6|' || x))),
+          list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+         FROM sh),
+       bk AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+         md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+       p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       v0 AS (SELECT p.id_a, p.id_b,
+           len(list_intersect(x.sg, y.sg)) AS i, len(x.sg) AS la, len(y.sg) AS lb
+         FROM p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b),
+       v AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS j FROM v0
+         WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.3)"""
+
+  /** MinHash-LSH verified near-dup pairs with exact Jaccard >= 0.3 in
+    * column `j` — the scale path for near-dedup: signatures are a narrow
+    * map, the candidate join shuffles on bucket keys only, verification
+    * touches candidates only. Shared by q52 (pair listing) and q55
+    * (dedup materialization).
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Engine.table(s, dir, "documents")).select(col("doc_id"), col("sg"))
+    val sig = sh.withColumn(
+      "sig",
+      array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
+    )
+    val banded = sig.select(
+      col("doc_id"),
+      explode(
+        array((0 until 4).map(b =>
+          md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
+        ): _*)
+      ).as("bucket")
+    )
+    val cand = banded
+      .as("l")
+      .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.as("x"), col("id_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("id_b") === col("y.doc_id"))
+      .withColumn("j", jaccard(col("x.sg"), col("y.sg")))
+      .filter(col("j") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("j"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q50
     // Exact dedup: one shuffle on the content hash; keep lowest doc_id.
@@ -106,54 +164,30 @@ object DedupOps {
     // verify candidates with exact Jaccard >= 0.3.
     QueryDef(
       "q52_minhash_lsh",
-      (s, dir) => {
-        val sh = withShingles(Engine.table(s, dir, "documents")).select(col("doc_id"), col("sg"))
-        val sig = sh.withColumn(
-          "sig",
-          array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
-        )
-        val banded = sig.select(
-          col("doc_id"),
-          explode(
-            array((0 until 4).map(b =>
-              md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
-            ): _*)
-          ).as("bucket")
-        )
-        val cand = banded
-          .as("l")
-          .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-          .distinct()
-        cand
-          .join(sh.as("x"), col("id_a") === col("x.doc_id"))
-          .join(sh.as("y"), col("id_b") === col("y.doc_id"))
-          .withColumn("j", jaccard(col("x.sg"), col("y.sg")))
-          .filter(col("j") >= 0.3)
+      (s, dir) =>
+        minhashPairs(s, dir)
           .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""$minhashPairsSql
+             SELECT id_a, id_b, round(j, 6) AS jaccard FROM v ORDER BY id_a, id_b""")
+    ),
+    // ---------------------------------------------------------------- q55
+    // End-to-end dedup materialization: drop every doc that is the
+    // higher-id member of a verified near-dup pair (greedy keep-lowest).
+    QueryDef(
+      "q55_dedup_materialize",
+      (s, dir) => {
+        val dups = minhashPairs(s, dir).select(col("id_b")).distinct()
+        val docs = Engine.table(s, dir, "documents")
+        docs
+          .join(dups, docs("doc_id") === dups("id_b"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
       },
-      Some(s"""$shinglesSql,
-             m AS (SELECT doc_id, sg,
-               [list_min(list_transform(sg, x -> md5('0|' || x))),
-                list_min(list_transform(sg, x -> md5('1|' || x))),
-                list_min(list_transform(sg, x -> md5('2|' || x))),
-                list_min(list_transform(sg, x -> md5('3|' || x))),
-                list_min(list_transform(sg, x -> md5('4|' || x))),
-                list_min(list_transform(sg, x -> md5('5|' || x))),
-                list_min(list_transform(sg, x -> md5('6|' || x))),
-                list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
-               FROM sh),
-             bk AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-               md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
-             p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-               FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
-             v AS (SELECT p.id_a, p.id_b,
-                 len(list_intersect(x.sg, y.sg)) AS i, len(x.sg) AS la, len(y.sg) AS lb
-               FROM p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b)
-             SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
-             FROM v WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.3
-             ORDER BY id_a, id_b""")
+      Some(s"""$minhashPairsSql
+             SELECT d.doc_id, d.lang, d.source FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.id_b = d.doc_id)
+             ORDER BY d.doc_id""")
     ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have

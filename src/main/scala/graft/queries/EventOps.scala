@@ -100,6 +100,43 @@ object EventOps {
       Some("""SELECT event_type, count(*) AS n, round(min(value), 4) AS min_v,
              round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v
              FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    // ---------------------------------------------------------------- q34
+    // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+    // both linear-interpolate at p*(n-1) over sorted values.
+    QueryDef(
+      "q34_percentiles",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             round(quantile_cont(value, 0.99), 4) AS p99
+             FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    // ---------------------------------------------------------------- q35
+    // Sketch aggregation: HyperLogLog++ distinct users per event type.
+    // Approximate by design (no SQL oracle — rows-only; accuracy vs the
+    // exact count is asserted in QueriesSpec).
+    QueryDef(
+      "q35_approx_distinct",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("event_type")),
+      None
     )
   )
 }

@@ -70,6 +70,47 @@ class MapReduceSpec extends AnyFunSuite {
     assert(files.forall(_.exists))
   }
 
+  test("FIFO multi-job: sequential jobs on one session produce independent outputs") {
+    // the reference queues jobs and runs them in order (O8,
+    // manager/__main__.py:154-173); engine-API form: sequential run()
+    val out1 = Files.createTempDirectory("mr-fifo1-").toString
+    val out2 = Files.createTempDirectory("mr-fifo2-").toString
+    val wc = JobSpec(s"$ref/tests/testdata/input", out1, s"$ref/tests/testdata/exec/wc_map.sh",
+      s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 1)
+    val grep = JobSpec(s"$ref/tests/testdata/input", out2, s"python3 $ref/tests/testdata/exec/grep_map.py",
+      s"python3 $ref/tests/testdata/exec/grep_reduce.py", numMappers = 2, numReducers = 2)
+    val f1 = MapReduceJob.run(spark, wc)
+    val f2 = MapReduceJob.run(spark, grep)
+    assert(sortedLines(f1) == golden("word_count_correct.txt"))
+    assert(sortedLines(f2) == golden("grep_correct.txt"))
+  }
+
+  test("task retry recovers from a failing executable (dead-worker semantics)") {
+    // the reference re-queues a dead worker's task (O9,
+    // manager/__main__.py:496-506); Spark equivalent: task attempt 2
+    // after the executable fails once (Engine.session uses local[N,2])
+    val dir = Files.createTempDirectory("mr-flaky-")
+    val marker = dir.resolve("fail-once-marker")
+    val script = dir.resolve("flaky_map.sh")
+    Files.writeString(
+      script,
+      s"""#!/bin/sh
+         |# fail the first invocation ever (atomically), then behave as wc_map
+         |if mkdir "$marker" 2>/dev/null; then exit 1; fi
+         |exec $ref/tests/testdata/exec/wc_map.sh
+         |""".stripMargin
+    )
+    script.toFile.setExecutable(true)
+    val out = Files.createTempDirectory("mr-flaky-out-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input", out, script.toString,
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 2)
+    )
+    assert(Files.exists(marker), "the flaky mapper never triggered its failure")
+    assert(sortedLines(files) == golden("word_count_correct.txt"))
+  }
+
   test("group key extraction: tab contract and legacy space quirk") {
     assert(MapReduceJob.groupKey("word\t1", legacy = false) == "word")
     assert(MapReduceJob.groupKey("noseparator", legacy = false) == "noseparator")

@@ -93,6 +93,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"LSH missed: ${exact.diff(lsh)}")
   }
 
+  test("q35 approx distinct is within 5% of the exact distinct count") {
+    val approx = graft.SparkEntry
+      .queries("q35_approx_distinct")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users"))
+      .toMap
+    val exact = graft.Engine
+      .table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u"))
+      .toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (e * 0.05).toLong), s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("q55 dedup materialization removes exactly the id_b side of q52 pairs") {
+    val kept = graft.SparkEntry
+      .queries("q55_dedup_materialize")(spark, dir)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    val dropped = graft.SparkEntry
+      .queries("q52_minhash_lsh")(spark, dir)
+      .collect()
+      .map(_.getAs[Long]("id_b"))
+      .toSet
+    val all = graft.Engine.table(spark, dir, "documents").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == all.diff(dropped))
+  }
+
   test("q50 exact dedup: keep_ids are distinct and group sizes sum to table size") {
     val df = graft.SparkEntry.queries("q50_exact_dedup")(spark, dir)
     val nDocs = graft.Engine.table(spark, dir, "documents").count()
