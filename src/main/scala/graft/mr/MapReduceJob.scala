@@ -38,6 +38,13 @@ final case class JobSpec(
 
 object MapReduceJob {
 
+  /** Round-robin file-list partitioning by sorted index — file i goes to
+    * task i % n (`mapreduce/manager/__main__.py:320-328`; pinned by
+    * test_manager_02: files 01,03,05,07 vs 02,04,06,08 for n=2).
+    */
+  def roundRobin(files: Seq[String], n: Int): Seq[Seq[String]] =
+    (0 until n).map(j => files.zipWithIndex.collect { case (f, i) if i % n == j => f })
+
   /** Grouping key of an intermediate line. */
   def groupKey(line: String, legacy: Boolean): String =
     if (legacy) {
@@ -95,8 +102,7 @@ object MapReduceJob {
       .map(_.getAbsolutePath)
       .sorted(Ordering.String)
       .toSeq
-    val tasks: Seq[Seq[String]] =
-      (0 until spec.numMappers).map(j => files.zipWithIndex.collect { case (f, i) if i % spec.numMappers == j => f })
+    val tasks: Seq[Seq[String]] = roundRobin(files, spec.numMappers)
 
     // --- map stage: one external process per input file (O1)
     val mapperCmd = spec.mapperCmd

@@ -469,6 +469,31 @@ object Relational {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
              ORDER BY o_orderkey""")
+    ),
+    // ---------------------------------------------------------------- q24
+    // Salted two-phase aggregation — the skew-mitigation pattern for hot
+    // grouping keys at scale: phase 1 aggregates (key, salt) spreading a
+    // hot key over 16 reducers, phase 2 merges the partials. The result
+    // is identical to the plain group-by the oracle expresses; the point
+    // is the plan shape (both shuffles are small and balanced).
+    QueryDef(
+      "q24_salted_agg",
+      (s, dir) => {
+        val partials = Engine
+          .table(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("l_quantity")).as("partial_qty"), count(lit(1)).as("partial_n"))
+        partials
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(sum(col("partial_qty")), 2).as("sum_qty"),
+            sum(col("partial_n")).cast("long").as("n")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     )
   )
 }

@@ -191,6 +191,63 @@ object TextOps {
       Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
              FROM documents ORDER BY doc_id""")
     ),
+    // ---------------------------------------------------------------- q47
+    // BPE-ish subword tokenization: letter runs / digit runs / punct
+    // runs with leading-space attachment (the GPT-2 pre-tokenizer
+    // shape), via codegen'd regexp_extract_all — no UDF.
+    QueryDef(
+      "q47_bpe_tokens",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn(
+            "bpe",
+            expr("regexp_extract_all(lower(text), '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)', 1)")
+          )
+          .select(
+            col("doc_id"),
+            size(col("bpe")).cast("long").as("n_bpe"),
+            size(array_distinct(col("bpe"))).cast("long").as("n_bpe_distinct")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)', 1)) AS BIGINT) AS n_bpe,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)', 1))) AS BIGINT) AS n_bpe_distinct
+             FROM documents ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q48
+    // Winnowing fingerprints (rolling-hash document fingerprinting):
+    // hash every 5-char gram, keep the min hash of each 4-gram window,
+    // dedup — the MOSS/winnowing scheme for plagiarism/near-dup sketches.
+    QueryDef(
+      "q48_winnow_fingerprints",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("t", lower(col("text")))
+          .filter(length(col("t")) >= 8)
+          .withColumn("h", expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))"))
+          .withColumn(
+            "fps",
+            array_distinct(expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))"))
+          )
+          .select(
+            col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("min_fp")
+          )
+          .orderBy(col("doc_id")),
+      Some("""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+             t1 AS (SELECT doc_id,
+               list_transform(generate_series(1, length(t) - 4), i -> md5(substr(t, i, 5))) AS h
+               FROM t0 WHERE length(t) >= 8),
+             t2 AS (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(h) - 3),
+                 i -> list_aggregate(list_slice(h, i, i + 3), 'min'))) AS fps
+               FROM t1)
+             SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_aggregate(fps, 'min') AS min_fp
+             FROM t2 ORDER BY doc_id""")
+    ),
     // ---------------------------------------------------------------- q70
     // Multimodal plumbing: treat the payload as an opaque binary column
     // with typed metadata. The "decode" step is a deterministic stub (no

@@ -111,6 +111,31 @@ class MapReduceSpec extends AnyFunSuite {
     assert(sortedLines(files) == golden("word_count_correct.txt"))
   }
 
+  test("round-robin input partitioning matches the reference task layout") {
+    // test_manager_02.py:141-163 pins files 01,03,05,07 / 02,04,06,08 for n=2
+    val files = (1 to 8).map(i => f"file$i%02d")
+    assert(MapReduceJob.roundRobin(files, 2) ==
+      Seq(Seq("file01", "file03", "file05", "file07"), Seq("file02", "file04", "file06", "file08")))
+    assert(MapReduceJob.roundRobin(files, 3).flatten.sorted == files)
+    assert(MapReduceJob.roundRobin(files, 16).count(_.nonEmpty) == 8)
+  }
+
+  test("slow executables (fault-injection variants) run to completion") {
+    // Q3 in SURVEY §2.4: wc_map_slow.sh sleeps 3s per file; with files
+    // spread over parallel tasks the job still finishes well under the
+    // reference's 30s integration budget
+    val out = Files.createTempDirectory("mr-slow-").toString
+    val t0 = System.nanoTime()
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input_small", out, s"$ref/tests/testdata/exec/wc_map_slow.sh",
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 1)
+    )
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"slow-variant job took ${secs}s")
+    assert(sortedLines(files).nonEmpty)
+  }
+
   test("group key extraction: tab contract and legacy space quirk") {
     assert(MapReduceJob.groupKey("word\t1", legacy = false) == "word")
     assert(MapReduceJob.groupKey("noseparator", legacy = false) == "noseparator")
