@@ -34,6 +34,7 @@ object Engine {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted
       // to microsecond timestamps in table() below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

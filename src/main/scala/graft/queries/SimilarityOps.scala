@@ -139,6 +139,53 @@ object SimilarityOps {
       },
       None
     ),
+    // ---------------------------------------------------------------- q63
+    // IVF-style ANN: 16 coarse centroids (deterministic sample), every
+    // vector assigned to its nearest centroid (one broadcast pass — the
+    // k*n assignment cost of IVF build); queries probe their 2 nearest
+    // centroids and score only those inverted lists. Approximate by
+    // design (rows-only; sanity vs brute force asserted in tests).
+    QueryDef(
+      "q63_ann_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = e
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("n2").as("cn2"))
+        // assignment: nearest centroid per vector (IVF build)
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = e
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", round(cosCol(col("e"), col("ce"), col("n2"), col("cn2")), 6))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("label"), col("e"), col("n2"), col("cent_id"))
+        // probe: each query visits its 2 nearest centroids' lists
+        val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cent_id"))
+        val probes = e
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
+          .crossJoin(broadcast(cents))
+          .withColumn("qcos", round(cosCol(col("qe"), col("ce"), col("qn2"), col("cn2")), 6))
+          .withColumn("prn", row_number().over(wProbe))
+          .filter(col("prn") <= 2)
+          .select(col("qid"), col("qe"), col("qn2"), col("cent_id"))
+        val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+        probes
+          .join(assigned, Seq("cent_id"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"),
+            col("vec_id").as("cid"),
+            round(cosCol(col("qe"), col("e"), col("qn2"), col("n2")), 6).as("cos")
+          )
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"), col("cos"), col("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      None
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.

@@ -191,6 +191,46 @@ object TextOps {
       Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
              FROM documents ORDER BY doc_id""")
     ),
+    // ---------------------------------------------------------------- q49
+    // Top-5 words per language via the custom bounded Aggregator
+    // (graft.functions.TopKByCount): partial aggregation ships O(k)
+    // state per group instead of the full word distribution. Exact, so
+    // the oracle is a plain window over full counts.
+    QueryDef(
+      "q49_top_words_per_lang",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val counts = Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), explode(toksExpr).as("word"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("n"))
+          .as[(String, String, Long)]
+        counts
+          .groupByKey(_._1)
+          .agg(new graft.functions.TopKByCount(5).toColumn.name("top"))
+          .toDF("lang", "top")
+          .select(col("lang"), posexplode(col("top")).as(Seq("i", "wn")))
+          .select(
+            col("lang"),
+            col("wn._1").as("word"),
+            col("wn._2").as("n"),
+            (col("i") + 1).cast("long").as("rk")
+          )
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH wc AS (
+               SELECT lang, word, count(*) AS n FROM (
+                 SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS word
+                 FROM documents) t
+               GROUP BY lang, word),
+             r AS (SELECT lang, word, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk FROM wc)
+             SELECT lang, word, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+             ORDER BY lang, rk""")
+    ),
     // ---------------------------------------------------------------- q47
     // BPE-ish subword tokenization: letter runs / digit runs / punct
     // runs with leading-space attachment (the GPT-2 pre-tokenizer

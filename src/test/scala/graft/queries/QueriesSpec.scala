@@ -77,6 +77,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 IVF ANN returns ranked neighbors for probed lists only") {
+    val ivf = graft.SparkEntry.queries("q63_ann_ivf")(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val cs = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    assert(ivf.map(_.getAs[Long]("qid")).toSet.subsetOf((0L until 20L).toSet))
+  }
+
+  test("q49 custom top-k aggregator matches a window-ranked full count") {
+    val got = graft.SparkEntry.queries("q49_top_words_per_lang")(spark, dir).collect()
+    val full = graft.Engine
+      .table(spark, dir, "documents")
+      .select(col("lang"), explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("word"))
+        ).cast("long")
+      )
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+      .collect()
+    assert(got.length == full.length)
+    got.zip(full).foreach { case (g, w) =>
+      assert(g.getAs[String]("word") == w.getAs[String]("word"))
+      assert(g.getAs[Long]("n") == w.getAs[Long]("n"))
+    }
+  }
+
   test("q52 minhash-lsh finds the planted near-duplicates of q51") {
     // pairs that blocked-exact-jaccard scores >= 0.8 must be recalled by LSH
     val exact = graft.SparkEntry
