@@ -321,6 +321,42 @@ object TextOps {
              CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS w,
              CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS h
              FROM documents ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q71
+    // Multimodal frame sampling: treat the payload as fixed-size 64-byte
+    // "frames" (video-frame stand-in), keep every 2nd frame, emit
+    // per-frame metadata — a 1->N binary explode in typed mapPartitions.
+    // The stub "codec" is byte slicing (payloads are ASCII, so the
+    // varchar-based oracle sees the same bytes).
+    QueryDef(
+      "q71_frame_sample",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val nFrames = (bytes.length + 63) / 64
+            (0 until nFrames).filter(_ % 2 == 0).map { f =>
+              val start = f * 64
+              val frame = java.util.Arrays.copyOfRange(bytes, start, math.min(start + 64, bytes.length))
+              md.reset()
+              (id, f.toLong, md.digest(frame).map("%02x".format(_)).mkString)
+            }
+          }
+          .toDF("doc_id", "frame_idx", "frame_sha")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (
+               SELECT doc_id, text,
+                 unnest(generate_series(0, CAST(floor((length(text) - 1) / 64) AS BIGINT))) AS frame_idx
+               FROM documents)
+             SELECT doc_id, frame_idx,
+               sha256(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_sha
+             FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")
     )
   )
 }

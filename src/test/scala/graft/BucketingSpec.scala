@@ -12,6 +12,19 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = Engine.session("test")
 
   test("bucketed fact tables sort-merge join without any shuffle exchange") {
+    // the catalog is in-memory per JVM but the warehouse dir persists;
+    // clear orphaned locations from previous runs before saveAsTable
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Engine
       .table(spark, dir, "lineitem")
       .write

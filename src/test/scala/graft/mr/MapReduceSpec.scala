@@ -136,6 +136,26 @@ class MapReduceSpec extends AnyFunSuite {
     assert(sortedLines(files).nonEmpty)
   }
 
+  test("large corpus (700k intermediate records) groups well inside the reference budget") {
+    // the reference's non-functional gate: group stage < 10s on
+    // input_large (test_manager_08.py:242-243); we run the WHOLE job
+    // (map through reduce) and still expect to come in far under it
+    val out = Files.createTempDirectory("mr-large-").toString
+    val t0 = System.nanoTime()
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input_large", out, s"$ref/tests/testdata/exec/wc_map.sh",
+        s"$ref/tests/testdata/exec/wc_reduce.sh", numMappers = 2, numReducers = 2)
+    )
+    val secs = (System.nanoTime() - t0) / 1e9
+    val lines = sortedLines(files)
+    // intermediate volume is pinned at 700,478 records; the reduced
+    // output is the distinct token count, and total count mass must
+    // equal the intermediate record count
+    assert(lines.map(_.split("\t")(1).toLong).sum == 700478L)
+    assert(secs < 10.0, s"full large-corpus job took ${secs}s (reference group stage alone: <10s)")
+  }
+
   test("group key extraction: tab contract and legacy space quirk") {
     assert(MapReduceJob.groupKey("word\t1", legacy = false) == "word")
     assert(MapReduceJob.groupKey("noseparator", legacy = false) == "noseparator")
