@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** distinct word-3-gram shingles; tokenizer matches TextOps. */
+  /** distinct word-3-gram shingles; tokenizer matches TextOps.
+    * The repartition spreads the lambda-heavy shingle/signature work
+    * across cores: the local single-file parquet scan yields one
+    * partition (no row-group splits), which would otherwise serialize
+    * the whole chain. On a many-split table at scale this is a no-op
+    * cost-wise (one narrow shuffle of raw text).
+    */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+    df.repartition(col("doc_id"))
+      .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
       .filter(size(col("toks")) >= 3)
       .withColumn(
         "sg",
@@ -93,16 +100,22 @@ object DedupOps {
       "sig",
       array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
     )
-    val banded = sig.select(
-      col("doc_id"),
-      explode(
-        array((0 until 4).map(b =>
-          md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
-        ): _*)
-      ).as("bucket")
-    )
+    // repartition on the bucket key + merge-hint: both self-join sides
+    // become the IDENTICAL shuffle stage, which AQE computes once and
+    // reuses — one signature pass over the corpus instead of two.
+    val banded = sig
+      .select(
+        col("doc_id"),
+        explode(
+          array((0 until 4).map(b =>
+            md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
+          ): _*)
+        ).as("bucket")
+      )
+      .repartition(col("bucket"))
     val cand = banded
       .as("l")
+      .hint("merge")
       .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
@@ -134,9 +147,13 @@ object DedupOps {
     QueryDef(
       "q51_ngram_jaccard",
       (s, dir) => {
+        // pre-shuffled on the block key so both self-join sides are the
+        // same stage (AQE exchange reuse: one shingle pass, not two)
         val sh = withShingles(Engine.table(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), col("source"), col("sg"))
+          .repartition(col("lang"), col("source"))
         sh.as("a")
+          .hint("merge")
           .join(
             sh.as("b"),
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

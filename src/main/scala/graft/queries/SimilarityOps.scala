@@ -34,6 +34,8 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Engine
       .table(s, dir, "embeddings")
+      // single-file scan = one partition locally; spread pair scoring
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
       .withColumn("n2", norm2(col("e")))
 
