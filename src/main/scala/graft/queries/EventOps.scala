@@ -101,6 +101,79 @@ object EventOps {
              round(max(value), 4) AS max_v, round(avg(value), 4) AS avg_v
              FROM events GROUP BY event_type ORDER BY event_type""")
     ),
+    // ---------------------------------------------------------------- q36
+    // As-of join (composed from built-ins, per the preference order):
+    // each purchase is attributed to the user's most recent prior click
+    // via a running max over event time — no custom operator needed.
+    QueryDef(
+      "q36_asof_attribution",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Engine
+          .table(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("click_us", when(col("event_type") === "click", unix_micros(col("ts"))))
+          .withColumn("last_click_us", max(col("click_us")).over(w))
+          .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            expr("(unix_micros(ts) - last_click_us) div 1000000").as("gap_s")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+               SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+               FROM events WHERE event_type IN ('click', 'purchase')),
+             r AS (
+               SELECT user_id, ts, event_id, event_type,
+                 max(click_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+               FROM u)
+             SELECT event_id, user_id,
+               CAST((epoch_us(ts) - last_click_us) // 1000000 AS BIGINT) AS gap_s
+             FROM r WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+             ORDER BY event_id""")
+    ),
+    // ---------------------------------------------------------------- q37
+    // Native session_window operator (Spark 3.2+): gap-based sessions as
+    // a groupBy key; the oracle derives the same sessions manually
+    // (session end = last event + gap, per Spark's semantics).
+    QueryDef(
+      "q37_session_window",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(
+            col("user_id"),
+            col("w.start").as("session_start"),
+            col("w.end").as("session_end"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+               SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             ), se AS (
+               SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM e)
+             SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+             FROM se GROUP BY user_id, sid ORDER BY user_id, session_start""")
+    ),
     // ---------------------------------------------------------------- q34
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
     // both linear-interpolate at p*(n-1) over sorted values.
