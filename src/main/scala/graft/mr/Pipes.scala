@@ -44,8 +44,14 @@ object Pipes {
   /** Lazily stream a process's stdout as lines; on exhaustion wait for
     * exit, fail the task on non-zero status (Spark's task retry then
     * gives the reference's "re-queue on failure" semantics for free).
+    * If the consumer stops early (limit/take), the task-completion
+    * listener destroys the process so nothing leaks.
     */
   private def streamOutput(proc: Process, cmd: String, cleanup: Option[() => Unit]): Iterator[String] = {
+    Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      if (proc.isAlive) proc.destroyForcibly()
+      cleanup.foreach(_.apply())
+    })
     val reader = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))
     new Iterator[String] {
       private var nextLine: String = reader.readLine()
