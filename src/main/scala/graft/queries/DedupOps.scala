@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** LSH degenerate-bucket cap (mirrored as QUALIFY ... <= 1000 in the
+    * oracle SQL — keep the two in sync).
+    */
+  private val maxBucketSize = 1000
+
   /** distinct word-3-gram shingles; tokenizer matches TextOps.
     * The repartition spreads the lambda-heavy shingle/signature work
     * across cores: the local single-file parquet scan yields one
@@ -78,8 +83,10 @@ object DedupOps {
           list_min(list_transform(sg, x -> md5('6|' || x))),
           list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
          FROM sh),
-       bk AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+       bk0 AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
          md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+       bk AS (SELECT doc_id, bucket FROM bk0
+         QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
        p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
        v0 AS (SELECT p.id_a, p.id_b,
@@ -103,6 +110,11 @@ object DedupOps {
     // repartition on the bucket key + merge-hint: both self-join sides
     // become the IDENTICAL shuffle stage, which AQE computes once and
     // reuses — one signature pass over the corpus instead of two.
+    // Degenerate-bucket guard: a bucket of B near-identical docs yields
+    // B^2 candidate pairs; buckets beyond maxBucketSize are dropped
+    // (bounded recall loss, bounded work — standard LSH practice). The
+    // window adds no shuffle: it runs on the bucket partitioning.
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val banded = sig
       .select(
         col("doc_id"),
@@ -113,6 +125,9 @@ object DedupOps {
         ).as("bucket")
       )
       .repartition(col("bucket"))
+      .withColumn("bc", count(lit(1)).over(wBucket))
+      .filter(col("bc") <= maxBucketSize)
+      .drop("bc")
     val cand = banded
       .as("l")
       .hint("merge")
