@@ -221,6 +221,39 @@ object DedupOps {
              WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.id_b = d.doc_id)
              ORDER BY d.doc_id""")
     ),
+    // ---------------------------------------------------------------- q56
+    // Edit-distance near-dup: Levenshtein over 64-char prefixes within
+    // (lang, source) blocks — catches char-level corruption that
+    // token-set Jaccard misses. Top-50 closest pairs.
+    QueryDef(
+      "q56_edit_distance",
+      (s, dir) => {
+        val d = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 64).as("p"))
+          .repartition(col("lang"), col("source"))
+        d.as("a")
+          .hint("merge")
+          .join(
+            d.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            levenshtein(col("a.p"), col("b.p")).cast("long").as("dist")
+          )
+          .orderBy(col("dist"), col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 64) AS p FROM documents)
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+             FROM d a JOIN d b
+               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             ORDER BY dist, id_a, id_b LIMIT 50""")
+    ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
     // small Hamming distance. Per-doc fingerprints (pairs via q52 path).

@@ -194,6 +194,31 @@ object EventOps {
              round(quantile_cont(value, 0.99), 4) AS p99
              FROM events GROUP BY event_type ORDER BY event_type""")
     ),
+    // ---------------------------------------------------------------- q38
+    // Outlier detection: z-score of value against the per-type
+    // distribution (broadcast of the tiny stats side); top-50 by |z|.
+    QueryDef(
+      "q38_anomaly_zscore",
+      (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val stats = ev
+          .groupBy(col("event_type"))
+          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            round(abs((col("value") - col("mu")) / col("sigma")), 4).as("z")
+          )
+          .orderBy(col("z").desc, col("event_id"))
+          .limit(50)
+      },
+      Some("""WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+               FROM events GROUP BY event_type)
+             SELECT e.event_id, e.event_type, round(abs((e.value - st.mu) / st.sigma), 4) AS z
+             FROM events e JOIN st ON e.event_type = st.event_type
+             ORDER BY z DESC, event_id LIMIT 50""")
+    ),
     // ---------------------------------------------------------------- q35
     // Sketch aggregation: HyperLogLog++ distinct users per event type.
     // Approximate by design (no SQL oracle — rows-only; accuracy vs the
