@@ -194,6 +194,28 @@ object EventOps {
              round(quantile_cont(value, 0.99), 4) AS p99
              FROM events GROUP BY event_type ORDER BY event_type""")
     ),
+    // ---------------------------------------------------------------- q39
+    // Pivot: one column per event type (explicit value list keeps the
+    // schema static and the plan a single pass — no distinct-values
+    // pre-query). Oracle is the equivalent conditional aggregation.
+    QueryDef(
+      "q39_pivot",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+             FROM events GROUP BY 1 ORDER BY day""")
+    ),
     // ---------------------------------------------------------------- q38
     // Outlier detection: z-score of value against the per-type
     // distribution (broadcast of the tiny stats side); top-50 by |z|.
