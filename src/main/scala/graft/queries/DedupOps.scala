@@ -222,7 +222,7 @@ object DedupOps {
              ORDER BY d.doc_id""")
     ),
     // ---------------------------------------------------------------- q56
-    // Edit-distance near-dup: Levenshtein over 64-char prefixes within
+    // Edit-distance near-dup: Levenshtein over 32-char prefixes within
     // (lang, source) blocks — catches char-level corruption that
     // token-set Jaccard misses. Top-50 closest pairs.
     QueryDef(
@@ -230,7 +230,7 @@ object DedupOps {
       (s, dir) => {
         val d = Engine
           .table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 64).as("p"))
+          .select(col("doc_id"), col("lang"), col("source"), substring(col("text"), 1, 32).as("p"))
           .repartition(col("lang"), col("source"))
         d.as("a")
           .hint("merge")
@@ -247,7 +247,7 @@ object DedupOps {
           .orderBy(col("dist"), col("id_a"), col("id_b"))
           .limit(50)
       },
-      Some("""WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 64) AS p FROM documents)
+      Some("""WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 32) AS p FROM documents)
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
              FROM d a JOIN d b
