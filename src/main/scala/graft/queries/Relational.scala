@@ -494,6 +494,36 @@ object Relational {
       },
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    // ---------------------------------------------------------------- q25
+    // Deterministic stratified sampling: every 10th row per stratum in a
+    // stable position order — reproducible train/eval splits without RNG
+    // (rerunning the pipeline yields the identical sample).
+    QueryDef(
+      "q25_stratified_sample",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // ordering by every output column makes residual ties
+        // output-identical regardless of which tied row is sampled.
+        val w = Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        Engine
+          .table(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") % 10 === 1)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
+               SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
+               FROM lineitem) t
+             WHERE rn % 10 = 1
+             ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
     )
   )
 }

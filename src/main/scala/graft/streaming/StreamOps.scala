@@ -44,6 +44,25 @@ object StreamOps {
       },
       Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
              FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+    // ---------------------------------------------------------------- q92
+    // Streaming dedup: dropDuplicates keyed on event_id with a watermark
+    // bounding the dedup state (old keys age out of the state store).
+    QueryDef(
+      "q92_stream_dedup",
+      (s, dir) => {
+        val stream = EventStreaming
+          .eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"))
+        EventStreaming
+          .runToMemory(s, stream, sinkName("q92"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+             FROM events GROUP BY event_type ORDER BY event_type""")
     )
   )
 }
