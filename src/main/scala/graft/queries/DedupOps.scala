@@ -272,7 +272,20 @@ object DedupOps {
           )
           .select(col("doc_id"), col("simhash"))
           .orderBy(col("doc_id")),
-      None // 32-bit hex parse is not cleanly expressible in DuckDB SQL; rows-only check
+      // 32-bit hashes via digit-wise hex parse (matches Spark's conv);
+      // all values < 2^32 are exact in the intermediate doubles
+      Some(s"""$shinglesSql,
+             hx AS (SELECT doc_id, list_transform(sg, x ->
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                 k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                      * power(16, 8 - k))) AS BIGINT)) AS hs
+               FROM sh)
+             SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 31), j ->
+                 CASE WHEN 2 * len(list_filter(hs, v -> (v // (CAST(1 AS BIGINT) << j)) % 2 = 1))
+                          >= len(hs)
+                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+             FROM hx ORDER BY doc_id""")
     )
   )
 }

@@ -156,6 +156,20 @@ class MapReduceSpec extends AnyFunSuite {
     assert(secs < 10.0, s"full large-corpus job took ${secs}s (reference group stage alone: <10s)")
   }
 
+  test("legacy key extraction (rsplit quirk) still yields golden grep output") {
+    // grep emits `1\tsome line text`; the reference's group key is the
+    // line minus its last space-word (manager/__main__.py:432-434).
+    // Grouping placement changes, but the output multiset must not.
+    val out = Files.createTempDirectory("mr-legacy-").toString
+    val files = MapReduceJob.run(
+      spark,
+      JobSpec(s"$ref/tests/testdata/input", out, s"python3 $ref/tests/testdata/exec/grep_map.py",
+        s"python3 $ref/tests/testdata/exec/grep_reduce.py", numMappers = 2, numReducers = 2,
+        legacyKeyExtraction = true)
+    )
+    assert(sortedLines(files) == golden("grep_correct.txt"))
+  }
+
   test("group key extraction: tab contract and legacy space quirk") {
     assert(MapReduceJob.groupKey("word\t1", legacy = false) == "word")
     assert(MapReduceJob.groupKey("noseparator", legacy = false) == "noseparator")
