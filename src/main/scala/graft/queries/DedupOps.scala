@@ -100,6 +100,11 @@ object DedupOps {
     * map, the candidate join shuffles on bucket keys only, verification
     * touches candidates only. Shared by q52 (pair listing) and q55
     * (dedup materialization).
+    *
+    * At production scale you would materialize the shingle table (`sh`)
+    * once (persist or an intermediate table) before the candidate and
+    * verification joins; here each query stays a self-contained plan,
+    * with AQE stage reuse de-duplicating the bucket-join side.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Engine.table(s, dir, "documents")).select(col("doc_id"), col("sg"))
