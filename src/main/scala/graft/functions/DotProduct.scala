@@ -13,9 +13,16 @@ import org.apache.spark.sql.types._
   * this expression is a single codegen'd loop over the unsafe array
   * data — the shape you want when scoring millions of candidate pairs.
   * Summation is sequential left-to-right, bit-identical to the
-  * composable form (and to the explicit-formula DuckDB oracles).
+  * composable form (and to the explicit-formula DuckDB oracles) on
+  * equal-length inputs. On UNEQUAL lengths the result is NULL — the same
+  * answer the composable form gives (zip_with pads the shorter array
+  * with null, so its sum is null), keeping the two forms interchangeable
+  * on malformed inputs too.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // NULL on length mismatch even when both inputs are non-null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -34,7 +41,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -53,12 +61,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $s = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $s += $a.getDouble($i) * $b.getDouble($i);
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $s += $a.getDouble($i) * $b.getDouble($i);
+        |  }
+        |  ${ev.value} = $s;
         |}
-        |${ev.value} = $s;
         """.stripMargin
       }
     )

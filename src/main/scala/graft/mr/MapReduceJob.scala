@@ -84,8 +84,15 @@ object MapReduceJob {
   private final class KeyRankPartitioner(ranks: Map[String, Int], n: Int, legacy: Boolean)
       extends Partitioner {
     def numPartitions: Int = n
-    def getPartition(key: Any): Int =
-      ranks(groupKey(key.asInstanceOf[String], legacy)) % n
+    def getPartition(key: Any): Int = {
+      val k = groupKey(key.asInstanceOf[String], legacy)
+      ranks.getOrElse(
+        k,
+        throw new IllegalStateException(
+          s"parity partitioning: key '$k' absent from the rank map — " +
+            "the mapper emitted a key not seen when ranks were computed " +
+            "(parity mode requires deterministic mappers)")) % n
+    }
   }
 
   /** Run a full map -> sort/group -> reduce job. Returns the output files
@@ -113,6 +120,11 @@ object MapReduceJob {
     // --- group stage: shuffle on group key, external sort by full line
     // (O2/O3/O5 collapse into Spark's sort-based shuffle)
     implicit val ord: Ordering[String] = utf8Ordering
+    // Parity mode reads `mapped` twice (rank pass + shuffle): cache it so
+    // the mapper executables run exactly once — rerunning them would both
+    // double the work and, for a non-deterministic mapper, emit keys
+    // absent from the rank map.
+    if (spec.parityPartitioning) mapped.cache()
     val partitioner: Partitioner =
       if (spec.parityPartitioning) {
         val ranks = mapped
@@ -137,6 +149,7 @@ object MapReduceJob {
     // empty partitions still produce files (test_integration_03.py:79)
     val tmpOut = Files.createTempDirectory("graft-mr-").toString + "/out"
     reduced.saveAsTextFile(tmpOut)
+    if (spec.parityPartitioning) mapped.unpersist(blocking = false)
     val outDir = new File(spec.outputDir)
     outDir.mkdirs()
     (0 until spec.numReducers).map { i =>

@@ -21,7 +21,10 @@ object Pipes {
   def pipeFile(cmd: String, file: String): Iterator[String] = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd, file)
     pb.redirectInput(new File(file))
-    pb.redirectErrorStream(false)
+    // Inherit stderr like the reference (subprocess.run without
+    // stderr=PIPE): a chatty executable can never fill an undrained pipe
+    // buffer and deadlock the task.
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     streamOutput(pb.start(), cmd, cleanup = None)
   }
 
@@ -38,6 +41,7 @@ object Pipes {
     } finally w.close()
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd, tmp.toString)
     pb.redirectInput(tmp.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     streamOutput(pb.start(), cmd, cleanup = Some(() => Files.deleteIfExists(tmp)))
   }
 

@@ -46,15 +46,18 @@ object StreamOps {
              FROM events GROUP BY user_id ORDER BY user_id""")
     ),
     // ---------------------------------------------------------------- q92
-    // Streaming dedup: dropDuplicates keyed on event_id with a watermark
-    // bounding the dedup state (old keys age out of the state store).
+    // Streaming dedup: dropDuplicatesWithinWatermark keys the state on
+    // event_id AND lets the watermark evict entries older than the delay,
+    // so state is bounded on an unbounded stream (plain
+    // dropDuplicates("event_id") would grow state forever). Duplicates
+    // arriving within the 2-hour delay of each other dedup exactly.
     QueryDef(
       "q92_stream_dedup",
       (s, dir) => {
         val stream = EventStreaming
           .eventsStream(s, dir)
           .withWatermark("ts", "2 hours")
-          .dropDuplicates("event_id")
+          .dropDuplicatesWithinWatermark("event_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique"))
         EventStreaming

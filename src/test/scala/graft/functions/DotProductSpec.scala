@@ -29,6 +29,18 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.head.getDouble(0) == 32.0)
   }
 
+  test("unequal-length arrays yield NULL, agreeing with the HOF form") {
+    // zip_with pads the shorter array with null, so the HOF sum is null;
+    // the native expression must give the same answer instead of
+    // silently truncating.
+    val r = spark
+      .sql("""SELECT graft_dot(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS native,
+                     aggregate(zip_with(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d),
+                               (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS hof""")
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("dot product matches scala computation on seeded random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
