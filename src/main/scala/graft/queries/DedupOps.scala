@@ -259,6 +259,71 @@ object DedupOps {
                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
              ORDER BY dist, id_a, id_b LIMIT 50""")
     ),
+    // ---------------------------------------------------------------- q58
+    // Near-dup clusters: connected components over the q52 verified-pair
+    // graph via iterative min-id propagation (each node adopts the
+    // smallest component id among itself and its neighbors until no
+    // change). Greedy pairwise dropping (q55) over-deletes on chains
+    // A~B~C where A!~C; components give the transitive clusters a real
+    // dedup pass keys on. Convergence takes O(diameter) rounds — near-dup
+    // components are shallow in practice; each round is one shuffle join,
+    // localCheckpoint truncates the growing lineage (at 100 TB you would
+    // checkpoint to durable storage and use the large-star/small-star
+    // variant to bound component fan-in).
+    QueryDef(
+      "q58_dup_clusters",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        val edges = pairs
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst")
+          .cache()
+        var comp = edges
+          .select(col("src").as("id"))
+          .distinct()
+          .withColumn("comp", col("id"))
+          .localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val nbrMin = edges
+            .join(comp.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(min(col("comp")).as("nbr_min"))
+          val next = comp
+            .withColumnRenamed("comp", "old")
+            .join(nbrMin, Seq("id"), "left")
+            .select(col("id"), least(col("old"), coalesce(col("nbr_min"), col("old"))).as("comp"), col("old"))
+            .localCheckpoint()
+          changed = next.filter(col("comp") =!= col("old")).count()
+          comp = next.select(col("id"), col("comp"))
+          iter += 1
+        }
+        edges.unpersist(blocking = false)
+        val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        comp
+          .join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      // the oracle computes the same components by transitive closure
+      // (recursive CTE): comp(id) = min id reachable from id
+      Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             e AS (SELECT id_a AS src, id_b AS dst FROM v
+                   UNION ALL SELECT id_b, id_a FROM v),
+             reach(src, dst) AS (
+               SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             comp AS (
+               SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
+               FROM (SELECT DISTINCT src AS id FROM e) n
+               JOIN reach r ON r.src = n.id GROUP BY n.id),
+             sz AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY cluster_id)
+             SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+             FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""")
+    ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
     // small Hamming distance. Per-doc fingerprints (pairs via q52 path).

@@ -524,6 +524,197 @@ object Relational {
                FROM lineitem) t
              WHERE rn % 10 = 1
              ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
+    ),
+    // ---------------------------------------------------------------- q26
+    // GROUPING SETS — the general form of rollup/cube (q16/q17): three
+    // explicit sets in one pass; grouping_id() disambiguates which NULLs
+    // are aggregation-induced. One shuffle, same as a plain group-by.
+    QueryDef(
+      "q26_grouping_sets",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .groupingSets(
+            Seq(
+              Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")),
+              Seq()
+            ),
+            col("l_returnflag"),
+            col("l_linestatus")
+          )
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty")
+          )
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             ORDER BY gid, l_returnflag, l_linestatus""")
+    ),
+    // ---------------------------------------------------------------- q27
+    // RANGE-frame window: per-customer trailing-90-day spend. The frame
+    // is over epoch days (identical integer semantics in both engines;
+    // same-day orders are peers and always aggregate together).
+    QueryDef(
+      "q27_window_range",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("d"))
+          .rangeBetween(-90, Window.currentRow)
+        Engine
+          .table(s, dir, "orders")
+          .withColumn("d", unix_date(col("o_orderdate").cast("date")).cast("long"))
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("spend_90d")
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(spend_90d, 2) AS spend_90d FROM (
+               SELECT o_orderkey, o_custkey,
+                 sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS spend_90d
+               FROM orders) t ORDER BY o_orderkey""")
+    ),
+    // ---------------------------------------------------------------- q28
+    // lag/lead/ntile/percent_rank — the navigation-function family over
+    // one per-customer sort (all four share the window's single shuffle).
+    QueryDef(
+      "q28_lag_lead",
+      (s, dir) => {
+        val wd = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        Engine
+          .table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate"), 1).over(wd).cast("date"))
+              .cast("long")
+              .as("gap_days"),
+            lead(col("o_orderkey"), 1).over(wd).as("next_key"),
+            ntile(4).over(wp).cast("long").as("price_quartile"),
+            round(percent_rank().over(wp), 6).as("price_pr")
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day',
+                 CAST(lag(o_orderdate, 1) OVER wd AS DATE),
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+               lead(o_orderkey, 1) OVER wd AS next_key,
+               CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+               round(percent_rank() OVER wp, 6) AS price_pr
+             FROM orders
+             WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                    wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             ORDER BY o_orderkey""")
+    ),
+    // ---------------------------------------------------------------- q29
+    // Statistical aggregates: corr/covar/stddev/variance per group —
+    // single-pass combinable moments (exact partial aggregation at scale).
+    QueryDef(
+      "q29_corr_stats",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+            round(stddev_samp(col("l_discount")), 4).as("sd_discount"),
+            round(var_pop(col("l_tax")), 4).as("var_tax")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(stddev_samp(l_discount), 4) AS sd_discount,
+               round(var_pop(l_tax), 4) AS var_tax
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    // ---------------------------------------------------------------- q66
+    // Band (non-equi range) join: bucket customers into balance tiers via
+    // lo <= bal < hi against a tiny inline dimension. Broadcast makes the
+    // non-equi join a per-row scan of 3 tiers — the right plan at any
+    // scale (never a cartesian shuffle).
+    QueryDef(
+      "q66_band_join",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val tiers = Seq(
+          ("low", -1e9, 0.0),
+          ("mid", 0.0, 5000.0),
+          ("high", 5000.0, 1e9)
+        ).toDF("tier", "lo", "hi")
+        Engine
+          .table(s, dir, "customer")
+          .join(broadcast(tiers), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .orderBy(col("tier"))
+      },
+      Some("""SELECT tier, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+             FROM (VALUES ('low', -1e9, 0.0), ('mid', 0.0, 5000.0), ('high', 5000.0, 1e9))
+               AS t(tier, lo, hi)
+             JOIN customer ON c_acctbal >= lo AND c_acctbal < hi
+             GROUP BY tier ORDER BY tier""")
+    ),
+    // ---------------------------------------------------------------- q67
+    // Correlated EXISTS with a non-equi correlated predicate — planned as
+    // a left-semi join with the extra condition in the join clause.
+    QueryDef(
+      "q67_exists_correlated",
+      (s, dir) => {
+        val c = Engine.table(s, dir, "customer")
+        val o = Engine
+          .table(s, dir, "orders")
+          .filter(col("o_orderpriority").startsWith("1"))
+        c.join(
+          o,
+          col("c_custkey") === col("o_custkey") && col("o_totalprice") > col("c_acctbal") * 2,
+          "left_semi"
+        ).select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > c.c_acctbal * 2
+                 AND o.o_orderpriority LIKE '1%')
+             ORDER BY c_custkey""")
+    ),
+    // ---------------------------------------------------------------- q68
+    // Collect-set aggregation: the distinct market segments per nation as
+    // a sorted joined string (sorted so the value is deterministic; string
+    // so both engines hash identical scalars). Nation is broadcast.
+    QueryDef(
+      "q68_segment_sets",
+      (s, dir) => {
+        val c = Engine.table(s, dir, "customer")
+        val n = Engine.table(s, dir, "nation")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+            count(lit(1)).as("n_customers")
+          )
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+               count(*) AS n_customers
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")
     )
   )
 }

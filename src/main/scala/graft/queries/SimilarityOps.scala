@@ -188,6 +188,37 @@ object SimilarityOps {
       },
       None
     ),
+    // ---------------------------------------------------------------- q57
+    // Embedding-cosine near-dup dedup: drop the higher-id member of every
+    // within-label pair whose cosine clears the threshold (greedy
+    // keep-lowest, same convention as q55). The 0.45 threshold is tuned
+    // to this synthetic corpus (max pair cosine ~0.51); a production
+    // near-dup pass runs the same plan at ~0.95+. The comparison is on
+    // the 6-decimal-rounded cosine so the cut line is engine-exact.
+    // Scale: label-blocked pair scoring like q54; at 100 TB the blocking
+    // key becomes an ANN bucket (q61/q63) and this stays the verify+drop
+    // stage over candidates only.
+    QueryDef(
+      "q57_embedding_dedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val dups = e
+          .as("a")
+          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .filter(round(cosCol(col("a.e"), col("b.e"), col("a.n2"), col("b.n2")), 6) >= 0.45)
+          .select(col("b.vec_id").as("id_b"))
+          .distinct()
+        e.join(dups, e("vec_id") === dups("id_b"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH t AS ($embSql),
+             p AS (SELECT b.vec_id AS id_b FROM t a JOIN t b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE round(${cosSql("a.e", "b.e", "a.n2", "b.n2")}, 6) >= 0.45)
+             SELECT vec_id, label FROM t
+             WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""")
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.

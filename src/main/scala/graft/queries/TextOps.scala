@@ -288,6 +288,80 @@ object TextOps {
              SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_aggregate(fps, 'min') AS min_fp
              FROM t2 ORDER BY doc_id""")
     ),
+    // ---------------------------------------------------------------- q59
+    // Repetition-based quality filters (the Gopher-style "repetition
+    // ratio" family): fraction of tokens taken by the most frequent
+    // token, and fraction of word-bigrams taken by the most frequent
+    // bigram — high values flag boilerplate/spam for removal. Pure
+    // array expressions per row (narrow map, codegen'd, no shuffle);
+    // the per-doc distinct x occurrences scan is O(d*n) on short docs.
+    QueryDef(
+      "q59_repetition_stats",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .filter(size(col("toks")) >= 2)
+          .withColumn(
+            "bg",
+            expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+          )
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            round(
+              expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+                .cast("double") / size(col("toks")),
+              6
+            ).as("top_tok_frac"),
+            round(
+              expr("array_max(transform(array_distinct(bg), t -> size(filter(bg, x -> x = t))))")
+                .cast("double") / size(col("bg")),
+              6
+            ).as("top_bigram_frac")
+          )
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 0) AS toks
+               FROM documents),
+             b AS (
+               SELECT doc_id, toks,
+                 list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bg
+               FROM t WHERE len(toks) >= 2)
+             SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) AS top_tok_frac,
+               round(CAST(list_max(list_transform(list_distinct(bg),
+                 t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / len(bg), 6) AS top_bigram_frac
+             FROM b ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q65
+    // Token frequency spectrum (Zipf check): for each occurrence count,
+    // how many distinct tokens have it — two chained aggregations, both
+    // with map-side partial agg; the second input is already tiny.
+    QueryDef(
+      "q65_token_zipf",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(explode(toksExpr).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("n").as("freq"))
+          .agg(count(lit(1)).as("n_words"))
+          .orderBy(col("freq").desc)
+          .limit(50),
+      Some("""WITH wc AS (
+               SELECT word, count(*) AS n FROM (
+                 SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS word
+                 FROM documents) t
+               GROUP BY word)
+             SELECT n AS freq, count(*) AS n_words FROM wc
+             GROUP BY n ORDER BY freq DESC LIMIT 50""")
+    ),
     // ---------------------------------------------------------------- q70
     // Multimodal plumbing: treat the payload as an opaque binary column
     // with typed metadata. The "decode" step is a deterministic stub (no

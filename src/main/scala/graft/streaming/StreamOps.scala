@@ -66,6 +66,70 @@ object StreamOps {
       },
       Some("""SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
              FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    // ---------------------------------------------------------------- q93
+    // Streaming session windows: gap-based sessions as a streaming
+    // groupBy key with a watermark — sessions merge as events arrive and
+    // emit once the watermark passes their close. Same session semantics
+    // as batch q37; the oracle derives sessions via the lag/island trick.
+    QueryDef(
+      "q93_stream_sessions",
+      (s, dir) => {
+        val stream = EventStreaming
+          .eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(
+            col("user_id"),
+            col("w.start").as("session_start"),
+            col("w.end").as("session_end"),
+            col("n"),
+            col("sum_value")
+          )
+        EventStreaming
+          .runToMemory(s, stream, sinkName("q93"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             ), se AS (
+               SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM e)
+             SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+             FROM se GROUP BY user_id, sid ORDER BY user_id, session_start""")
+    ),
+    // ---------------------------------------------------------------- q94
+    // Stream-static join: the event stream enriched against the static
+    // customer dimension (re-read per micro-batch, broadcast by Catalyst
+    // since it is small), then aggregated by segment. The canonical
+    // "enrich a stream with a dimension table" shape.
+    QueryDef(
+      "q94_stream_static_join",
+      (s, dir) => {
+        val dim = graft.Engine
+          .table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = EventStreaming
+          .eventsStream(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        EventStreaming
+          .runToMemory(s, stream, sinkName("q94"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+             FROM events JOIN customer ON user_id = c_custkey
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     )
   )
 }

@@ -168,4 +168,88 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.agg(sum(col("n_dups"))).head.getLong(0) == nDocs)
     assert(df.select(col("keep_id")).distinct().count() == df.count())
   }
+
+  test("q58 clusters are consistent with q52 pairs: endpoints share a cluster, id is min") {
+    val clusters = graft.SparkEntry
+      .queries("q58_dup_clusters")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    val pairs = graft.SparkEntry
+      .queries("q52_minhash_lsh")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every pair endpoint is clustered, and both ends agree on the cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the minimum member id; sizes count the members
+    val byCluster = clusters.toSeq.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.forall(_._2._2 == members.size))
+    }
+  }
+
+  test("q57 embedding dedup drops exactly the higher-id member of threshold pairs") {
+    val kept = graft.SparkEntry
+      .queries("q57_embedding_dedup")(spark, dir)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    val all = graft.Engine
+      .table(spark, dir, "embeddings")
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    assert(kept.subsetOf(all) && kept.nonEmpty)
+    // recompute dropped side naively from q54's scored pairs at the same threshold
+    val dropped = graft.SparkEntry
+      .queries("q54_embedding_pairs")(spark, dir)
+      .filter(col("cos") >= 0.45)
+      .collect()
+      .map(_.getAs[Long]("id_b"))
+      .toSet
+    // q54 is top-100 only; every dropped id it sees must be absent from kept
+    dropped.foreach(id => assert(!kept.contains(id), s"vec $id should have been dropped"))
+  }
+
+  test("q59 repetition fractions are in (0, 1]") {
+    val rows = graft.SparkEntry.queries("q59_repetition_stats")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("top_tok_frac")
+      val b = r.getAs[Double]("top_bigram_frac")
+      assert(t > 0 && t <= 1.0 && b > 0 && b <= 1.0)
+    }
+  }
+
+  test("q65 zipf spectrum weights sum to the distinct vocabulary size") {
+    val zipf = graft.SparkEntry.queries("q65_token_zipf")(spark, dir)
+    val vocabFromZipf = zipf.agg(sum(col("n_words"))).head.getLong(0)
+    val vocab = graft.SparkEntry.queries("q40_wordcount")(spark, dir).count()
+    // q65 is limit 50; at tiny scale there are fewer than 50 distinct
+    // frequencies, so the spectrum covers the whole vocabulary
+    assert(zipf.count() < 50 && vocabFromZipf == vocab)
+  }
+
+  test("q26 grouping sets: grand total row equals table count") {
+    val df = graft.SparkEntry.queries("q26_grouping_sets")(spark, dir)
+    val grand = df.filter(col("gid") === 3).collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == graft.Engine.table(spark, dir, "lineitem").count())
+  }
+
+  test("q27 range window: trailing spend never below the order's own price") {
+    val df = graft.SparkEntry.queries("q27_window_range")(spark, dir)
+    val orders = graft.Engine
+      .table(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))
+    val bad = df
+      .join(orders, "o_orderkey")
+      .filter(col("spend_90d") < col("p") - 0.01)
+      .count()
+    assert(bad == 0)
+  }
 }
