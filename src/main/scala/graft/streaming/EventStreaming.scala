@@ -73,9 +73,36 @@ object EventStreaming {
       name: String,
       mode: OutputMode = OutputMode.Complete()
   ): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // Local harness: put the checkpoint (offset/commit logs + state
+    // store, all fsync'd per micro-batch) on tmpfs. In production this
+    // would be durable shared storage — the fsync cost is the price of
+    // exactly-once recovery, not something to skip.
+    val ckRoot =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckRoot), s"graft-ck-$name-")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ck.toString)
+      .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      // best-effort cleanup: tmpfs space is RAM
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .walk(ck)
+          .iterator()
+          .asScala
+          .toSeq
+          .reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     spark.table(name)
   }
 }
