@@ -41,4 +41,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum"), p.take(800))
   }
+
+  test("q66: non-equi band join broadcasts the tier table (no cartesian shuffle)") {
+    val p = plan("q66_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q67: correlated EXISTS plans as a semi join with the priority filter pushed to the scan") {
+    val p = plan("q67_exists_correlated")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("StringStartsWith(o_orderpriority,1)"), p.take(2000))
+  }
+
+  test("q26: grouping sets is one Expand + one aggregation pass, not three scans") {
+    val p = plan("q26_grouping_sets")
+    assert(p.contains("Expand"), p.take(1200))
+    // one scan of lineitem feeds all three grouping sets
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q27: range-frame window is a single Window over one sort") {
+    val p = plan("q27_window_range")
+    assert(p.contains("RangeFrame"), p.take(1500))
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q28: all four navigation functions share one window sort per spec") {
+    val p = plan("q28_lag_lead")
+    // two window specs (date-ordered, price-ordered) -> at most two sorts
+    assert("Window".r.findAllIn(p).size <= 3, p.take(1500))
+  }
 }
