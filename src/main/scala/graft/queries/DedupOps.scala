@@ -147,6 +147,25 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("j"))
   }
 
+  /** the SimHash computation as DuckDB CTEs ending in sim(doc_id, simhash).
+    * 32-bit hashes via digit-wise hex parse (matches Spark's conv); all
+    * values < 2^32 are exact in the intermediate doubles.
+    * (Declared before `entries`, which interpolates it eagerly.)
+    */
+  private val simhashSql: String =
+    s"""$shinglesSql,
+       hx AS (SELECT doc_id, list_transform(sg, x ->
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                * power(16, 8 - k))) AS BIGINT)) AS hs
+         FROM sh),
+       sim AS (SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 31), j ->
+           CASE WHEN 2 * len(list_filter(hs, v -> (v // (CAST(1 AS BIGINT) << j)) % 2 = 1))
+                    >= len(hs)
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM hx)"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q50
     // Exact dedup: one shuffle on the content hash; keep lowest doc_id.
@@ -326,36 +345,75 @@ object DedupOps {
     ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
-    // small Hamming distance. Per-doc fingerprints (pairs via q52 path).
+    // small Hamming distance. Per-doc fingerprints (pairs = q74).
     QueryDef(
       "q53_simhash",
-      (s, dir) =>
-        withShingles(Engine.table(s, dir, "documents"))
-          .withColumn("hs", expr("transform(sg, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"))
-          .withColumn(
-            "simhash",
-            expr(
-              """aggregate(sequence(0, 31), 0L,
-                 (acc, j) -> acc + if(2 * size(filter(hs, h -> (h div shiftleft(1L, j)) % 2 = 1)) >= size(hs),
-                                      shiftleft(1L, j), 0L))"""
-            )
+      (s, dir) => simhash(s, dir).orderBy(col("doc_id")),
+      Some(s"""$simhashSql
+             SELECT doc_id, simhash FROM sim ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q74
+    // SimHash near-dup pairs at Hamming distance <= 3 via banded LSH:
+    // split the 32-bit fingerprint into 4 bytes — by pigeonhole, any
+    // pair within distance 3 agrees on at least one byte, so the
+    // byte-equality join finds EVERY qualifying pair (exact, not
+    // approximate); verification is one codegen'd bit_count(xor) per
+    // candidate. Same shuffle economics as q52: candidates join on tiny
+    // band keys, never all-pairs.
+    QueryDef(
+      "q74_simhash_pairs",
+      (s, dir) => {
+        val bands = simhash(s, dir)
+          .select(
+            col("doc_id"),
+            col("simhash"),
+            explode(expr(
+              "transform(sequence(0, 3), i -> named_struct('bi', i, 'bv', (simhash div shiftleft(1L, 8 * i)) % 256))"
+            )).as("b")
           )
-          .select(col("doc_id"), col("simhash"))
-          .orderBy(col("doc_id")),
-      // 32-bit hashes via digit-wise hex parse (matches Spark's conv);
-      // all values < 2^32 are exact in the intermediate doubles
-      Some(s"""$shinglesSql,
-             hx AS (SELECT doc_id, list_transform(sg, x ->
-               CAST(list_sum(list_transform(generate_series(1, 8),
-                 k -> (strpos('0123456789abcdef', substr(md5(x), k, 1)) - 1)
-                      * power(16, 8 - k))) AS BIGINT)) AS hs
-               FROM sh)
-             SELECT doc_id,
-               CAST(list_sum(list_transform(generate_series(0, 31), j ->
-                 CASE WHEN 2 * len(list_filter(hs, v -> (v // (CAST(1 AS BIGINT) << j)) % 2 = 1))
-                          >= len(hs)
-                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
-             FROM hx ORDER BY doc_id""")
+          .select(col("doc_id"), col("simhash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+          .repartition(col("bi"), col("bv"))
+        bands
+          .as("l")
+          .hint("merge")
+          .join(
+            bands.as("r"),
+            col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+              col("l.doc_id") < col("r.doc_id")
+          )
+          .select(
+            col("l.doc_id").as("id_a"),
+            col("r.doc_id").as("id_b"),
+            expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming")
+          )
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""$simhashSql
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+               AND bit_count(xor(a.simhash, b.simhash)) <= 3
+             ORDER BY id_a, id_b""")
     )
   )
+
+  /** 32-bit SimHash per document: per-bit majority vote over the 32-bit
+    * md5-prefix hashes of the doc's shingles. Shared by q53 (fingerprint
+    * listing) and q74 (banded Hamming pair search).
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    withShingles(Engine.table(s, dir, "documents"))
+      .withColumn("hs", expr("transform(sg, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"))
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 31), 0L,
+             (acc, j) -> acc + if(2 * size(filter(hs, h -> (h div shiftleft(1L, j)) % 2 = 1)) >= size(hs),
+                                  shiftleft(1L, j), 0L))"""
+        )
+      )
+      .select(col("doc_id"), col("simhash"))
+
 }

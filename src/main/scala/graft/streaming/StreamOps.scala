@@ -130,6 +130,43 @@ object StreamOps {
       Some("""SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
              FROM events JOIN customer ON user_id = c_custkey
              GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+    // ---------------------------------------------------------------- q95
+    // Stream-stream interval join: purchases attributed to clicks by the
+    // same user within the preceding hour. Both sides carry watermarks so
+    // the join state is evicted once an event can no longer match
+    // (p_ts/c_ts more than watermark+interval old); an INNER join emits
+    // matches immediately, so the finite replay equals the batch join.
+    QueryDef(
+      "q95_stream_stream_join",
+      (s, dir) => {
+        val ev = EventStreaming.eventsStream(s, dir)
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts")
+          )
+          .select(col("p_id"), col("c_id"), col("user_id"))
+        EventStreaming
+          .runToMemory(s, joined, sinkName("q95"), OutputMode.Append())
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      Some("""SELECT a.event_id AS p_id, b.event_id AS c_id, a.user_id
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id AND a.event_type = 'purchase'
+               AND b.event_type = 'click'
+               AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+             ORDER BY p_id, c_id""")
     )
   )
 }
