@@ -219,6 +219,47 @@ object SimilarityOps {
              SELECT vec_id, label FROM t
              WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""")
     ),
+    // ---------------------------------------------------------------- q72
+    // Scalar int8 quantization of the embedding column — the storage
+    // path for a 100 TB vector corpus (4x smaller than float32, 8x than
+    // float64; dot products stay integer ops until the final rescale).
+    // Per-vector symmetric scale = 127/max|x|; floor(x*scale + 0.5) is
+    // used instead of round() so both engines round identically. q_l1 is
+    // an exact integer invariant of the quantized vector; mae is the
+    // reconstruction error after dequantization.
+    QueryDef(
+      "q72_embedding_quantize",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("mx", expr("array_max(transform(e, x -> abs(x)))"))
+          .filter(col("mx") > 0)
+          .withColumn("scale", lit(127.0) / col("mx"))
+          .withColumn("q", expr("transform(e, x -> cast(floor(x * scale + 0.5d) as bigint))"))
+          .select(
+            col("vec_id"),
+            expr("aggregate(q, 0L, (a, v) -> a + abs(v))").as("q_l1"),
+            round(
+              expr(
+                "aggregate(sequence(1, size(e)), 0d, (a, i) -> a + abs(element_at(e, i) - element_at(q, i) / scale))"
+              ) / size(col("e")),
+              6
+            ).as("mae")
+          )
+          .orderBy(col("vec_id")),
+      Some("""WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+             m AS (SELECT vec_id, e, 127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+               FROM t WHERE list_max(list_transform(e, x -> abs(x))) > 0),
+             q AS (SELECT vec_id, scale, e,
+               list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv FROM m)
+             SELECT vec_id,
+               CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+               round(list_sum(list_transform(generate_series(1, len(e)),
+                 i -> abs(e[i] - qv[i] / scale))) / len(e), 6) AS mae
+             FROM q ORDER BY vec_id""")
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.
