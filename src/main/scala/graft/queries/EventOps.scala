@@ -174,6 +174,26 @@ object EventOps {
                count(*) AS n, round(sum(value), 2) AS sum_value
              FROM se GROUP BY user_id, sid ORDER BY user_id, session_start""")
     ),
+    // ---------------------------------------------------------------- q75
+    // Approximate percentile sketch (the second sketch family next to
+    // q35's HLL): approx_percentile keeps a bounded-size digest per
+    // group, merged associatively across partitions — the scale path
+    // when q34's exact sort-based percentile is too expensive. Sketch
+    // internals differ per engine, so like q35 this is rows-only for the
+    // driver; accuracy vs the exact q34 values is pinned in QueriesSpec.
+    QueryDef(
+      "q75_approx_percentiles",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
+            round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx")
+          )
+          .orderBy(col("event_type")),
+      None
+    ),
     // ---------------------------------------------------------------- q34
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
     // both linear-interpolate at p*(n-1) over sorted values.

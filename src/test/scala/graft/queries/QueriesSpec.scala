@@ -234,6 +234,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(zipf.count() < 50 && vocabFromZipf == vocab)
   }
 
+  test("q75 approx percentiles are close to the exact q34 values") {
+    val approx = graft.SparkEntry
+      .queries("q75_approx_percentiles")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50_approx"))
+      .toMap
+    val exact = graft.SparkEntry
+      .queries("q34_percentiles")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50"))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      val spread = math.max(math.abs(e), 1.0)
+      assert(math.abs(a - e) <= 0.1 * spread, s"$t: approx p50 $a vs exact $e")
+    }
+  }
+
   test("q26 grouping sets: grand total row equals table count") {
     val df = graft.SparkEntry.queries("q26_grouping_sets")(spark, dir)
     val grand = df.filter(col("gid") === 3).collect()
