@@ -81,6 +81,28 @@ object EventOps {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              FROM events ORDER BY event_id""")
     ),
+    // ---------------------------------------------------------------- q76
+    // VariantType (Spark 4): parse the JSON props once into the binary
+    // variant encoding, then typed-path extraction — at scale this beats
+    // per-access string re-parsing (get_json_object) the way a columnar
+    // shredded type beats raw text. Aggregated so the output is variant-
+    // free (the driver compares plain columns).
+    QueryDef(
+      "q76_variant_extract",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .withColumn("v", parse_json(col("props")))
+          .select(col("event_type"), expr("variant_get(v, '$.k', 'long')").as("k"))
+          .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"), col("k_bucket")),
+      Some("""WITH t AS (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
+               min(k) AS min_k, max(k) AS max_k
+             FROM t GROUP BY event_type, k % 10 ORDER BY event_type, k_bucket""")
+    ),
     // ---------------------------------------------------------------- q33
     // Per-type value distribution: min/max/avg + median via exact
     // percentile (DuckDB quantile_cont matches Spark percentile interp.)
