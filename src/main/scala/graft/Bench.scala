@@ -30,9 +30,15 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => Engine.table(spark, sfDir, t).count())
 
+    // Optional focus list for local iteration: SPARK_GRAFT_ONLY=q52,q74
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+
     // Per query: (elapsed seconds, succeeded). A query that throws is
     // reported as -1 and listed under "errors" — never as a normal time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // codegen warmup
       val t0 = System.nanoTime()
       val ok =

@@ -107,18 +107,28 @@ object DedupOps {
     * with AQE stage reuse de-duplicating the bucket-join side.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Engine.table(s, dir, "documents")).select(col("doc_id"), col("sg"))
+    // MATERIALIZE the shingle table before anything references it: `sg`
+    // feeds the signatures AND both verification joins, and without a
+    // hard barrier Catalyst's projection collapse + join-key isnotnull
+    // pushdown inline the whole tokenize->shingle expression into every
+    // consumer — including a pre-shuffle filter on the (single-partition)
+    // scan, recomputing it many times serially. localCheckpoint is the
+    // local form of the production pattern: persist signatures once,
+    // then run candidate generation and verification over the
+    // materialized table.
+    val sh = withShingles(Engine.table(s, dir, "documents"))
+      .select(col("doc_id"), col("sg"))
+      .localCheckpoint()
     val sig = sh.withColumn(
       "sig",
       array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
     )
-    // repartition on the bucket key + merge-hint: both self-join sides
-    // become the IDENTICAL shuffle stage, which AQE computes once and
-    // reuses — one signature pass over the corpus instead of two.
     // Degenerate-bucket guard: a bucket of B near-identical docs yields
     // B^2 candidate pairs; buckets beyond maxBucketSize are dropped
     // (bounded recall loss, bounded work — standard LSH practice). The
-    // window adds no shuffle: it runs on the bucket partitioning.
+    // window adds no shuffle: it runs on the bucket partitioning. The
+    // banded table is materialized too, so both self-join sides read
+    // rows instead of recomputing the signature expressions.
     val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val banded = sig
       .select(
@@ -133,9 +143,9 @@ object DedupOps {
       .withColumn("bc", count(lit(1)).over(wBucket))
       .filter(col("bc") <= maxBucketSize)
       .drop("bc")
+      .localCheckpoint()
     val cand = banded
       .as("l")
-      .hint("merge")
       .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
@@ -187,7 +197,10 @@ object DedupOps {
       "q51_ngram_jaccard",
       (s, dir) => {
         // pre-shuffled on the block key so both self-join sides are the
-        // same stage (AQE exchange reuse: one shingle pass, not two)
+        // same stage (AQE exchange reuse: one shingle pass, not two);
+        // unlike the simhash/minhash pipelines the inlined pre-shuffle
+        // expression here is a single tokenize per doc — cheap — so the
+        // exchange-reuse form beats a materialization barrier
         val sh = withShingles(Engine.table(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), col("source"), col("sg"))
           .repartition(col("lang"), col("source"))
@@ -363,7 +376,12 @@ object DedupOps {
     QueryDef(
       "q74_simhash_pairs",
       (s, dir) => {
+        // the simhash table is materialized first: without the barrier,
+        // the join-side isnotnull(bv) filters inline the full 32-bit
+        // majority-vote expression (64 re-evaluations of the shingle
+        // hash array per doc) into a pre-shuffle single-partition filter
         val bands = simhash(s, dir)
+          .localCheckpoint()
           .select(
             col("doc_id"),
             col("simhash"),
