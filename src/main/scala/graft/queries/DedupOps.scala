@@ -306,32 +306,7 @@ object DedupOps {
       "q58_dup_clusters",
       (s, dir) => {
         val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
-        val edges = pairs
-          .union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst")
-          .cache()
-        var comp = edges
-          .select(col("src").as("id"))
-          .distinct()
-          .withColumn("comp", col("id"))
-          .localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 25) {
-          val nbrMin = edges
-            .join(comp.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(col("src").as("id"))
-            .agg(min(col("comp")).as("nbr_min"))
-          val next = comp
-            .withColumnRenamed("comp", "old")
-            .join(nbrMin, Seq("id"), "left")
-            .select(col("id"), least(col("old"), coalesce(col("nbr_min"), col("old"))).as("comp"), col("old"))
-            .localCheckpoint()
-          changed = next.filter(col("comp") =!= col("old")).count()
-          comp = next.select(col("id"), col("comp"))
-          iter += 1
-        }
-        edges.unpersist(blocking = false)
+        val comp = connectedComponents(pairs)
         val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
         comp
           .join(sizes, "comp")
@@ -416,6 +391,58 @@ object DedupOps {
              ORDER BY id_a, id_b""")
     )
   )
+
+  /** Connected components over an undirected pair list via iterative
+    * min-id propagation WITH path compression: each round a node adopts
+    * the smallest component id among itself and its neighbors, then
+    * follows its component pointer one more hop (pointer halving), which
+    * turns O(diameter) convergence into O(log diameter). Returns
+    * (id, comp) where comp = min node id in the component. Each round is
+    * two shuffle joins, with localCheckpoint truncating the growing
+    * lineage. Fails loudly if the iteration cap is hit — never returns a
+    * partially-converged labeling. At 100 TB you would checkpoint to
+    * durable storage and use the large-star/small-star variant to bound
+    * component fan-in.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .toDF("src", "dst")
+      .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
+      .cache()
+    var comp = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    val maxIter = 25
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(comp.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_min"))
+      val adopted = comp
+        .withColumnRenamed("comp", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("old"), coalesce(col("nbr_min"), col("old"))).as("comp"), col("old"))
+      // path compression: follow the component pointer one hop
+      // (comp := comp(comp)), halving pointer-chain depth every round
+      val ptr = adopted.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = adopted
+        .join(ptr, col("comp") === col("pid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"), col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("old")).count()
+      comp = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
+    comp
+  }
 
   /** 32-bit SimHash per document: per-bit majority vote over the 32-bit
     * md5-prefix hashes of the doc's shingles. Shared by q53 (fingerprint
