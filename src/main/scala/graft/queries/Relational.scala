@@ -641,6 +641,102 @@ object Relational {
                round(var_pop(l_tax), 4) AS var_tax
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
+    // ---------------------------------------------------------------- q77
+    // Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    // duplicate counts, unlike q13/q14's set forms. Planned as
+    // count-based generate/replicate, one shuffle each.
+    QueryDef(
+      "q77_multiset_ops",
+      (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val a = li.filter(col("l_quantity") < 10).select(col("l_returnflag"))
+        val b = li.filter(col("l_discount") > 0.05).select(col("l_returnflag"))
+        val ea = a.exceptAll(b).groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_except"))
+        val ia = a.intersectAll(b).groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_intersect"))
+        ea.join(ia, Seq("l_returnflag"), "full_outer")
+          .select(
+            col("l_returnflag"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"),
+            coalesce(col("n_intersect"), lit(0L)).as("n_intersect")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 10),
+             b AS (SELECT l_returnflag FROM lineitem WHERE l_discount > 0.05),
+             e AS (SELECT l_returnflag, count(*) AS n_except
+                   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+             i AS (SELECT l_returnflag, count(*) AS n_intersect
+                   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+             SELECT coalesce(e.l_returnflag, i.l_returnflag) AS l_returnflag,
+               coalesce(n_except, 0) AS n_except, coalesce(n_intersect, 0) AS n_intersect
+             FROM e FULL OUTER JOIN i ON e.l_returnflag = i.l_returnflag
+             ORDER BY l_returnflag""")
+    ),
+    // ---------------------------------------------------------------- q78
+    // UNPIVOT/melt: wide measure columns to long form — the shape
+    // transformation feeding generic per-metric pipelines. A narrow 1->3
+    // row explode, no shuffle until the aggregate.
+    QueryDef(
+      "q78_unpivot",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure",
+            "v"
+          )
+          .groupBy(col("l_returnflag"), col("measure"))
+          .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("measure")),
+      Some("""SELECT l_returnflag, measure, round(sum(v), 2) AS total, count(*) AS n FROM (
+               SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+               UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+               UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t
+             GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""")
+    ),
+    // ---------------------------------------------------------------- q79
+    // Time-series gap filling: per-user hourly spine via sequence() +
+    // explode, left join of observed counts, zero-fill — the dense-grid
+    // preparation step for downstream models. The spine generation is a
+    // narrow map off a tiny aggregate; the join shuffles on (user, hour).
+    QueryDef(
+      "q79_gap_fill",
+      (s, dir) => {
+        val e = Engine
+          .table(s, dir, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+        val spine = e
+          .groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val counts = e
+          .groupBy(col("user_id"), col("h"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        spine
+          .join(counts, Seq("user_id", "h"), "left")
+          .select(
+            col("user_id"),
+            col("h").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value")
+          )
+          .orderBy(col("user_id"), col("hour"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value
+               FROM events WHERE user_id < 30),
+             spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY user_id),
+             spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+               FROM spans),
+             c AS (SELECT user_id, h, count(*) AS n, round(sum(value), 2) AS sum_value
+               FROM e GROUP BY user_id, h)
+             SELECT spine.user_id, spine.h AS hour,
+               coalesce(c.n, 0) AS n, coalesce(c.sum_value, 0.0) AS sum_value
+             FROM spine LEFT JOIN c ON spine.user_id = c.user_id AND spine.h = c.h
+             ORDER BY spine.user_id, hour""")
+    ),
     // ---------------------------------------------------------------- q66
     // Band (non-equi range) join: bucket customers into balance tiers via
     // lo <= bal < hi against a tiny inline dimension. Broadcast makes the
