@@ -120,11 +120,14 @@ object MapReduceJob {
     // --- group stage: shuffle on group key, external sort by full line
     // (O2/O3/O5 collapse into Spark's sort-based shuffle)
     implicit val ord: Ordering[String] = utf8Ordering
-    // Parity mode reads `mapped` twice (rank pass + shuffle): cache it so
-    // the mapper executables run exactly once — rerunning them would both
-    // double the work and, for a non-deterministic mapper, emit keys
-    // absent from the rank map.
-    if (spec.parityPartitioning) mapped.cache()
+    // Parity mode reads `mapped` twice (rank pass + shuffle): persist it
+    // so the mapper executables run exactly once — rerunning them would
+    // both double the work and, for a non-deterministic mapper, emit
+    // keys absent from the rank map. MEMORY_AND_DISK, not cache(): a
+    // memory-only block evicted under pressure would be silently
+    // recomputed, breaking exactly that invariant.
+    if (spec.parityPartitioning)
+      mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partitioner: Partitioner =
       if (spec.parityPartitioning) {
         val ranks = mapped

@@ -94,13 +94,10 @@ object EventStreaming {
       // best-effort cleanup: tmpfs space is RAM
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files
-          .walk(ck)
-          .iterator()
-          .asScala
-          .toSeq
-          .reverse
+        val walk = java.nio.file.Files.walk(ck)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       } catch { case _: Throwable => () }
     }
     spark.table(name)

@@ -40,9 +40,14 @@ class RecoverySpec extends AnyFunSuite {
         .start()
 
     // run until at least one batch is committed, then stop mid-stream
+    def sinkHasOutput: Boolean = {
+      val ls = Files.list(Paths.get(out))
+      try ls.findFirst().isPresent
+      finally ls.close()
+    }
     val q1 = startQuery()
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while (!Files.list(Paths.get(out)).findFirst().isPresent && System.nanoTime() < deadline) {
+    while (!sinkHasOutput && System.nanoTime() < deadline) {
       Thread.sleep(100)
     }
     q1.stop()
