@@ -216,6 +216,84 @@ object EventOps {
           .orderBy(col("event_type")),
       None
     ),
+    // ---------------------------------------------------------------- q82
+    // Cohort retention: users bucketed by first-seen week, counted in
+    // each later activity week as an integer week offset. Two shuffles
+    // (per-user first-seen; cohort grid aggregation) — the standard
+    // retention-matrix shape. Both engines truncate weeks to ISO Monday.
+    QueryDef(
+      "q82_cohort_retention",
+      (s, dir) => {
+        val e = Engine
+          .table(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+        e.join(first, "user_id")
+          .withColumn(
+            "week_offset",
+            (datediff(col("wk").cast("date"), col("cohort_week").cast("date")) / 7)
+              .cast("long")
+          )
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+               FROM events),
+             f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+             SELECT f.cohort_week,
+               CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(e.wk AS DATE)) / 7 AS BIGINT)
+                 AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+             FROM e JOIN f USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+    // ---------------------------------------------------------------- q83
+    // Ordered funnel: view -> click (after the view) -> purchase (after
+    // the click), one stage table per step. Each step is a conditional
+    // min over a semi-joined subset — three small shuffles keyed on
+    // user_id, no window over the raw stream.
+    QueryDef(
+      "q83_funnel",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val e = Engine.table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val v = e
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_view"))
+        val c = e
+          .filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_click"))
+        val p = e
+          .filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_purchase"))
+        Seq(
+          ("1_view", v.count()),
+          ("2_click_after_view", c.count()),
+          ("3_purchase_after_click", p.count())
+        ).toDF("stage", "n_users").orderBy(col("stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
+             v AS (SELECT user_id, min(ts) AS t_view FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN v USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+             SELECT stage, n_users FROM (
+               SELECT '1_view' AS stage, count(*) AS n_users FROM v
+               UNION ALL SELECT '2_click_after_view', count(*) FROM c
+               UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+             ORDER BY stage""")
+    ),
     // ---------------------------------------------------------------- q34
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
     // both linear-interpolate at p*(n-1) over sorted values.

@@ -337,6 +337,52 @@ object TextOps {
                  t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE) / len(bg), 6) AS top_bigram_frac
              FROM b ORDER BY doc_id""")
     ),
+    // ---------------------------------------------------------------- q81
+    // TF-IDF: term frequency x inverse document frequency, top-3 terms
+    // per document. Two aggregations (term counts; document frequency)
+    // and a broadcast-size doc-count join — the classic text-relevance
+    // pipeline. Ranking is over the ROUNDED score (then term) so an
+    // engine-libm last-ulp difference in ln() can never flip ranks.
+    QueryDef(
+      "q81_tfidf",
+      (s, dir) => {
+        val tf = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), explode(toksExpr).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val nDocs = Engine.table(s, dir, "documents").count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("word"))
+        tf.join(dfreq, "word")
+          .withColumn(
+            "tfidf",
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4)
+          )
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("word"), col("tfidf"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH tok AS (
+               SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> length(x) > 0)) AS word
+               FROM documents),
+             tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+             dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+             n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             scored AS (
+               SELECT tf.doc_id, tf.word, tf.tf,
+                 round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+               FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+             r AS (SELECT doc_id, word, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+               FROM scored)
+             SELECT doc_id, word, tfidf, CAST(rk AS BIGINT) AS rk FROM r
+             WHERE rk <= 3 ORDER BY doc_id, rk""")
+    ),
     // ---------------------------------------------------------------- q65
     // Token frequency spectrum (Zipf check): for each occurrence count,
     // how many distinct tokens have it — two chained aggregations, both
