@@ -256,8 +256,6 @@ object EventOps {
     QueryDef(
       "q83_funnel",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
         val e = Engine.table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
         val v = e
           .filter(col("event_type") === "view")
@@ -275,11 +273,14 @@ object EventOps {
           .filter(col("ts") > col("t_click"))
           .groupBy(col("user_id"))
           .agg(min(col("ts")).as("t_purchase"))
-        Seq(
-          ("1_view", v.count()),
-          ("2_click_after_view", c.count()),
-          ("3_purchase_after_click", p.count())
-        ).toDF("stage", "n_users").orderBy(col("stage"))
+        // one lazy plan: union the stage membership tables and count —
+        // no driver-side actions, stays distributed at any scale
+        v.select(lit("1_view").as("stage"), col("user_id"))
+          .union(c.select(lit("2_click_after_view"), col("user_id")))
+          .union(p.select(lit("3_purchase_after_click"), col("user_id")))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
       },
       Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
              v AS (SELECT user_id, min(ts) AS t_view FROM e
