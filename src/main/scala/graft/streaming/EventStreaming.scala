@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the events table — additive to the
   * reference (which has no stream concepts, SURVEY §1.1), required of a
@@ -61,6 +61,45 @@ object EventStreaming {
           state.update(next)
           next
       }
+  }
+
+  final case class UserStats(user_id: Long, n_events: Long, max_value: Double)
+
+  /** transformWithState processor (the Spark 4 arbitrary-state API that
+    * supersedes mapGroupsWithState): typed ValueState per key, explicit
+    * TTL hooks, timer support. Here: running per-user count + max.
+    */
+  final class UserStatsProcessor extends StatefulProcessor[Long, (Long, Double), UserStats] {
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)](
+        "agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+      val (n, m) = rows.foldLeft(prev) { case ((c, mx), (_, v)) => (c + 1, math.max(mx, v)) }
+      st.update((n, m))
+      Iterator.single(UserStats(key, n, m))
+    }
+  }
+
+  /** Running per-user stats through transformWithState. Requires the
+    * RocksDB state store provider (the API is built on its column
+    * families); the caller sets that conf for the query's session.
+    */
+  def userStatsTws(spark: SparkSession, events: DataFrame): Dataset[UserStats] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Drive a streaming DataFrame to completion against a memory sink and

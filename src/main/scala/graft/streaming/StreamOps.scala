@@ -167,6 +167,38 @@ object StreamOps {
                AND b.event_type = 'click'
                AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
              ORDER BY p_id, c_id""")
+    ),
+    // ---------------------------------------------------------------- q96
+    // transformWithState — Spark 4's arbitrary-state API (typed
+    // ValueState, TTL, timers; successor of mapGroupsWithState), backed
+    // by the RocksDB state store. Running per-user count + max; update
+    // mode means the memory sink's last row per user is the final total,
+    // which is what the batch oracle expresses.
+    QueryDef(
+      "q96_stream_transform_with_state",
+      (s, dir) => {
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stream = EventStreaming.eventsStream(s, dir)
+          val name = sinkName("q96")
+          EventStreaming
+            .runToMemory(s, EventStreaming.userStatsTws(s, stream).toDF(), name,
+              OutputMode.Update())
+            .groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"), round(max(col("max_value")), 2).as("max_value"))
+            .orderBy(col("user_id"))
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
+             FROM events GROUP BY user_id ORDER BY user_id""")
     )
   )
 }
