@@ -737,6 +737,43 @@ object Relational {
              FROM spine LEFT JOIN c ON spine.user_id = c.user_id AND spine.h = c.h
              ORDER BY spine.user_id, hour""")
     ),
+    // ---------------------------------------------------------------- q97
+    // The SQL entry point: tables registered as temp views, the query
+    // expressed entirely in ANSI SQL through spark.sql — same Catalyst
+    // plan as the DataFrame form, proving the engine's SQL surface. The
+    // statement itself exercises CTEs, a join, a window and HAVING.
+    QueryDef(
+      "q97_sql_surface",
+      (s, dir) => {
+        Engine.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Engine.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH spend AS (
+            SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders_v GROUP BY o_custkey HAVING count(*) >= 3
+          ),
+          ranked AS (
+            SELECT c.c_mktsegment, s.o_custkey AS custkey, s.n_orders, s.total,
+                   CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                     ORDER BY s.total DESC, s.o_custkey) AS BIGINT) AS rk
+            FROM spend s JOIN customer_v c ON s.o_custkey = c.c_custkey
+          )
+          SELECT c_mktsegment, custkey, n_orders, total, rk FROM ranked
+          WHERE rk <= 5
+          ORDER BY c_mktsegment, rk
+        """)
+      },
+      Some("""WITH spend AS (
+               SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               FROM orders GROUP BY o_custkey HAVING count(*) >= 3),
+             r AS (
+               SELECT c.c_mktsegment, s.o_custkey AS custkey, s.n_orders, s.total,
+                 CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY s.total DESC, s.o_custkey) AS BIGINT) AS rk
+               FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+             SELECT c_mktsegment, custkey, n_orders, total, rk FROM r
+             WHERE rk <= 5 ORDER BY c_mktsegment, rk""")
+    ),
     // ---------------------------------------------------------------- q66
     // Band (non-equi range) join: bucket customers into balance tiers via
     // lo <= bal < hi against a tiny inline dimension. Broadcast makes the
