@@ -295,6 +295,126 @@ object EventOps {
                UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
              ORDER BY stage""")
     ),
+    // ---------------------------------------------------------------- q85
+    // Median-absolute-deviation outliers — the robust complement of q38's
+    // z-score: median and MAD are insensitive to the outliers they
+    // detect. Two aggregation passes (median; then MAD around it), then
+    // a counting pass — each a single shuffle on event_type.
+    QueryDef(
+      "q85_mad_outliers",
+      (s, dir) => {
+        val e = Engine.table(s, dir, "events")
+        val med = e
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = e
+          .join(med, "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            first(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad")
+          )
+        e.join(mad, "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            round(first(col("med")), 4).as("median"),
+            round(first(col("mad")), 4).as("mad"),
+            sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (
+               SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+             mad AS (
+               SELECT e.event_type, any_value(m.med) AS med,
+                 quantile_cont(abs(e.value - m.med), 0.5) AS mad
+               FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+             SELECT e.event_type, round(any_value(mad.med), 4) AS median,
+               round(any_value(mad.mad), 4) AS mad,
+               CAST(sum(CASE WHEN abs(e.value - mad.med) > mad.mad * 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+             FROM events e JOIN mad USING (event_type)
+             GROUP BY e.event_type ORDER BY e.event_type""")
+    ),
+    // ---------------------------------------------------------------- q86
+    // Fixed-width histogram: global min/max drive 10 equal buckets via
+    // exact integer arithmetic on floor(); the two-pass shape (bounds,
+    // then bucket counts) is one tiny aggregate + one shuffle.
+    QueryDef(
+      "q86_histogram",
+      (s, dir) => {
+        val e = Engine.table(s, dir, "events")
+        val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        e.crossJoin(broadcast(bounds))
+          .withColumn(
+            "bucket",
+            least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9.0))
+              .cast("long")
+          )
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), round(min(col("value")), 4).as("bucket_min"),
+            round(max(col("value")), 4).as("bucket_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+             SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10)), 9.0) AS BIGINT) AS bucket,
+               count(*) AS n, round(min(value), 4) AS bucket_min, round(max(value), 4) AS bucket_max
+             FROM events CROSS JOIN b
+             GROUP BY 1 ORDER BY bucket""")
+    ),
+    // ---------------------------------------------------------------- q87
+    // arg-max/arg-min aggregation: the row attribute AT the group
+    // extremum. Values tie (they are cent-rounded), and neither engine
+    // defines max_by tie-breaking, so the ordering key is a composite
+    // encoded into one BIGINT — cents * 1e10 + event_id — unique per row
+    // and identically ordered in both engines.
+    QueryDef(
+      "q87_argmax",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .withColumn(
+            "ord",
+            expr("cast(round(value * 100) as bigint) * 10000000000L + event_id")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            expr("max_by(event_id, ord)").as("top_event"),
+            expr("min_by(event_id, ord)").as("bottom_event"),
+            round(max(col("value")), 4).as("max_value")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+               arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id)
+                 AS top_event,
+               arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id)
+                 AS bottom_event,
+               round(max(value), 4) AS max_value
+             FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    // ---------------------------------------------------------------- q88
+    // Boolean/conditional aggregates: count_if, bool_and, bool_or —
+    // single-pass combinable predicates per group.
+    QueryDef(
+      "q88_bool_aggs",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            expr("count_if(value > 50)").as("n_high"),
+            expr("bool_and(value >= 0)").as("all_nonneg"),
+            expr("bool_or(value > 99)").as("any_extreme")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+               count(*) FILTER (value > 50) AS n_high,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 99) AS any_extreme
+             FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
     // ---------------------------------------------------------------- q34
     // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
     // both linear-interpolate at p*(n-1) over sorted values.
