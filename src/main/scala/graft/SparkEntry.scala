@@ -26,9 +26,12 @@ object SparkEntry {
       mr.PipeOps.entries ++
       streaming.StreamOps.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q99: the end-to-end corpus curation pipeline (quality gate + exact
+    * dedup + MinHash-LSH near-dedup + embedding near-dedup in one plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    _root_.graft.queries.Relational.entries.head.run(spark, "/root/testdata/sf0.001")
+    queries("q99_curate")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -331,6 +331,71 @@ object DedupOps {
              SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
              FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""")
     ),
+    // ---------------------------------------------------------------- q99
+    // The flagship end-to-end curation pipeline — what a training-data
+    // user actually runs: quality gate (length + lexical diversity),
+    // exact dedup (keep lowest id per content hash), MinHash-LSH near-dup
+    // removal, and embedding-cosine near-dup removal over the paired
+    // embeddings table, in one declarative plan. Each stage contributes
+    // a keep/drop set; semi/anti joins intersect them. At 100 TB every
+    // stage keeps its shape: narrow maps for scoring, bucket-key shuffles
+    // for LSH, label-blocked (or ANN-bucketed) pairs for embeddings.
+    QueryDef(
+      "q99_curate",
+      (s, dir) => {
+        val docs = Engine.table(s, dir, "documents")
+        val quality = docs
+          .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+          // integer-only predicates: diversity >= 0.5 as 2*distinct >= n
+          .filter(size(col("toks")) >= 20 &&
+            size(array_distinct(col("toks"))) * 2 >= size(col("toks")))
+          .select(col("doc_id"))
+        val exactKeep = docs
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val nearDrop = minhashPairs(s, dir).select(col("id_b")).distinct()
+        val e = Engine
+          .table(s, dir, "embeddings")
+          .repartition(col("vec_id"))
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+          .withColumn("n2", graft.functions.VectorOps.norm2(col("e")))
+        val embDrop = e
+          .as("a")
+          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .filter(
+            round(graft.functions.VectorOps.dot(col("a.e"), col("b.e")) /
+              sqrt(col("a.n2") * col("b.n2")), 6) >= 0.45)
+          .select(col("b.vec_id").as("id_b"))
+          .distinct()
+        docs
+          .join(quality, Seq("doc_id"), "left_semi")
+          .join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(nearDrop, docs("doc_id") === nearDrop("id_b"), "left_anti")
+          .join(embDrop, docs("doc_id") === embDrop("id_b"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$minhashPairsSql,
+             q AS (SELECT doc_id FROM t
+               WHERE len(toks) >= 20 AND 2 * len(list_distinct(toks)) >= len(toks)),
+             ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             temb AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+               FROM embeddings),
+             embp AS (SELECT b.vec_id AS id_b FROM temb a JOIN temb b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE round(list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
+                     / sqrt(a.n2 * b.n2), 6) >= 0.45)
+             SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+             FROM documents d
+             WHERE d.doc_id IN (SELECT doc_id FROM q)
+               AND d.doc_id IN (SELECT doc_id FROM ek)
+               AND NOT EXISTS (SELECT 1 FROM v WHERE v.id_b = d.doc_id)
+               AND d.doc_id NOT IN (SELECT id_b FROM embp)
+             ORDER BY d.doc_id""")
+    ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
     // small Hamming distance. Per-doc fingerprints (pairs = q74).
