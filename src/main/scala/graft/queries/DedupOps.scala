@@ -355,19 +355,8 @@ object DedupOps {
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
         val nearDrop = minhashPairs(s, dir).select(col("id_b")).distinct()
-        val e = Engine
-          .table(s, dir, "embeddings")
-          .repartition(col("vec_id"))
-          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-          .withColumn("n2", graft.functions.VectorOps.norm2(col("e")))
-        val embDrop = e
-          .as("a")
-          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .filter(
-            round(graft.functions.VectorOps.dot(col("a.e"), col("b.e")) /
-              sqrt(col("a.n2") * col("b.n2")), 6) >= 0.45)
-          .select(col("b.vec_id").as("id_b"))
-          .distinct()
+        // same drop set (and threshold) as q57 — single source of truth
+        val embDrop = SimilarityOps.embDropIds(s, dir)
         docs
           .join(quality, Seq("doc_id"), "left_semi")
           .join(exactKeep, Seq("doc_id"), "left_semi")

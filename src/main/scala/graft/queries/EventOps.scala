@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, QueryDef}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -273,13 +274,15 @@ object EventOps {
           .filter(col("ts") > col("t_click"))
           .groupBy(col("user_id"))
           .agg(min(col("ts")).as("t_purchase"))
-        // one lazy plan: union the stage membership tables and count —
-        // no driver-side actions, stays distributed at any scale
-        v.select(lit("1_view").as("stage"), col("user_id"))
-          .union(c.select(lit("2_click_after_view"), col("user_id")))
-          .union(p.select(lit("3_purchase_after_click"), col("user_id")))
-          .groupBy(col("stage"))
-          .agg(count(lit(1)).as("n_users"))
+        // one lazy plan: union the per-stage GLOBAL aggregates (a global
+        // agg over an empty stage still yields one row with 0, matching
+        // the oracle's UNION ALL of counts — a groupBy would silently
+        // drop an empty stage). No driver-side actions.
+        def stageCount(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        stageCount("1_view", v)
+          .union(stageCount("2_click_after_view", c))
+          .union(stageCount("3_purchase_after_click", p))
           .orderBy(col("stage"))
       },
       Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),

@@ -51,6 +51,23 @@ object SimilarityOps {
   private def cosCol(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / sqrt(n2a * n2b)
 
+  /** The drop set of embedding-cosine near-dup dedup: the higher-id
+    * member of every within-label pair whose 6-decimal-rounded cosine
+    * clears `threshold` (greedy keep-lowest). Single source of the
+    * dedup threshold — shared by q57 and the q99 curation pipeline.
+    */
+  private[queries] def embDropIds(
+      s: SparkSession,
+      dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val e = emb(s, dir)
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosCol(col("a.e"), col("b.e"), col("a.n2"), col("b.n2")), 6) >= threshold)
+      .select(col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q54
     // Embedding near-dup pairs within label blocks: top-100 by cosine.
@@ -202,12 +219,7 @@ object SimilarityOps {
       "q57_embedding_dedup",
       (s, dir) => {
         val e = emb(s, dir)
-        val dups = e
-          .as("a")
-          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .filter(round(cosCol(col("a.e"), col("b.e"), col("a.n2"), col("b.n2")), 6) >= 0.45)
-          .select(col("b.vec_id").as("id_b"))
-          .distinct()
+        val dups = embDropIds(s, dir)
         e.join(dups, e("vec_id") === dups("id_b"), "left_anti")
           .select(col("vec_id"), col("label"))
           .orderBy(col("vec_id"))

@@ -352,14 +352,19 @@ object TextOps {
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val nDocs = Engine.table(s, dir, "documents").count()
+        // doc count as a broadcast 1-row aggregate inside the SAME plan —
+        // no driver-side action (mirrors the oracle's CROSS JOIN n)
+        val n = Engine
+          .table(s, dir, "documents")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("word"))
         tf.join(dfreq, "word")
+          .crossJoin(broadcast(n))
           .withColumn(
             "tfidf",
-            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4)
+            round(col("tf") * log(col("n_docs") / col("df")), 4)
           )
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
