@@ -46,13 +46,24 @@ object Bench {
         catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // The driver captures only the LAST ~2000 chars of stdout, so the JSON
+    // line must stay compact: short keys (the qNN prefix — unique across the
+    // registry) and 3-decimal seconds. Full names go to a human-readable
+    // report printed BEFORE the JSON line.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    results.foreach { case (k, v, ok) =>
+      println(s"BENCH ${k.padTo(32, ' ')} ${if (ok) fmt(v) + " s" else "ERROR"}")
+    }
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + short(k) + "\":" + (if (ok) fmt(v) else "-1")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
