@@ -22,6 +22,7 @@ object SparkEntry {
       _root_.graft.queries.TextOps.entries ++
       _root_.graft.queries.EventOps.entries ++
       _root_.graft.queries.DedupOps.entries ++
+      _root_.graft.queries.CurationOps.entries ++
       _root_.graft.queries.SimilarityOps.entries ++
       mr.PipeOps.entries ++
       streaming.StreamOps.entries

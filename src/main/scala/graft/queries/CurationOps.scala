@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingestion and tokenization: benchmark decontamination,
+  * temperature-style source re-sampling, PII redaction, sliding-window
+  * chunking, and token-budget selection. Additive to the reference
+  * (whose surface is the generic pipe MapReduce, SURVEY §2.3) — these are
+  * the north-star extensions the engine exists for.
+  *
+  * Tokenizer contract matches TextOps: lower(text) split on
+  * '[^a-z0-9]+', empty tokens dropped.
+  *
+  * Scale notes (100 TB): q64 broadcasts the benchmark shingle set (a
+  * benchmark suite is MBs vs a TB-scale corpus) so decontamination is a
+  * narrow map + broadcast-hash semi-join — no shuffle of the corpus. q69
+  * and q73 are a single window / pure narrow map. q84 chunking is a
+  * narrow flatMap (explode) — no shuffle. q89 is an exact global prefix
+  * sum implemented as range-repartition + per-partition cumsum + tiny
+  * offset join, never a single-partition global window.
+  */
+object CurationOps {
+
+  private def toksExpr =
+    expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
+
+  /** word 5-gram shingles (distinct), the decontamination unit. */
+  private def withShingles5(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("toks", toksExpr)
+      .filter(size(col("toks")) >= 5)
+      .withColumn(
+        "sg",
+        array_distinct(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat(" +
+            "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
+            "' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
+        ))
+      )
+
+  private val shingles5Sql =
+    """WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sg
+      FROM t WHERE len(toks) >= 5)"""
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- q64
+    // Benchmark decontamination: training docs sharing a word-5-gram with
+    // the held-out benchmark set (here: source 'src0') are flagged with
+    // their distinct-overlap count. The benchmark side is broadcast —
+    // at 100 TB the corpus never shuffles; contamination detection rides
+    // the scan as a broadcast semi-join (the standard 13-gram
+    // decontamination shape, n lowered to 5 for the synthetic corpus).
+    QueryDef(
+      "q64_decontaminate",
+      (s, dir) => {
+        val sh = withShingles5(Engine.table(s, dir, "documents"))
+        val bench = sh
+          .filter(col("source") === "src0")
+          .select(explode(col("sg")).as("sg"))
+          .distinct()
+        val train = sh
+          .filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("sg")).as("sg"))
+        train
+          .join(broadcast(bench), "sg")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sg")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$shingles5Sql,
+             bench AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE source = 'src0'),
+             train AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE source <> 'src0')
+             SELECT doc_id, count(DISTINCT s) AS n_hits
+             FROM train JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q69
+    // Temperature-style source re-sampling: keep ceil(sqrt(n)) docs per
+    // source (alpha=0.5 flattening — large sources are downsampled hard,
+    // small ones kept whole-ish), selecting deterministically by a keyed
+    // hash so the sample is stable across runs and engines. One window
+    // over the source partitioning — a single shuffle at any scale.
+    QueryDef(
+      "q69_temperature_sample",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("smpl|"), col("doc_id").cast("string"))), col("doc_id"))
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .filter(col("rn") <= ceil(sqrt(col("ns").cast("double"))))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+               SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('smpl|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS ns
+               FROM documents)
+             SELECT doc_id, source FROM r
+             WHERE rn <= CAST(ceil(sqrt(ns)) AS BIGINT) ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q73
+    // PII redaction: emails and phone numbers replaced with typed tags,
+    // with per-doc match counts. The corpus has no organic PII, so each
+    // doc is suffixed with a synthetic contact line derived from its id —
+    // the redaction itself (regex scan + replace over the full text) is
+    // real and verified by hashing the redacted output. Pure narrow map:
+    // codegen'd regexp over the scan, no shuffle at any scale.
+    QueryDef(
+      "q73_pii_scrub",
+      (s, dir) => {
+        val pii = concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        )
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("pii", pii)
+          .select(
+            col("doc_id"),
+            regexp_count(col("pii"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("pii"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(
+              regexp_replace(
+                regexp_replace(col("pii"), emailRe, "<EMAIL>"),
+                phoneRe,
+                "<PHONE>"
+              )
+            ).as("redacted_md5")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+               SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '$emailRe')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(pii, '$phoneRe')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(pii, '$emailRe', '<EMAIL>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+             FROM p ORDER BY doc_id""")
+    ),
+    // ---------------------------------------------------------------- q84
+    // Sliding-window chunking for tokenization: 32-token chunks with
+    // stride 24 (8-token overlap), the map from documents to training
+    // sequences. Narrow flatMap — rows multiply ~n/24x but nothing
+    // shuffles; at 100 TB this is the classic pre-tokenization explode
+    // and its cost is pure scan + write.
+    QueryDef(
+      "q84_chunk",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .filter(size(col("toks")) >= 1)
+          .select(
+            col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, cast((size(toks) - 1) div 24 as int)), " +
+                "i -> slice(toks, i * 24 + 1, 32))"
+            ))
+          )
+          .select(
+            col("doc_id"),
+            col("pos").cast("long").as("chunk_id"),
+            size(col("col")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("col"))).as("chunk_md5")
+          )
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+               FROM documents),
+             c AS (
+               SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 24)) AS i, toks
+               FROM t WHERE len(toks) >= 1)
+             SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS chunk_md5
+             FROM c ORDER BY doc_id, chunk_id""")
+    ),
+    // ---------------------------------------------------------------- q89
+    // Token-budget selection: rank docs by lexical richness (distinct
+    // token count) and keep the prefix whose cumulative token count fits
+    // a 10k budget. The running sum is an EXACT distributed prefix sum:
+    // range-repartition on the rank key, per-partition cumsum (window
+    // keyed on spark_partition_id, so it never globalizes), then each
+    // partition adds the summed total of the partitions before it — the
+    // offset table is one row per partition, broadcast back. A naive
+    // Window.orderBy(...) with no partitioning would pull 100 TB through
+    // one task; this shape never does.
+    QueryDef(
+      "q89_token_budget",
+      (s, dir) => {
+        val st = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("nd")
+          )
+        val ranged = st
+          .repartitionByRange(32, col("nd").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window
+          .partitionBy(col("pid"))
+          .orderBy(col("nd").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = ranged.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+        // per-partition totals: one row per partition — the window over
+        // pid sorts ~32 rows, not the data
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local
+          .groupBy(col("pid"))
+          .agg(sum(col("n_tokens")).as("pt"))
+          .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+          .select(col("pid"), col("off"))
+        local
+          .join(broadcast(offsets), "pid")
+          .withColumn("cum_tokens", col("local_cum") + col("off"))
+          .filter(col("cum_tokens") <= 10000L)
+          .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+               FROM documents),
+             st AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd FROM t),
+             c AS (
+               SELECT doc_id, nt,
+                 sum(nt) OVER (ORDER BY nd DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM st)
+             SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+             FROM c WHERE cum <= 10000 ORDER BY doc_id""")
+    )
+  )
+}

@@ -253,6 +253,101 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 decontamination flags only non-benchmark docs, with positive hit counts") {
+    val hits = graft.SparkEntry.queries("q64_decontaminate")(spark, dir).collect()
+    assert(hits.nonEmpty)
+    val benchIds = graft.Engine
+      .table(spark, dir, "documents")
+      .filter(col("source") === "src0")
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    hits.foreach { r =>
+      assert(!benchIds.contains(r.getAs[Long]("doc_id")), "benchmark doc flagged as train")
+      assert(r.getAs[Long]("n_hits") > 0)
+    }
+  }
+
+  test("q69 temperature sampling keeps exactly ceil(sqrt(n)) docs per source") {
+    val kept = graft.SparkEntry
+      .queries("q69_temperature_sample")(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("k"))
+      .toMap
+    val sizes = graft.Engine
+      .table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n"))
+      .toMap
+    assert(kept.keySet == sizes.keySet)
+    sizes.foreach { case (src, n) =>
+      assert(kept(src) == math.ceil(math.sqrt(n.toDouble)).toLong, s"source $src")
+    }
+  }
+
+  test("q73 PII scrub finds the planted email and phone in every doc") {
+    val rows = graft.SparkEntry.queries("q73_pii_scrub")(spark, dir).collect()
+    val nDocs = graft.Engine.table(spark, dir, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1, s"doc ${r.getAs[Long]("doc_id")} missed email")
+      assert(r.getAs[Long]("n_phones") >= 1, s"doc ${r.getAs[Long]("doc_id")} missed phone")
+    }
+  }
+
+  test("q84 chunks cover every token with stride-24 overlap") {
+    val chunks = graft.SparkEntry.queries("q84_chunk")(spark, dir).collect()
+    val docToks = graft.Engine
+      .table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")).cast("long").as("nt")
+      )
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nt"))
+      .toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, cs) =>
+      val nt = docToks(id)
+      // one chunk per stride start: floor((nt-1)/24)+1
+      assert(cs.length == ((nt - 1) / 24 + 1).toInt, s"doc $id chunk count")
+      assert(cs.forall(c => c.getAs[Long]("n_tokens") >= 1 && c.getAs[Long]("n_tokens") <= 32))
+      // all tokens covered: sum of chunk sizes == nt + 8 * (chunks - 1) overlap,
+      // except the tail chunk may be shorter than the 8-token overlap implies
+      val covered = cs.map(_.getAs[Long]("n_tokens")).sum
+      assert(covered >= nt, s"doc $id tokens uncovered")
+    }
+  }
+
+  test("q89 distributed prefix sum equals the naive single-node cumulative sum") {
+    val got = graft.SparkEntry
+      .queries("q89_token_budget")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+      .toMap
+    // naive recompute on the driver
+    val st = graft.Engine
+      .table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")).cast("long").as("nt"),
+        size(array_distinct(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")))
+          .cast("long").as("nd")
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nt"), r.getAs[Long]("nd")))
+      .sortBy { case (id, _, nd) => (-nd, id) }
+    var cum = 0L
+    val expected = st.flatMap { case (id, nt, _) =>
+      cum += nt
+      if (cum <= 10000L) Some(id -> cum) else None
+    }.toMap
+    assert(got == expected)
+  }
+
   test("q26 grouping sets: grand total row equals table count") {
     val df = graft.SparkEntry.queries("q26_grouping_sets")(spark, dir)
     val grand = df.filter(col("gid") === 3).collect()
