@@ -71,4 +71,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // two window specs (date-ordered, price-ordered) -> at most two sorts
     assert("Window".r.findAllIn(p).size <= 3, p.take(1500))
   }
+
+  test("q64: the benchmark shingle set is broadcast — the corpus side never shuffles pre-join") {
+    val p = plan("q64_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q89: the prefix sum never plans a global single-partition window over the data") {
+    val p = plan("q89_token_budget")
+    // the data-bearing windows are keyed on pid; the only unkeyed window
+    // runs over the ~32-row per-partition offset table, behind its own
+    // aggregation, and the offset table is broadcast back
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
