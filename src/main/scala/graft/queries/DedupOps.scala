@@ -385,6 +385,65 @@ object DedupOps {
                AND d.doc_id NOT IN (SELECT id_b FROM embp)
              ORDER BY d.doc_id""")
     ),
+    // --------------------------------------------------------------- q100
+    // Passage-level exact dedup (the RefinedWeb/CCNet shape): tile each
+    // doc into consecutive 10-token passages, hash each tile, and report
+    // per doc how many of its distinct tiles also occur in ANOTHER doc.
+    // Catches partial duplication (shared boilerplate, quoted passages)
+    // that whole-doc hashing misses. Scale shape: narrow map to tiles,
+    // ONE shuffle on the tile hash to count distinct docs per tile, then
+    // a re-join of tile->dup-flag back to docs — at 100 TB this is scan +
+    // two hash shuffles, no quadratic step anywhere.
+    QueryDef(
+      "q100_passage_dedup",
+      (s, dir) => {
+        val tiles = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+          .filter(size(col("toks")) >= 10)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(toks) div 10 - 1), " +
+                "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))"
+            )).as("tile")
+          )
+          .distinct() // per-doc distinct tiles
+        val dupTiles = tiles
+          .groupBy(col("tile"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("tile"))
+        tiles
+          .join(dupTiles.withColumn("is_dup", lit(1L)), Seq("tile"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tiles"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_tiles")
+          )
+          .withColumn(
+            "dup_frac",
+            round(col("n_dup_tiles").cast("double") / col("n_tiles"), 6)
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+               FROM documents),
+             tiles AS (
+               SELECT DISTINCT doc_id,
+                 md5(array_to_string(toks[i*10+1 : i*10+10], ' ')) AS tile
+               FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) // 10 - 1)) AS i
+                     FROM t WHERE len(toks) >= 10)),
+             dup AS (SELECT tile FROM tiles GROUP BY tile HAVING count(DISTINCT doc_id) >= 2)
+             SELECT t.doc_id, count(*) AS n_tiles,
+               sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_tiles,
+               round(CAST(sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+             FROM tiles t LEFT JOIN dup d USING (tile)
+             GROUP BY t.doc_id ORDER BY t.doc_id""")
+    ),
     // ---------------------------------------------------------------- q53
     // SimHash: 32-bit fingerprint from shingle hashes; near-dups have
     // small Hamming distance. Per-doc fingerprints (pairs = q74).

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ETL-shape operators: skew-safe salted joins and CDC-style snapshot
+  * diffing. Additive to the reference (SURVEY §2.3 — no joins at all);
+  * these are the shapes a 100 TB pipeline leans on when AQE's runtime
+  * skew handling isn't available (static plans, non-AQE engines) or when
+  * change capture must be computed from full snapshots.
+  */
+object EtlOps {
+
+  /** Inner equi-join with explicit key salting: the left (fact) side
+    * derives a deterministic salt in [0, buckets) from its full row key,
+    * the right (dimension) side is replicated `buckets` times, and the
+    * join key becomes (key, salt) — a hot key's rows land on `buckets`
+    * shuffle partitions instead of one. Semantically identical to
+    * left.join(right, key): every left row matches exactly its one
+    * replica of the right row. Use when one key holds a double-digit
+    * percentage of the fact table; costs a `buckets`x blowup of the
+    * (small) right side.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      saltSource: Column,
+      buckets: Int
+  ): DataFrame = {
+    val l = left.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+    val r = right.withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
+    l.join(r, leftKey === rightKey && l("_salt") === r("_salt")).drop("_salt")
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+    // --------------------------------------------------------------- q102
+    // Salted fact-dim join: lineitem x orders on the order key with an
+    // 8-way salt, aggregated to revenue per order priority. The oracle is
+    // the PLAIN join — proving the salted plan is semantics-preserving.
+    // (Here orderkey is uniform; the point is the reusable shape + the
+    // equivalence guarantee, pinned against the unsalted oracle.)
+    QueryDef(
+      "q102_salted_join",
+      (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val ord = Engine.table(s, dir, "orders")
+        saltedJoin(
+          li,
+          ord,
+          col("l_orderkey"),
+          col("o_orderkey"),
+          // salt from the fact row's full natural key: independent of the
+          // join key's skew, stable across runs/engines
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          buckets = 8
+        )
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    // --------------------------------------------------------------- q107
+    // Snapshot diff (CDC from full snapshots): given yesterday's orders
+    // and today's (derived deterministically: keys % 7 = 0 deleted,
+    // % 10 = 0 repriced by +1.0, % 13 = 0 re-inserted under a new key
+    // range), emit the change set as (key, change_type). One full outer
+    // join on the key — at 100 TB this is a single co-partitioned
+    // shuffle (or zero shuffles if both snapshots are bucketed on the
+    // key), and the +1.0 update marker compares doubles exactly (adding
+    // 1.0 is exact in IEEE754 for these magnitudes).
+    QueryDef(
+      "q107_snapshot_diff",
+      (s, dir) => {
+        val old = Engine
+          .table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val neu = old
+          .filter(col("k") % 7 =!= 0)
+          .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
+          .union(
+            old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p"))
+          )
+        old
+          .as("o")
+          .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+          .select(
+            coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
+            when(col("o.k").isNull, "insert")
+              .when(col("n.k").isNull, "delete")
+              .when(col("o.p") =!= col("n.p"), "update")
+              .otherwise("unchanged")
+              .as("change_type")
+          )
+          .filter(col("change_type") =!= "unchanged")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+             neu AS (
+               SELECT k, CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p
+               FROM old WHERE k % 7 <> 0
+               UNION ALL
+               SELECT k + 10000000, p FROM old WHERE k % 13 = 0),
+             d AS (
+               SELECT coalesce(o.k, n.k) AS o_orderkey,
+                 CASE WHEN o.k IS NULL THEN 'insert'
+                      WHEN n.k IS NULL THEN 'delete'
+                      WHEN o.p <> n.p THEN 'update'
+                      ELSE 'unchanged' END AS change_type
+               FROM old o FULL OUTER JOIN neu n ON o.k = n.k)
+             SELECT o_orderkey, change_type FROM d
+             WHERE change_type <> 'unchanged' ORDER BY o_orderkey""")
+    )
+  )
+}

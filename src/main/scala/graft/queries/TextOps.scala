@@ -482,6 +482,52 @@ object TextOps {
              SELECT doc_id, frame_idx,
                sha256(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_sha
              FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")
+    ),
+    // --------------------------------------------------------------- q103
+    // Exact heavy hitters in two passes — the at-scale recipe for "which
+    // tokens exceed 1/30 of a language's volume" when the token domain is
+    // too large to fully count cheaply: pass 1 runs the Misra-Gries
+    // sketch (functions.MisraGries, O(k) state per lang, mergeable
+    // partials) to get a candidate superset — every token above n/(k+1)
+    // is guaranteed present, and k=64 >> 30 covers the 1/30 threshold;
+    // pass 2 exactly recounts ONLY the candidates (semi join) and filters
+    // count * 30 > n. Results are exact, so the oracle is the plain
+    // GROUP BY ... HAVING the sketch avoids materializing in full.
+    QueryDef(
+      "q103_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), explode(toksExpr).as("word"))
+        val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+        val mg = new _root_.graft.functions.MisraGries(64)
+        val cands = toks
+          .as[(String, String)]
+          .groupByKey(_._1)
+          .agg(mg.toColumn.name("cands"))
+          .toDF("lang", "cands")
+          .select(col("lang"), explode(col("cands")).as("word"))
+        toks
+          .join(cands, Seq("lang", "word"), "left_semi")
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("n"))
+          .join(totals, "lang")
+          .filter(col("n") * 30 > col("total"))
+          .select(col("lang"), col("word"), col("n"))
+          .orderBy(col("lang"), col("word"))
+      },
+      Some("""WITH t AS (
+               SELECT lang,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS word
+               FROM documents),
+             n AS (SELECT lang, count(*) AS total FROM t GROUP BY lang)
+             SELECT t.lang, t.word, count(*) AS n
+             FROM t JOIN n USING (lang)
+             GROUP BY t.lang, t.word, n.total
+             HAVING count(*) * 30 > n.total
+             ORDER BY lang, word""")
     )
   )
 }

@@ -199,6 +199,67 @@ object StreamOps {
       },
       Some("""SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
              FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+    // --------------------------------------------------------------- q105
+    // Stream-stream LEFT OUTER interval join: purchases with their
+    // attributing click if one exists, else a -1 marker. Outer (null)
+    // results emit only once the watermark proves no match can arrive —
+    // purchases newer than (max ts - watermark - interval) are still held
+    // in state when the replay ends, so the query (and the oracle,
+    // identically) bounds itself to purchases old enough that their
+    // outer result is guaranteed emitted: p_ts < max(ts) - 190 min
+    // (2 h watermark + 1 h interval + slack off the eviction boundary).
+    QueryDef(
+      "q105_stream_left_outer",
+      (s, dir) => {
+        // the replay's end-of-stream watermark: the query-global
+        // watermark is the MIN across both watermarked inputs, i.e.
+        // min(max click ts, max purchase ts) - 2h — computed up front
+        // from a batch read of the same table the stream replays
+        val maxTs = graft.Engine
+          .table(s, dir, "events")
+          .agg(
+            least(
+              max(when(col("event_type") === "click", col("ts"))),
+              max(when(col("event_type") === "purchase", col("ts")))
+            )
+          )
+          .head()
+          .getTimestamp(0)
+        val ev = EventStreaming.eventsStream(s, dir)
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"),
+            "left_outer"
+          )
+          .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"), col("user_id"), col("p_ts"))
+        EventStreaming
+          .runToMemory(s, joined, sinkName("q105"), OutputMode.Append())
+          .filter(col("p_ts") < lit(maxTs) - expr("INTERVAL 190 MINUTES"))
+          .select(col("p_id"), col("c_id"), col("user_id"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      Some("""WITH m AS (SELECT least(
+               max(ts) FILTER (event_type = 'click'),
+               max(ts) FILTER (event_type = 'purchase')) AS mx FROM events)
+             SELECT a.event_id AS p_id, coalesce(b.event_id, -1) AS c_id, a.user_id
+             FROM events a LEFT JOIN events b
+               ON a.user_id = b.user_id AND b.event_type = 'click'
+               AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+             WHERE a.event_type = 'purchase'
+               AND a.ts < (SELECT mx FROM m) - INTERVAL 190 MINUTE
+             ORDER BY p_id, c_id""")
     )
   )
 }

@@ -348,6 +348,79 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q100 passage dedup: fractions well-formed; exact whole-doc dups fully flagged") {
+    val rows = graft.SparkEntry.queries("q100_passage_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nd) = (r.getAs[Long]("n_tiles"), r.getAs[Long]("n_dup_tiles"))
+      assert(nt >= 1 && nd >= 0 && nd <= nt)
+      assert(math.abs(r.getAs[Double]("dup_frac") - math.round(nd.toDouble / nt * 1e6) / 1e6) < 1e-9)
+    }
+    val frac = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    // docs whose full text appears in >= 2 docs must be fully tiled-duplicated
+    // (none exist at the tiniest SF — the property is vacuous there)
+    graft.Engine
+      .table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .filter(frac.contains)
+      .foreach(id => assert(frac(id) == 1.0, s"exact-dup doc $id has dup_frac ${frac(id)}"))
+  }
+
+  test("q101 pagerank: mass is conserved (sum == node count) and floor respected") {
+    val pr = graft.SparkEntry.queries("q101_pagerank")(spark, dir).collect()
+    assert(pr.nonEmpty)
+    pr.foreach(r => assert(r.getAs[Double]("pagerank") >= 0.15))
+    // each round maps sum -> 0.15*N + 0.85*sum; init sum = N is the fixed point
+    val total = pr.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(total - pr.length) < 0.01 * pr.length, s"sum $total vs N ${pr.length}")
+  }
+
+  test("q102 salted join equals the plain unsalted join") {
+    val salted = graft.SparkEntry.queries("q102_salted_join")(spark, dir).collect()
+    val plain = graft.Engine
+      .table(spark, dir, "lineitem")
+      .join(
+        graft.Engine.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s2, p) =>
+      assert(s2.getAs[String]("o_orderpriority") == p.getAs[String]("o_orderpriority"))
+      assert(s2.getAs[Long]("n_items") == p.getAs[Long]("n_items"))
+      assert(math.abs(s2.getAs[Double]("revenue") - p.getAs[Double]("revenue")) < 0.02)
+    }
+  }
+
+  test("q107 snapshot diff: change counts match the synthetic mutation rules") {
+    val diff = graft.SparkEntry
+      .queries("q107_snapshot_diff")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[String]("change_type"))
+      .view
+      .mapValues(_.length)
+      .toMap
+    val keys = graft.Engine
+      .table(spark, dir, "orders")
+      .select(col("o_orderkey"))
+      .collect()
+      .map(_.getLong(0))
+    assert(diff("delete") == keys.count(_ % 7 == 0))
+    assert(diff("insert") == keys.count(_ % 13 == 0))
+    assert(diff("update") == keys.count(k => k % 10 == 0 && k % 7 != 0))
+  }
+
   test("q26 grouping sets: grand total row equals table count") {
     val df = graft.SparkEntry.queries("q26_grouping_sets")(spark, dir)
     val grand = df.filter(col("gid") === 3).collect()
