@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout maintenance operators: small-file compaction and
+  * multi-dimensional (Z-order) clustering. The reference's layout story
+  * is "one text file per reducer" (SURVEY §1.3); a 100 TB lakehouse
+  * needs the two jobs every table-maintenance service runs instead:
+  *
+  *  - compact: N small files -> K range-clustered files. Small files
+  *    kill scan throughput (footer/open overhead per file, tiny row
+  *    groups kill vectorized reads) and overload the driver's split
+  *    planning. Range-repartitioning by a cluster key gives each output
+  *    file a DISJOINT key range, so min/max file+row-group stats prune
+  *    point/range scans down to one file (data skipping).
+  *
+  *  - zorderValue: bit-interleaved composite key. Linear clustering
+  *    sorts one dimension perfectly and scatters the rest; Z-ordering
+  *    keeps BOTH dimensions locally dense, so a 2-D box predicate
+  *    prunes most files on either column's stats.
+  *
+  * Both are pure DataFrame transforms + writes — no custom physical
+  * nodes needed; Spark's range partitioner + parquet stats do the work.
+  */
+object Layout {
+
+  /** Rewrite `in` as ~`targetFiles` parquet files range-clustered and
+    * sorted by `clusterCols` (lexicographic). Returns the compacted read
+    * back. One full shuffle — at 100 TB you compact incrementally per
+    * partition, same shape per partition.
+    */
+  def compact(
+      spark: SparkSession,
+      in: DataFrame,
+      outDir: String,
+      targetFiles: Int,
+      clusterCols: Column*
+  ): DataFrame = {
+    in.repartitionByRange(targetFiles, clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** Z-order value for two non-negative integer columns: the low `bits`
+    * bits of each are interleaved (a in even positions, b in odd).
+    * Values must fit in `bits` bits (caller scales/buckets first) —
+    * enforced with a runtime error rather than silent truncation, which
+    * would scramble the curve. Pure codegen'd builtins, no UDF.
+    */
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val cap = 1L << bits
+    val checked = (c: Column) =>
+      when(c >= 0 && c < cap, c.cast("long"))
+        .otherwise(raise_error(lit(s"zorderValue input out of [0, $cap)")))
+    val av = checked(a)
+    val bv = checked(b)
+    (0 until bits)
+      .map { i =>
+        val aBit = shiftleft(shiftright(av, i).bitwiseAND(1), 2 * i)
+        val bBit = shiftleft(shiftright(bv, i).bitwiseAND(1), 2 * i + 1)
+        aBit.bitwiseOR(bBit)
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+}
