@@ -255,6 +255,56 @@ object CurationOps {
                FROM st)
              SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
              FROM c WHERE cum <= 10000 ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q108
+    // Domain-mixture reweighting: given a target mixture (uniform across
+    // sources here), compute each source's token share and the sampling
+    // rate that hits the target: rate = min(1, target_tokens / actual).
+    // The bookkeeping step of DoReMi-style mixture tuning. Two tiny
+    // aggregations — per-source totals and a grand total joined back by
+    // broadcast (a cross join of one row); nothing scales with corpus
+    // size except the first scan.
+    QueryDef(
+      "q108_mixture_weights",
+      (s, dir) => {
+        val perSource = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).cast("long").as("n_tokens"))
+        val totals = perSource.agg(
+          sum(col("n_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_sources")
+        )
+        perSource
+          .crossJoin(broadcast(totals))
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("share"),
+            round(
+              least(
+                lit(1.0),
+                col("total_tokens").cast("double") / (col("n_sources") * col("n_tokens"))
+              ),
+              6
+            ).as("sample_rate")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH ps AS (
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     count(*) AS n_sources FROM ps)
+             SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS share,
+               round(least(1.0, CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)), 6)
+                 AS sample_rate
+             FROM ps CROSS JOIN t ORDER BY source""")
     )
   )
 }

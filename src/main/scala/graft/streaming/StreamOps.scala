@@ -260,6 +260,35 @@ object StreamOps {
              WHERE a.event_type = 'purchase'
                AND a.ts < (SELECT mx FROM m) - INTERVAL 190 MINUTE
              ORDER BY p_id, c_id""")
+    ),
+    // --------------------------------------------------------------- q106
+    // Chained stateful operators in one streaming query (Spark 4 lifts
+    // the old one-stateful-op-per-query limit): watermarked exact dedup
+    // on event_id feeding a tumbling-window count — the "dedup then
+    // aggregate" shape every ingestion pipeline wants, previously forced
+    // into two queries with an intermediate sink. Both operators share
+    // the 2-hour watermark; dedup state and window state evict on it
+    // independently.
+    QueryDef(
+      "q106_stream_dedup_windowed",
+      (s, dir) => {
+        val stream = EventStreaming
+          .eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_unique"))
+          .select(col("w.start").as("hour"), col("event_type"), col("n_unique"))
+        // Complete mode: window state is retained so every window emits
+        // (append mode would withhold windows newer than the final
+        // watermark); the upstream dedup state still evicts on it
+        EventStreaming
+          .runToMemory(s, stream, sinkName("q106"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+               count(DISTINCT event_id) AS n_unique
+             FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
     )
   )
 }
