@@ -27,17 +27,32 @@ object CurationOps {
   private def toksExpr =
     expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
 
-  /** word 5-gram shingles (distinct), the decontamination unit. */
-  private def withShingles5(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("toks", toksExpr)
+  /** Exploded (doc_id, source, shingle) rows — word 5-gram shingles
+    * (per-doc distinct), the decontamination unit.
+    *
+    * Two deliberate plan-shape choices (measured 42 s -> ~1 s at sf0.1):
+    * the repartition spreads the lambda-heavy shingle work across cores
+    * (the local single-file parquet scan yields ONE partition — a no-op
+    * narrow shuffle on a many-split table at scale); and the shingle
+    * expression feeds `explode` DIRECTLY rather than being named via
+    * withColumn first — exploding a named attribute lets
+    * InferFiltersFromGenerate push an inferred `size(sg)>0 AND
+    * isnotnull(sg)` filter below the exchange with the whole
+    * higher-order expression inlined (interpreted, no subexpression
+    * elimination: hundreds of tokenizer re-evaluations per doc).
+    */
+  private def shingleRows5(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), toksExpr.as("toks"))
       .filter(size(col("toks")) >= 5)
-      .withColumn(
-        "sg",
-        array_distinct(expr(
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(array_distinct(expr(
           "transform(sequence(1, size(toks) - 4), i -> concat(" +
             "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
             "' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
-        ))
+        ))).as("sg")
       )
 
   private val shingles5Sql =
@@ -65,14 +80,14 @@ object CurationOps {
     QueryDef(
       "q64_decontaminate",
       (s, dir) => {
-        val sh = withShingles5(Engine.table(s, dir, "documents"))
+        val sh = shingleRows5(Engine.table(s, dir, "documents"))
         val bench = sh
           .filter(col("source") === "src0")
-          .select(explode(col("sg")).as("sg"))
+          .select(col("sg"))
           .distinct()
         val train = sh
           .filter(col("source") =!= "src0")
-          .select(col("doc_id"), explode(col("sg")).as("sg"))
+          .select(col("doc_id"), col("sg"))
         train
           .join(broadcast(bench), "sg")
           .groupBy(col("doc_id"))
