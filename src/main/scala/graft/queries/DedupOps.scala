@@ -28,15 +28,28 @@ object DedupOps {
   private val maxBucketSize = 1000
 
   /** distinct word-3-gram shingles; tokenizer matches TextOps.
-    * The repartition spreads the lambda-heavy shingle/signature work
-    * across cores: the local single-file parquet scan yields one
+    *
+    * Plan-shape notes (both matter, measured ~3x together at sf0.1):
+    * the repartition spreads the lambda-heavy shingle/signature work
+    * across cores — the local single-file parquet scan yields one
     * partition (no row-group splits), which would otherwise serialize
-    * the whole chain. On a many-split table at scale this is a no-op
-    * cost-wise (one narrow shuffle of raw text).
+    * the whole chain (on a many-split table at scale this is a no-op
+    * cost-wise: one narrow shuffle of raw text). And `toks` is computed
+    * BEFORE that exchange: higher-order functions evaluate interpreted
+    * with no subexpression elimination, so if CollapseProject inlines
+    * the tokenizer into the shingle lambda, every `element_at(toks, i)`
+    * re-runs the full regex split — ~3 tokenizer evaluations PER
+    * SHINGLE instead of one per doc. The exchange is a hard projection
+    * barrier the optimizer cannot collapse through (at cluster scale:
+    * persist() the tokenized table for the same effect without an extra
+    * shuffle).
     */
   private def withShingles(df: DataFrame): DataFrame =
-    df.repartition(col("doc_id"))
-      .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+    df.select(
+        col("*"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)").as("toks")
+      )
+      .repartition(col("doc_id"))
       .filter(size(col("toks")) >= 3)
       .withColumn(
         "sg",
