@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NfcNormalize}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (args: Seq[Expression]) => DotProduct(args(0), args(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (args: Seq[Expression]) => NfcNormalize(args.head)
       )
     )
   }

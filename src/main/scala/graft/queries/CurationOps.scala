@@ -320,6 +320,41 @@ object CurationOps {
                round(least(1.0, CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)), 6)
                  AS sample_rate
              FROM ps CROSS JOIN t ORDER BY source""")
+    ),
+    // --------------------------------------------------------------- q110
+    // Unicode NFC canonicalization — decomposed accents ("e" + combining
+    // acute) hash differently from their composed forms ("é"), silently
+    // defeating exact dedup on multilingual corpora. The synthetic
+    // corpus is pure ASCII, so each doc is suffixed with decomposed
+    // sequences; normalization runs through the native codegen'd
+    // graft_nfc expression (functions.NfcNormalize — a UDF would break
+    // whole-stage codegen) and is verified by codepoint counts + the md5
+    // of the composed output against DuckDB's nfc_normalize. Pure narrow
+    // map: rides the scan, no shuffle at any scale.
+    QueryDef(
+      "q110_nfc_normalize",
+      (s, dir) => {
+        // "cafe" + U+0301 and "nai" + U+0308 + "ve": NFC composes to é/ï
+        val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+        Engine
+          .table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(raw).cast("long").as("len_raw"),
+            length(_root_.graft.functions.StringFns.nfc(raw)).cast("long").as("len_nfc"),
+            md5(_root_.graft.functions.StringFns.nfc(raw)).as("nfc_md5")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+               SELECT doc_id,
+                 text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+               FROM documents)
+             SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS len_raw,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+               md5(nfc_normalize(raw)) AS nfc_md5
+             FROM p ORDER BY doc_id""")
     )
   )
 }

@@ -120,6 +120,60 @@ object EtlOps {
                FROM old o FULL OUTER JOIN neu n ON o.k = n.k)
              SELECT o_orderkey, change_type FROM d
              WHERE change_type <> 'unchanged' ORDER BY o_orderkey""")
+    ),
+    // --------------------------------------------------------------- q109
+    // MERGE apply — the other half of q107: applying a CDC change set
+    // (insert/update/delete + new values) onto the old snapshot must
+    // reconstruct the new snapshot exactly. Upserts-and-deletes as one
+    // anti join (drop deleted/updated keys) plus a union of the change
+    // rows — the MERGE INTO shape on plain parquet; at 100 TB both
+    // sides co-partition on the key (zero extra shuffles if bucketed).
+    // The oracle IS the new snapshot, so the closure property
+    // (apply(old, diff(old, new)) == new) is what the hash-match proves.
+    QueryDef(
+      "q109_merge_apply",
+      (s, dir) => {
+        val old = Engine
+          .table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        // the change set, carrying new values (same derivation as q107)
+        val neu = old
+          .filter(col("k") % 7 =!= 0)
+          .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
+          .union(
+            old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p"))
+          )
+        val changes = old
+          .as("o")
+          .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+          .select(
+            coalesce(col("o.k"), col("n.k")).as("k"),
+            col("n.p").as("new_p"),
+            when(col("o.k").isNull, "insert")
+              .when(col("n.k").isNull, "delete")
+              .when(col("o.p") =!= col("n.p"), "update")
+              .otherwise("unchanged")
+              .as("op")
+          )
+          .filter(col("op") =!= "unchanged")
+        // MERGE: drop deleted+updated keys from old, add upsert rows
+        old
+          .join(changes.filter(col("op").isin("delete", "update")), Seq("k"), "left_anti")
+          .union(
+            changes
+              .filter(col("op").isin("insert", "update"))
+              .select(col("k"), col("new_p").as("p"))
+          )
+          .select(col("k").as("o_orderkey"), col("p").as("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+             neu AS (
+               SELECT k, CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p
+               FROM old WHERE k % 7 <> 0
+               UNION ALL
+               SELECT k + 10000000, p FROM old WHERE k % 13 = 0)
+             SELECT k AS o_orderkey, p AS o_totalprice FROM neu ORDER BY k""")
     )
   )
 }
