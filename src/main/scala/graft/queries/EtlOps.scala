@@ -174,6 +174,66 @@ object EtlOps {
                UNION ALL
                SELECT k + 10000000, p FROM old WHERE k % 13 = 0)
              SELECT k AS o_orderkey, p AS o_totalprice FROM neu ORDER BY k""")
+    ),
+    // --------------------------------------------------------------- q111
+    // Data-quality constraint report (the deequ/dbt-test shape): each
+    // constraint is an aggregate over the table — completeness, key
+    // uniqueness, referential integrity, value ranges — evaluated in ONE
+    // pass per table plus one anti-join for the FK check, emitted as a
+    // (check, metric, passed) report. At 100 TB this is the nightly
+    // contract gate: all metrics ride existing scans; nothing quadratic.
+    QueryDef(
+      "q111_quality_checks",
+      (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val ord = Engine.table(s, dir, "orders")
+        val liStats = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_ship"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("bad_disc")
+        )
+        val ordStats = ord.agg(
+          count(lit(1)).as("n_ord"),
+          countDistinct(col("o_orderkey")).as("n_keys")
+        )
+        val orphans = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        val r = liStats.crossJoin(ordStats).crossJoin(orphans)
+        val checks = Seq(
+          ("lineitem_nonempty", col("n").cast("double"), col("n") > 0),
+          ("shipdate_complete", col("null_ship").cast("double"), col("null_ship") === 0),
+          ("discount_in_range", col("bad_disc").cast("double"), col("bad_disc") === 0),
+          ("orderkey_unique", (col("n_ord") - col("n_keys")).cast("double"), col("n_ord") === col("n_keys")),
+          ("lineitem_fk_orders", col("n_orphan").cast("double"), col("n_orphan") === 0)
+        )
+        checks
+          .map { case (name, metric, passed) =>
+            r.select(lit(name).as("check_name"), metric.as("metric"), passed.as("passed"))
+          }
+          .reduce(_.unionAll(_))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH li AS (
+               SELECT count(*) AS n,
+                 sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship,
+                 sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_disc
+               FROM lineitem),
+             o AS (SELECT count(*) AS n_ord, count(DISTINCT o_orderkey) AS n_keys FROM orders),
+             orph AS (SELECT count(*) AS n_orphan FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = l.l_orderkey)),
+             r AS (SELECT * FROM li CROSS JOIN o CROSS JOIN orph)
+             SELECT * FROM (
+               SELECT 'lineitem_nonempty' AS check_name, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM r
+               UNION ALL
+               SELECT 'shipdate_complete', CAST(null_ship AS DOUBLE), null_ship = 0 FROM r
+               UNION ALL
+               SELECT 'discount_in_range', CAST(bad_disc AS DOUBLE), bad_disc = 0 FROM r
+               UNION ALL
+               SELECT 'orderkey_unique', CAST(n_ord - n_keys AS DOUBLE), n_ord = n_keys FROM r
+               UNION ALL
+               SELECT 'lineitem_fk_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM r)
+             ORDER BY check_name""")
     )
   )
 }

@@ -501,6 +501,30 @@ object EventOps {
           )
           .orderBy(col("event_type")),
       None
+    ),
+    // --------------------------------------------------------------- q113
+    // Re-aggregatable sketch rollup — the at-scale distinct-count
+    // pattern: build small per-(type, hour) HLL sketches once (Spark 4's
+    // Datasketches-backed hll_sketch_agg), then UNION the binary
+    // sketches up to per-type totals (hll_union_agg) without touching
+    // the raw data again. This is what replaces count(DISTINCT) in a
+    // 100 TB rollup cube: partials are mergeable, so every coarser
+    // grain is a cheap second-level aggregation over kilobyte sketches.
+    // Approximate by design (rows-only; accuracy vs exact asserted in
+    // QueriesSpec).
+    QueryDef(
+      "q113_sketch_rollup",
+      (s, dir) => {
+        val partials = Engine
+          .table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        partials
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+          .orderBy(col("event_type"))
+      },
+      None
     )
   )
 }

@@ -528,6 +528,36 @@ object TextOps {
              GROUP BY t.lang, t.word, n.total
              HAVING count(*) * 30 > n.total
              ORDER BY lang, word""")
+    ),
+    // --------------------------------------------------------------- q112
+    // Inverted index build — the original MapReduce showcase product:
+    // word -> sorted posting list of containing docs (capped at 50 per
+    // word; full cardinality reported alongside). One explode + one
+    // shuffle on the word key; collect_set state is bounded by the cap's
+    // usefulness at the head and the distinct-doc count at the tail (at
+    // 100 TB: cap with slice as here, or bucket postings by doc-id range
+    // into a (word, bucket) composite key to bound per-group state).
+    QueryDef(
+      "q112_inverted_index",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), explode(toksExpr).as("word"))
+          .distinct()
+          .groupBy(col("word"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            array_join(slice(array_sort(collect_set(col("doc_id"))), 1, 50), ",").as("postings")
+          )
+          .orderBy(col("word")),
+      Some("""WITH t AS (
+               SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS word
+               FROM documents)
+             SELECT word, count(DISTINCT doc_id) AS n_docs,
+               array_to_string(list_sort(list(DISTINCT doc_id))[1:50], ',') AS postings
+             FROM t GROUP BY word ORDER BY word""")
     )
   )
 }

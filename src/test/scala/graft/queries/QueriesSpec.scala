@@ -421,6 +421,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(diff("update") == keys.count(k => k % 10 == 0 && k % 7 != 0))
   }
 
+  test("q113 sketch rollup: merged-sketch estimates within 5% of exact distincts") {
+    val approx = graft.SparkEntry
+      .queries("q113_sketch_rollup")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users"))
+      .toMap
+    val exact = graft.Engine
+      .table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u"))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (e * 0.05).toLong), s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("saltedJoin equals the plain join on random skewed data, any bucket count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val fact = (1 to 5000)
+      .map(i => (if (rnd.nextInt(10) < 8) 3L else rnd.nextInt(40).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = (0 until 40).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    for (buckets <- Seq(1, 3, 8)) {
+      val salted = graft.queries.EtlOps
+        .saltedJoin(fact, dim, col("k"), col("dk"), col("v"), buckets)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val plain = fact
+        .join(dim, col("k") === col("dk"))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(salted == plain, s"buckets=$buckets")
+    }
+  }
+
   test("q26 grouping sets: grand total row equals table count") {
     val df = graft.SparkEntry.queries("q26_grouping_sets")(spark, dir)
     val grand = df.filter(col("gid") === 3).collect()
