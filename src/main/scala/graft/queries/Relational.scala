@@ -848,6 +848,45 @@ object Relational {
                count(*) AS n_customers
              FROM customer JOIN nation ON c_nationkey = n_nationkey
              GROUP BY n_name ORDER BY n_name""")
+    ),
+    // --------------------------------------------------------------- q114
+    // Interval-overlap join via bin explode: shipments get a
+    // deterministic transit interval [shipdate, shipdate + 1..20 days];
+    // "which shipments are in transit during calendar week W" is an
+    // overlap join, which naively is non-equi (quadratic / broadcast
+    // nested loop). The scale shape: explode each interval into the
+    // week bins it touches (bounded fan-out: transit/7 + 1 rows) and the
+    // non-equi join becomes a plain hash aggregation on the bin key.
+    // The oracle runs the naive inequality join against a generated week
+    // spine — same result, different plan class.
+    QueryDef(
+      "q114_interval_overlap",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "lineitem")
+          .select(
+            col("l_quantity"),
+            datediff(col("l_shipdate"), lit("1970-01-01").cast("date")).cast("long").as("sd"),
+            (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 20).cast("long").as("transit")
+          )
+          .select(
+            col("l_quantity"),
+            explode(expr("sequence(sd div 7, (sd + transit) div 7)")).as("week")
+          )
+          .groupBy(col("week"))
+          .agg(count(lit(1)).as("n_in_transit"), round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("week")),
+      Some("""WITH li2 AS (
+               SELECT l_quantity,
+                 CAST(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS BIGINT) AS sd,
+                 CAST(1 + (l_orderkey + l_linenumber) % 20 AS BIGINT) AS transit
+               FROM lineitem),
+             w AS (SELECT unnest(generate_series(
+                     (SELECT min(sd // 7) FROM li2),
+                     (SELECT max((sd + transit) // 7) FROM li2))) AS week)
+             SELECT week, count(*) AS n_in_transit, round(sum(l_quantity), 2) AS qty
+             FROM w JOIN li2 ON li2.sd <= week * 7 + 6 AND li2.sd + transit >= week * 7
+             GROUP BY week ORDER BY week""")
     )
   )
 }
