@@ -54,8 +54,11 @@ object Layout {
   def zorderValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val cap = 1L << bits
+    // NULL keys pass through as NULL z-values (the range partitioner
+    // clusters them together) rather than tripping the range error
     val checked = (c: Column) =>
-      when(c >= 0 && c < cap, c.cast("long"))
+      when(c.isNull, lit(null).cast("long"))
+        .when(c >= 0 && c < cap, c.cast("long"))
         .otherwise(raise_error(lit(s"zorderValue input out of [0, $cap)")))
     val av = checked(a)
     val bv = checked(b)

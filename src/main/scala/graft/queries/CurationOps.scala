@@ -24,8 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  private def toksExpr =
-    expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
+  private def toksExpr = Tokenize.toksExpr
 
   /** Exploded (doc_id, source, shingle) rows — word 5-gram shingles
     * (per-doc distinct), the decontamination unit.
@@ -80,7 +79,10 @@ object CurationOps {
     QueryDef(
       "q64_decontaminate",
       (s, dir) => {
-        val sh = shingleRows5(Engine.table(s, dir, "documents"))
+        // materialized once: both the bench and train branches read the
+        // exploded shingle rows, and only the raw-text exchange (not the
+        // expensive shingle transform) would be reused without a barrier
+        val sh = shingleRows5(Engine.table(s, dir, "documents")).localCheckpoint()
         val bench = sh
           .filter(col("source") === "src0")
           .select(col("sg"))

@@ -47,7 +47,7 @@ object DedupOps {
   private def withShingles(df: DataFrame): DataFrame =
     df.select(
         col("*"),
-        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)").as("toks")
+        Tokenize.toksExpr.as("toks")
       )
       .repartition(col("doc_id"))
       .filter(size(col("toks")) >= 3)
@@ -358,7 +358,7 @@ object DedupOps {
       (s, dir) => {
         val docs = Engine.table(s, dir, "documents")
         val quality = docs
-          .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+          .withColumn("toks", Tokenize.toksExpr)
           // integer-only predicates: diversity >= 0.5 as 2*distinct >= n
           .filter(size(col("toks")) >= 20 &&
             size(array_distinct(col("toks"))) * 2 >= size(col("toks")))
@@ -412,7 +412,7 @@ object DedupOps {
       (s, dir) => {
         val tiles = Engine
           .table(s, dir, "documents")
-          .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"))
+          .withColumn("toks", Tokenize.toksExpr)
           .filter(size(col("toks")) >= 10)
           .select(
             col("doc_id"),
@@ -422,6 +422,9 @@ object DedupOps {
             )).as("tile")
           )
           .distinct() // per-doc distinct tiles
+          // materialized once: read by the dup-tile aggregation AND the
+          // per-doc re-join below
+          .localCheckpoint()
         val dupTiles = tiles
           .groupBy(col("tile"))
           .agg(countDistinct(col("doc_id")).as("nd"))

@@ -30,9 +30,50 @@ object EtlOps {
       saltSource: Column,
       buckets: Int
   ): DataFrame = {
-    val l = left.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
-    val r = right.withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
-    l.join(r, leftKey === rightKey && l("_salt") === r("_salt")).drop("_salt")
+    // scratch column: fail loudly rather than silently clobber a user
+    // column of the same name (drop-by-name below removes all matches)
+    val salt = "_graft_salt"
+    require(
+      !left.columns.contains(salt) && !right.columns.contains(salt),
+      s"saltedJoin: inputs must not already have a '$salt' column"
+    )
+    val l = left.withColumn(salt, pmod(hash(saltSource), lit(buckets)))
+    val r = right.withColumn(salt, explode(array((0 until buckets).map(lit): _*)))
+    l.join(r, leftKey === rightKey && l(salt) === r(salt)).drop(salt)
+  }
+
+  /** The synthetic snapshot pair + classified change set shared by q107
+    * (diff) and q109 (merge apply): new snapshot = old with keys %7=0
+    * deleted, %10=0 repriced by +1.0 (exact in IEEE754 at these
+    * magnitudes), %13=0 re-inserted under a shifted key range. One
+    * derivation so the closure property q109 proves (apply(old,
+    * diff(old, new)) == new) cannot drift between the two queries.
+    */
+  private def snapshotChanges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) = {
+    val old = Engine
+      .table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val neu = old
+      .filter(col("k") % 7 =!= 0)
+      .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
+      .union(old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p")))
+    val changes = old
+      .as("o")
+      .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        coalesce(col("o.k"), col("n.k")).as("k"),
+        col("n.p").as("new_p"),
+        when(col("o.k").isNull, "insert")
+          .when(col("n.k").isNull, "delete")
+          .when(col("o.p") =!= col("n.p"), "update")
+          .otherwise("unchanged")
+          .as("op")
+      )
+      .filter(col("op") =!= "unchanged")
+    (old, changes)
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -82,27 +123,9 @@ object EtlOps {
     QueryDef(
       "q107_snapshot_diff",
       (s, dir) => {
-        val old = Engine
-          .table(s, dir, "orders")
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-        val neu = old
-          .filter(col("k") % 7 =!= 0)
-          .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
-          .union(
-            old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p"))
-          )
-        old
-          .as("o")
-          .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
-          .select(
-            coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
-            when(col("o.k").isNull, "insert")
-              .when(col("n.k").isNull, "delete")
-              .when(col("o.p") =!= col("n.p"), "update")
-              .otherwise("unchanged")
-              .as("change_type")
-          )
-          .filter(col("change_type") =!= "unchanged")
+        val (_, changes) = snapshotChanges(s, dir)
+        changes
+          .select(col("k").as("o_orderkey"), col("op").as("change_type"))
           .orderBy(col("o_orderkey"))
       },
       Some("""WITH old AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
@@ -133,29 +156,7 @@ object EtlOps {
     QueryDef(
       "q109_merge_apply",
       (s, dir) => {
-        val old = Engine
-          .table(s, dir, "orders")
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-        // the change set, carrying new values (same derivation as q107)
-        val neu = old
-          .filter(col("k") % 7 =!= 0)
-          .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
-          .union(
-            old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p"))
-          )
-        val changes = old
-          .as("o")
-          .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
-          .select(
-            coalesce(col("o.k"), col("n.k")).as("k"),
-            col("n.p").as("new_p"),
-            when(col("o.k").isNull, "insert")
-              .when(col("n.k").isNull, "delete")
-              .when(col("o.p") =!= col("n.p"), "update")
-              .otherwise("unchanged")
-              .as("op")
-          )
-          .filter(col("op") =!= "unchanged")
+        val (old, changes) = snapshotChanges(s, dir)
         // MERGE: drop deleted+updated keys from old, add upsert rows
         old
           .join(changes.filter(col("op").isin("delete", "update")), Seq("k"), "left_anti")

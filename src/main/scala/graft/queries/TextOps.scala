@@ -24,9 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** tokens expression shared by the queries below (Spark side). */
-  private def toksExpr =
-    expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
+  /** tokens expression shared by the queries below (see Tokenize). */
+  private def toksExpr = Tokenize.toksExpr
 
   private val stopEn = "'the','and','of','to','in','a','is'"
 

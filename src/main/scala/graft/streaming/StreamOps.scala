@@ -54,8 +54,13 @@ object StreamOps {
     QueryDef(
       "q92_stream_dedup",
       (s, dir) => {
-        val stream = EventStreaming
-          .eventsStream(s, dir)
+        // events.parquet has no duplicate event_ids, which would make
+        // the dedup vacuous — self-union the stream so every event
+        // arrives twice and the operator must actually drop rows for the
+        // distinct-count oracle to match
+        val ev = EventStreaming.eventsStream(s, dir)
+        val stream = ev
+          .union(EventStreaming.eventsStream(s, dir))
           .withWatermark("ts", "2 hours")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(col("event_type"))
@@ -272,8 +277,11 @@ object StreamOps {
     QueryDef(
       "q106_stream_dedup_windowed",
       (s, dir) => {
+        // self-union as in q92: duplicates must exist for the chained
+        // dedup stage to be load-bearing rather than structural
         val stream = EventStreaming
           .eventsStream(s, dir)
+          .union(EventStreaming.eventsStream(s, dir))
           .withWatermark("ts", "2 hours")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
