@@ -482,6 +482,71 @@ object TextOps {
                sha256(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_sha
              FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")
     ),
+    // --------------------------------------------------------------- q115
+    // Multimodal feature extraction: each doc's binary payload is framed
+    // into 64-byte frames (video-frame stand-in, as q71), every frame is
+    // "decoded" into an 8-dim feature vector (per-8-byte-block means —
+    // real byte math standing in for a CNN featurizer, which this
+    // container lacks), and frames mean-pool into a per-doc embedding.
+    // This is the batch shape of an embedding pipeline: typed flatMap
+    // over Array[Byte] (one decode per frame, no row-level JVM boxing of
+    // the whole payload), narrow until the per-doc pooling shuffle.
+    // Block means are sums of 8 ints / 8.0 — exact in both engines
+    // (power-of-two divisor); the oracle reads the same bytes through
+    // ascii(substr(..)) since payloads are ASCII.
+    QueryDef(
+      "q115_multimodal_embed",
+      (s, dir) => {
+        import s.implicits._
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            val nFrames = bytes.length / 64
+            (0 until nFrames).map { f =>
+              val feats = (0 until 8).map { j =>
+                var sum = 0
+                var p = f * 64 + j * 8
+                val end = p + 8
+                while (p < end) { sum += bytes(p) & 0xff; p += 1 }
+                sum / 8.0
+              }
+              (id, feats(0), feats(1), feats(2), feats(3), feats(4), feats(5), feats(6), feats(7))
+            }
+          }
+          .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_frames"),
+            round(avg(col("b0")), 4).as("f0"),
+            round(avg(col("b1")), 4).as("f1"),
+            round(avg(col("b2")), 4).as("f2"),
+            round(avg(col("b3")), 4).as("f3"),
+            round(avg(col("b4")), 4).as("f4"),
+            round(avg(col("b5")), 4).as("f5"),
+            round(avg(col("b6")), 4).as("f6"),
+            round(avg(col("b7")), 4).as("f7")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val blocks = (0 until 8)
+          .map { j =>
+            s"""list_sum(list_transform(generate_series(fr*64 + $j*8 + 1, fr*64 + $j*8 + 8),
+                p -> ascii(substr(text, CAST(p AS INT), 1)))) / 8.0 AS b$j"""
+          }
+          .mkString(",\n")
+        val pools = (0 until 8).map(j => s"round(avg(b$j), 4) AS f$j").mkString(", ")
+        s"""WITH fr AS (
+             SELECT doc_id, text,
+               unnest(generate_series(0, length(text) // 64 - 1)) AS fr
+             FROM documents WHERE length(text) >= 64),
+           feat AS (SELECT doc_id, $blocks FROM fr)
+           SELECT doc_id, count(*) AS n_frames, $pools
+           FROM feat GROUP BY doc_id ORDER BY doc_id"""
+      }
+    ),
     // --------------------------------------------------------------- q103
     // Exact heavy hitters in two passes — the at-scale recipe for "which
     // tokens exceed 1/30 of a language's volume" when the token domain is
