@@ -622,6 +622,108 @@ object TextOps {
              SELECT word, count(DISTINCT doc_id) AS n_docs,
                array_to_string(list_sort(list(DISTINCT doc_id))[1:50], ',') AS postings
              FROM t GROUP BY word ORDER BY word""")
+    ),
+    // --------------------------------------------------------------- q116
+    // Word co-occurrence lift — association mining over the corpus:
+    // lift(x,y) = P(x,y) / (P(x)P(y)) over document presence, the
+    // log-free core of PMI (log is libm-dependent across engines; the
+    // ratio is one correctly-rounded division of exact integers, so it
+    // hash-matches). Presence explode -> within-doc pair self-join
+    // (bounded by per-doc distinct vocabulary) -> count shuffle. Top-50
+    // pairs by lift with support >= 5.
+    QueryDef(
+      "q116_cooccurrence",
+      (s, dir) => {
+        val t = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), explode(toksExpr).as("word"))
+          .distinct()
+        val nDocs = Engine.table(s, dir, "documents").count()
+        val wc = t.groupBy(col("word")).agg(count(lit(1)).as("nw"))
+        val pairs = t
+          .as("a")
+          .join(t.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+          .groupBy(col("a.word").as("wa"), col("b.word").as("wb"))
+          .agg(count(lit(1)).as("nxy"))
+          .filter(col("nxy") >= 5)
+        pairs
+          .join(wc.select(col("word").as("wa"), col("nw").as("na")), "wa")
+          .join(wc.select(col("word").as("wb"), col("nw").as("nb")), "wb")
+          .select(
+            col("wa"),
+            col("wb"),
+            col("nxy"),
+            round((col("nxy") * lit(nDocs)).cast("double") / (col("na") * col("nb")), 6).as("lift")
+          )
+          .orderBy(col("lift").desc, col("wa"), col("wb"))
+          .limit(50)
+      },
+      Some("""WITH t AS (
+               SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS word
+               FROM documents),
+             n AS (SELECT count(*) AS nd FROM documents),
+             wc AS (SELECT word, count(*) AS nw FROM t GROUP BY word),
+             p AS (SELECT a.word AS wa, b.word AS wb, count(*) AS nxy
+                   FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.word < b.word
+                   GROUP BY a.word, b.word HAVING count(*) >= 5)
+             SELECT wa, wb, nxy,
+               round(CAST(nxy * nd AS DOUBLE) / (x.nw * y.nw), 6) AS lift
+             FROM p CROSS JOIN n
+               JOIN wc x ON x.word = wa JOIN wc y ON y.word = wb
+             ORDER BY lift DESC, wa, wb LIMIT 50""")
+    ),
+    // --------------------------------------------------------------- q117
+    // Bigram language model: adjacent-token pair counts and the exact
+    // conditional p(next | head) = n_ab / n_a. (count ratios: one
+    // correctly-rounded int/int division, engine-identical), top-3
+    // continuations per head word. The n-gram-LM table build is a
+    // one-shuffle aggregation; the per-head top-k is WindowGroupLimit.
+    QueryDef(
+      "q117_bigram_lm",
+      (s, dir) => {
+        val bi = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))"
+          )).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n"))
+        val heads = bi.groupBy(col("a")).agg(sum(col("n")).as("na"))
+        bi.join(heads, "a")
+          .withColumn(
+            "rk",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("a"))
+                .orderBy(col("n").desc, col("b"))
+            )
+          )
+          .filter(col("rk") <= 3)
+          .select(col("a"), col("b"), col("n"), round(col("n").cast("double") / col("na"), 6).as("p"))
+          .orderBy(col("a"), col("n").desc, col("b"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+               FROM documents),
+             bi AS (
+               SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM (
+                 SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> [toks[i], toks[i+1]])) AS p
+                 FROM t WHERE len(toks) >= 2)
+               GROUP BY 1, 2),
+             h AS (SELECT a, sum(n) AS na FROM bi GROUP BY a),
+             r AS (SELECT bi.a, bi.b, bi.n, h.na,
+                     row_number() OVER (PARTITION BY bi.a ORDER BY bi.n DESC, bi.b) AS rk
+                   FROM bi JOIN h ON bi.a = h.a)
+             SELECT a, b, CAST(n AS BIGINT) AS n, round(CAST(n AS DOUBLE) / na, 6) AS p
+             FROM r WHERE rk <= 3 ORDER BY a, n DESC, b""")
     )
   )
 }
