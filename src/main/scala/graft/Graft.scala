@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The library façade — the one import a user of the reference needs to
+  * switch engines. Everything here is a thin delegation to the module
+  * that owns the implementation; the full per-operator query registry
+  * (115 oracle-gated plans) stays on [[SparkEntry]].
+  *
+  * ```scala
+  * val spark = Graft.session()
+  * // the reference's own surface: external executables through the
+  * // fixed map -> sort/group -> reduce pipeline
+  * Graft.runJob(spark, mr.JobSpec(inputDir, outDir, "./map.py", "./reduce.py", 2, 2))
+  * // the Spark-native surface
+  * val pairs = Graft.minhashPairs(spark, tableDir)
+  * val comps = Graft.connectedComponents(pairs.select("id_a", "id_b"))
+  * ```
+  */
+object Graft {
+
+  /** Session with the graft defaults (AQE, task retry, UTC, extensions). */
+  def session(appName: String = "graft"): SparkSession = Engine.session(appName)
+
+  /** Load a driver-format parquet table from `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(spark, dir, name)
+
+  // ---- the reference's own surface (SURVEY §2.1-2.2) ----------------
+
+  /** Run an external-executable MapReduce job (reference O1-O6). */
+  def runJob(spark: SparkSession, spec: mr.JobSpec): Seq[java.io.File] =
+    mr.MapReduceJob.run(spark, spec)
+
+  // ---- reusable Spark-native operators ------------------------------
+
+  /** Skew-safe salted inner equi-join (see EtlOps.saltedJoin). */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      saltSource: Column,
+      buckets: Int
+  ): DataFrame = queries.EtlOps.saltedJoin(left, right, leftKey, rightKey, saltSource, buckets)
+
+  /** MinHash-LSH verified near-duplicate pairs over `documents`. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    queries.DedupOps.minhashPairs(spark, dir)
+
+  /** Connected components of an undirected (src, dst) pair list. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    queries.DedupOps.connectedComponents(pairs)
+
+  /** Compact a table into range-clustered files (see Layout.compact). */
+  def compact(
+      spark: SparkSession,
+      in: DataFrame,
+      outDir: String,
+      targetFiles: Int,
+      clusterCols: Column*
+  ): DataFrame = operators.Layout.compact(spark, in, outDir, targetFiles, clusterCols: _*)
+
+  /** Z-order composite clustering value (see Layout.zorderValue). */
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column =
+    operators.Layout.zorderValue(a, b, bits)
+
+  /** Codegen'd dot product / cosine over array<double> columns. */
+  def dot(a: Column, b: Column): Column = functions.VectorOps.dot(a, b)
+  def cosine(a: Column, b: Column): Column = functions.VectorOps.cosine(a, b)
+
+  /** Unicode NFC normalization (codegen'd graft_nfc). */
+  def nfc(c: Column): Column = functions.StringFns.nfc(c)
+
+  /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame). */
+  def queryRegistry: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
+}

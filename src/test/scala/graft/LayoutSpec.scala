@@ -83,4 +83,21 @@ class LayoutSpec extends AnyFunSuite {
     }
     assert(intersecting <= boxes.length / 2, s"box query hits $intersecting of ${boxes.length} files")
   }
+
+  test("z-order round-trip: even/odd bit extraction recovers both inputs") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def deinterleave(z: Long, odd: Int): Long =
+      (0 until 16).map(i => ((z >> (2 * i + odd)) & 1L) << i).reduce(_ | _)
+    import spark.implicits._
+    val got = cases
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorderValue(col("a"), col("b"), 16).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deinterleave(z, 0) == a && deinterleave(z, 1) == b, s"z($a,$b)=$z")
+    }
+  }
 }
