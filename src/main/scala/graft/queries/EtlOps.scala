@@ -235,6 +235,84 @@ object EtlOps {
                UNION ALL
                SELECT 'lineitem_fk_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM r)
              ORDER BY check_name""")
+    ),
+    // --------------------------------------------------------------- q118
+    // SCD Type-2 dimension build: each customer's order history becomes
+    // versioned rows with [valid_from, valid_to) ranges and a current
+    // flag — the slowly-changing-dimension shape every warehouse
+    // maintains. One window (lead over the customer partition); no
+    // second shuffle. At 100 TB the partition key is the dimension's
+    // natural key, so state per task is one customer's history.
+    QueryDef(
+      "q118_scd2",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Engine
+          .table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate").as("valid_from"),
+            col("valid_to"),
+            col("valid_to").isNull.as("is_current"),
+            round(col("o_totalprice"), 2).as("price")
+          )
+          .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS valid_to,
+               lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
+               round(o_totalprice, 2) AS price
+             FROM orders
+             ORDER BY o_custkey, valid_from, o_orderkey""")
+    ),
+    // --------------------------------------------------------------- q119
+    // Winsorization: clip each order's price to its priority group's
+    // [p05, p95] band — the outlier-robust normalization pass of a
+    // feature pipeline. Two-phase: tiny per-group exact percentiles
+    // (one aggregation), broadcast back, clip + re-aggregate. Never
+    // sorts the full table globally.
+    QueryDef(
+      "q119_winsorize",
+      (s, dir) => {
+        val ord = Engine.table(s, dir, "orders")
+        val bands = ord
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(o_totalprice, 0.05)").as("p05"),
+            expr("percentile(o_totalprice, 0.95)").as("p95")
+          )
+        ord
+          .join(broadcast(bands), "o_orderpriority")
+          .withColumn("clipped", least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("o_totalprice")), 2).as("raw_avg"),
+            round(avg(col("clipped")), 2).as("wins_avg"),
+            sum((col("o_totalprice") < col("p05") || col("o_totalprice") > col("p95"))
+              .cast("long")).as("n_clipped")
+          )
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH b AS (
+               SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.05) AS p05,
+                 quantile_cont(o_totalprice, 0.95) AS p95
+               FROM orders GROUP BY o_orderpriority)
+             SELECT o.o_orderpriority, count(*) AS n,
+               round(avg(o_totalprice), 2) AS raw_avg,
+               round(avg(least(greatest(o_totalprice, p05), p95)), 2) AS wins_avg,
+               sum(CAST(o_totalprice < p05 OR o_totalprice > p95 AS BIGINT)) AS n_clipped
+             FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")
     )
   )
 }
