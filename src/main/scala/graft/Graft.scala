@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** The library façade — the one import a user of the reference needs to
   * switch engines. Everything here is a thin delegation to the module
   * that owns the implementation; the full per-operator query registry
-  * (115 oracle-gated plans) stays on [[SparkEntry]].
+  * (117 queries: 112 DuckDB-oracle-gated, 5 approximate rows-only)
+  * stays on [[SparkEntry]].
   *
   * ```scala
   * val spark = Graft.session()

@@ -55,9 +55,9 @@ object CurationOps {
       )
 
   private val shingles5Sql =
-    """WITH t AS (
+    s"""WITH t AS (
       SELECT doc_id, source,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        ${Tokenize.toksSql} AS toks
       FROM documents),
     sh AS (
       SELECT doc_id, source,
@@ -79,10 +79,12 @@ object CurationOps {
     QueryDef(
       "q64_decontaminate",
       (s, dir) => {
-        // materialized once: both the bench and train branches read the
-        // exploded shingle rows, and only the raw-text exchange (not the
-        // expensive shingle transform) would be reused without a barrier
-        val sh = shingleRows5(Engine.table(s, dir, "documents")).localCheckpoint()
+        // materialized once (lazily — plan audits/EXPLAIN must not run
+        // the job at plan-build time): both the bench and train branches
+        // read the exploded shingle rows, and only the raw-text exchange
+        // (not the expensive shingle transform) would be reused without
+        // a barrier
+        val sh = shingleRows5(Engine.table(s, dir, "documents")).localCheckpoint(eager = false)
         val bench = sh
           .filter(col("source") === "src0")
           .select(col("sg"))
@@ -204,9 +206,9 @@ object CurationOps {
             md5(concat_ws(" ", col("col"))).as("chunk_md5")
           )
           .orderBy(col("doc_id"), col("chunk_id")),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+                 ${Tokenize.toksSql} AS toks
                FROM documents),
              c AS (
                SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 24)) AS i, toks
@@ -260,9 +262,9 @@ object CurationOps {
           .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+                 ${Tokenize.toksSql} AS toks
                FROM documents),
              st AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd FROM t),
              c AS (
@@ -310,10 +312,9 @@ object CurationOps {
           )
           .orderBy(col("source"))
       },
-      Some("""WITH ps AS (
+      Some(s"""WITH ps AS (
                SELECT source, count(*) AS n_docs,
-                 CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0))) AS BIGINT) AS n_tokens
+                 CAST(sum(len(${Tokenize.toksSql})) AS BIGINT) AS n_tokens
                FROM documents GROUP BY source),
              t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                      count(*) AS n_sources FROM ps)

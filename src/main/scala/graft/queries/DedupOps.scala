@@ -62,9 +62,9 @@ object DedupOps {
       )
 
   private val shinglesSql =
-    """WITH t AS (
+    s"""WITH t AS (
       SELECT doc_id, lang, source,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+        ${Tokenize.toksSql} AS toks
       FROM documents),
     sh AS (
       SELECT doc_id, lang, source,
@@ -131,7 +131,7 @@ object DedupOps {
     // materialized table.
     val sh = withShingles(Engine.table(s, dir, "documents"))
       .select(col("doc_id"), col("sg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sig = sh.withColumn(
       "sig",
       array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
@@ -156,7 +156,7 @@ object DedupOps {
       .withColumn("bc", count(lit(1)).over(wBucket))
       .filter(col("bc") <= maxBucketSize)
       .drop("bc")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cand = banded
       .as("l")
       .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
@@ -424,7 +424,7 @@ object DedupOps {
           .distinct() // per-doc distinct tiles
           // materialized once: read by the dup-tile aggregation AND the
           // per-doc re-join below
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val dupTiles = tiles
           .groupBy(col("tile"))
           .agg(countDistinct(col("doc_id")).as("nd"))
@@ -443,9 +443,9 @@ object DedupOps {
           )
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+                 ${Tokenize.toksSql} AS toks
                FROM documents),
              tiles AS (
                SELECT DISTINCT doc_id,
@@ -485,7 +485,7 @@ object DedupOps {
         // majority-vote expression (64 re-evaluations of the shingle
         // hash array per doc) into a pre-shuffle single-partition filter
         val bands = simhash(s, dir)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
           .select(
             col("doc_id"),
             col("simhash"),
@@ -542,7 +542,7 @@ object DedupOps {
       .select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var iter = 0
     val maxIter = 25
@@ -561,7 +561,7 @@ object DedupOps {
       val next = adopted
         .join(ptr, col("comp") === col("pid"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"), col("old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("comp") =!= col("old")).count()
       comp = next.select(col("id"), col("comp"))
       iter += 1

@@ -276,18 +276,36 @@ object EtlOps {
     // --------------------------------------------------------------- q119
     // Winsorization: clip each order's price to its priority group's
     // [p05, p95] band — the outlier-robust normalization pass of a
-    // feature pipeline. Two-phase: tiny per-group exact percentiles
-    // (one aggregation), broadcast back, clip + re-aggregate. Never
-    // sorts the full table globally.
+    // feature pipeline. Two-phase: tiny per-group discrete percentiles
+    // (rank-exact, see below), broadcast back, clip + re-aggregate.
+    // Never sorts the full table globally.
     QueryDef(
       "q119_winsorize",
       (s, dir) => {
         val ord = Engine.table(s, dir, "orders")
-        val bands = ord
+        // DISCRETE percentiles by integer rank arithmetic — interpolating
+        // percentile() is computed differently by Spark and DuckDB (±1ulp
+        // on duplicate-straddling positions), which would flip the strict
+        // comparisons below; rank (5*n) div 100 is exact integer math and
+        // the band values are actual data values, so every comparison is
+        // engine-identical
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = ord
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn(
+            "n",
+            count(lit(1))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority")))
+          )
+        val bands = ranked
           .groupBy(col("o_orderpriority"))
           .agg(
-            expr("percentile(o_totalprice, 0.05)").as("p05"),
-            expr("percentile(o_totalprice, 0.95)").as("p95")
+            max(when(col("rn") === greatest(lit(1L), expr("(5 * n) div 100")), col("o_totalprice")))
+              .as("p05"),
+            max(when(col("rn") === greatest(lit(1L), expr("(95 * n) div 100")), col("o_totalprice")))
+              .as("p95")
           )
         ord
           .join(broadcast(bands), "o_orderpriority")
@@ -302,11 +320,17 @@ object EtlOps {
           )
           .orderBy(col("o_orderpriority"))
       },
-      Some("""WITH b AS (
+      Some("""WITH r AS (
+               SELECT o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders),
+             b AS (
                SELECT o_orderpriority,
-                 quantile_cont(o_totalprice, 0.05) AS p05,
-                 quantile_cont(o_totalprice, 0.95) AS p95
-               FROM orders GROUP BY o_orderpriority)
+                 max(CASE WHEN rn = greatest(1, (5 * n) // 100) THEN o_totalprice END) AS p05,
+                 max(CASE WHEN rn = greatest(1, (95 * n) // 100) THEN o_totalprice END) AS p95
+               FROM r GROUP BY o_orderpriority)
              SELECT o.o_orderpriority, count(*) AS n,
                round(avg(o_totalprice), 2) AS raw_avg,
                round(avg(least(greatest(o_totalprice, p05), p95)), 2) AS wins_avg,

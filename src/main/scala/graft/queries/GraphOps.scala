@@ -48,7 +48,7 @@ object GraphOps {
     QueryDef(
       "q101_pagerank",
       (s, dir) => {
-        val e = edges(s, dir).localCheckpoint()
+        val e = edges(s, dir).localCheckpoint(eager = false)
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         // rank table carries (id, pr, deg): rounds join it to edges on
         // src, spread pr/deg to dst, and re-attach deg by joining the
@@ -65,7 +65,7 @@ object GraphOps {
           // lazy at this depth; on a cluster: reliable checkpoint every
           // ~5 rounds). Without any barrier the plan tree doubles per
           // round and re-optimizes whole at the end.
-          if (i % 2 == 0) pr = pr.localCheckpoint()
+          if (i % 2 == 0) pr = pr.localCheckpoint(eager = false)
         }
         pr.select(col("id"), round(col("pr"), 4).as("pagerank")).orderBy(col("id"))
       },

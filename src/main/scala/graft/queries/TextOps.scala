@@ -41,9 +41,8 @@ object TextOps {
           .groupBy(col("word"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("word")),
-      Some("""SELECT word, count(*) AS n FROM (
-               SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                 x -> length(x) > 0)) AS word
+      Some(s"""SELECT word, count(*) AS n FROM (
+               SELECT unnest(${Tokenize.toksSql}) AS word
                FROM documents) t
              GROUP BY word ORDER BY word""")
     ),
@@ -75,11 +74,9 @@ object TextOps {
             size(array_distinct(col("toks"))).cast("long").as("n_distinct")
           )
           .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-               x -> length(x) > 0)) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-               x -> length(x) > 0))) AS BIGINT) AS n_distinct
+      Some(s"""SELECT doc_id,
+             CAST(len(${Tokenize.toksSql}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(${Tokenize.toksSql})) AS BIGINT) AS n_distinct
              FROM documents ORDER BY doc_id""")
     ),
     // ---------------------------------------------------------------- q43
@@ -125,8 +122,7 @@ object TextOps {
           )
           .orderBy(col("doc_id")),
       Some(s"""WITH t AS (
-               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                 x -> length(x) > 0) AS toks
+               SELECT doc_id, ${Tokenize.toksSql} AS toks
                FROM documents)
              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                round(CAST(len(list_filter(toks, x -> x IN ($stopEn))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
@@ -156,9 +152,8 @@ object TextOps {
               .as("pred_lang")
           )
           .orderBy(col("doc_id")),
-      Some("""WITH t AS (
-               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                 x -> length(x) > 0) AS toks
+      Some(s"""WITH t AS (
+               SELECT doc_id, ${Tokenize.toksSql} AS toks
                FROM documents),
              c AS (
                SELECT doc_id,
@@ -219,10 +214,9 @@ object TextOps {
           )
           .orderBy(col("lang"), col("rk"))
       },
-      Some("""WITH wc AS (
+      Some(s"""WITH wc AS (
                SELECT lang, word, count(*) AS n FROM (
-                 SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS word
+                 SELECT lang, unnest(${Tokenize.toksSql}) AS word
                  FROM documents) t
                GROUP BY lang, word),
              r AS (SELECT lang, word, n,
@@ -320,9 +314,8 @@ object TextOps {
             ).as("top_bigram_frac")
           )
           .orderBy(col("doc_id")),
-      Some("""WITH t AS (
-               SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                 x -> length(x) > 0) AS toks
+      Some(s"""WITH t AS (
+               SELECT doc_id, ${Tokenize.toksSql} AS toks
                FROM documents),
              b AS (
                SELECT doc_id, toks,
@@ -370,9 +363,8 @@ object TextOps {
           .select(col("doc_id"), col("word"), col("tfidf"), col("rk"))
           .orderBy(col("doc_id"), col("rk"))
       },
-      Some("""WITH tok AS (
-               SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                 x -> length(x) > 0)) AS word
+      Some(s"""WITH tok AS (
+               SELECT doc_id, unnest(${Tokenize.toksSql}) AS word
                FROM documents),
              tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
              dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
@@ -403,10 +395,9 @@ object TextOps {
           .agg(count(lit(1)).as("n_words"))
           .orderBy(col("freq").desc)
           .limit(50),
-      Some("""WITH wc AS (
+      Some(s"""WITH wc AS (
                SELECT word, count(*) AS n FROM (
-                 SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS word
+                 SELECT unnest(${Tokenize.toksSql}) AS word
                  FROM documents) t
                GROUP BY word)
              SELECT n AS freq, count(*) AS n_words FROM wc
@@ -581,10 +572,9 @@ object TextOps {
           .select(col("lang"), col("word"), col("n"))
           .orderBy(col("lang"), col("word"))
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT lang,
-                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS word
+                 unnest(${Tokenize.toksSql}) AS word
                FROM documents),
              n AS (SELECT lang, count(*) AS total FROM t GROUP BY lang)
              SELECT t.lang, t.word, count(*) AS n
@@ -614,10 +604,9 @@ object TextOps {
             array_join(slice(array_sort(collect_set(col("doc_id"))), 1, 50), ",").as("postings")
           )
           .orderBy(col("word")),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT DISTINCT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS word
+                 unnest(${Tokenize.toksSql}) AS word
                FROM documents)
              SELECT word, count(DISTINCT doc_id) AS n_docs,
                array_to_string(list_sort(list(DISTINCT doc_id))[1:50], ',') AS postings
@@ -638,7 +627,9 @@ object TextOps {
           .table(s, dir, "documents")
           .select(col("doc_id"), explode(toksExpr).as("word"))
           .distinct()
-        val nDocs = Engine.table(s, dir, "documents").count()
+        // lazy one-row corpus count, broadcast in — not an eager
+        // driver-side count() at plan-build time (same shape as q108)
+        val nd = Engine.table(s, dir, "documents").agg(count(lit(1)).as("nd"))
         val wc = t.groupBy(col("word")).agg(count(lit(1)).as("nw"))
         val pairs = t
           .as("a")
@@ -649,19 +640,19 @@ object TextOps {
         pairs
           .join(wc.select(col("word").as("wa"), col("nw").as("na")), "wa")
           .join(wc.select(col("word").as("wb"), col("nw").as("nb")), "wb")
+          .crossJoin(broadcast(nd))
           .select(
             col("wa"),
             col("wb"),
             col("nxy"),
-            round((col("nxy") * lit(nDocs)).cast("double") / (col("na") * col("nb")), 6).as("lift")
+            round((col("nxy") * col("nd")).cast("double") / (col("na") * col("nb")), 6).as("lift")
           )
           .orderBy(col("lift").desc, col("wa"), col("wb"))
           .limit(50)
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT DISTINCT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> length(x) > 0)) AS word
+                 unnest(${Tokenize.toksSql}) AS word
                FROM documents),
              n AS (SELECT count(*) AS nd FROM documents),
              wc AS (SELECT word, count(*) AS nw FROM t GROUP BY word),
@@ -708,9 +699,9 @@ object TextOps {
           .select(col("a"), col("b"), col("n"), round(col("n").cast("double") / col("na"), 6).as("p"))
           .orderBy(col("a"), col("n").desc, col("b"))
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+                 ${Tokenize.toksSql} AS toks
                FROM documents),
              bi AS (
                SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM (
