@@ -5,8 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** The library façade — the one import a user of the reference needs to
   * switch engines. Everything here is a thin delegation to the module
   * that owns the implementation; the full per-operator query registry
-  * (117 queries: 112 DuckDB-oracle-gated, 5 approximate rows-only)
-  * stays on [[SparkEntry]].
+  * stays on [[SparkEntry]] (auto-documented in REGISTRY.md via
+  * `sbt "runMain RegistryDoc"`).
   *
   * ```scala
   * val spark = Graft.session()

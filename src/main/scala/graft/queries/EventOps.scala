@@ -502,6 +502,31 @@ object EventOps {
           .orderBy(col("event_type")),
       None
     ),
+    // --------------------------------------------------------------- q120
+    // Hopping (sliding) windows: 1-hour windows every 15 minutes — each
+    // event lands in 4 overlapping windows (window() plans an Expand of
+    // exactly windowDuration/slideDuration rows, a bounded narrow
+    // fan-out, then the usual partial+final aggregation). The oracle
+    // explodes the same 4 offsets per event. Tumbling q30 is the
+    // degenerate slide == width case.
+    QueryDef(
+      "q120_hopping_window",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("w_start"), col("event_type")),
+      Some("""WITH x AS (
+               SELECT event_type, value,
+                 CAST(date_trunc('hour', ts - INTERVAL (k * 15) MINUTE)
+                   + INTERVAL (CAST(date_part('minute', ts - INTERVAL (k * 15) MINUTE) AS BIGINT) // 15 * 15) MINUTE
+                   AS TIMESTAMP) AS w_start
+               FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+             SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             FROM x GROUP BY w_start, event_type ORDER BY w_start, event_type""")
+    ),
     // --------------------------------------------------------------- q113
     // Re-aggregatable sketch rollup — the at-scale distinct-count
     // pattern: build small per-(type, hour) HLL sketches once (Spark 4's
