@@ -527,6 +527,48 @@ object EventOps {
              SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              FROM x GROUP BY w_start, event_type ORDER BY w_start, event_type""")
     ),
+    // --------------------------------------------------------------- q121
+    // Multi-touch linear attribution: each purchase's value is split
+    // equally across the user's clicks in the preceding hour (the
+    // marketing-analytics counterpart of the as-of join's last-touch
+    // q36). Same interval-join shape as q95; the credit division is
+    // value/n — rounded, engine-identical. Purchases with no preceding
+    // click keep full self-credit (n_touches = 0).
+    QueryDef(
+      "q121_attribution",
+      (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"), col("value"))
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        purchases
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"),
+            "left_outer"
+          )
+          .groupBy(col("p_id"), col("value"))
+          .agg(count(col("c_ts")).as("n_touches"))
+          .select(
+            col("p_id"),
+            col("n_touches"),
+            round(col("value") / greatest(col("n_touches"), lit(1L)), 6).as("credit_per_touch")
+          )
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT a.event_id AS p_id, count(b.ts) AS n_touches,
+               round(a.value / greatest(count(b.ts), 1), 6) AS credit_per_touch
+             FROM events a LEFT JOIN events b
+               ON a.user_id = b.user_id AND b.event_type = 'click'
+               AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+             WHERE a.event_type = 'purchase'
+             GROUP BY a.event_id, a.value ORDER BY p_id""")
+    ),
     // --------------------------------------------------------------- q113
     // Re-aggregatable sketch rollup — the at-scale distinct-count
     // pattern: build small per-(type, hour) HLL sketches once (Spark 4's
