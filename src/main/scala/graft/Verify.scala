@@ -6,15 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's canonical session (extensions registered, AQE, task
+    // retry, UTC, nanos handling) — the gate must verify the same
+    // environment the library ships, including SQL-registered functions
+    val spark = Engine.session("verify")
     new java.io.File(outDir).mkdirs()
     // Optional focus list for local iteration (same contract as Bench):
     // SPARK_GRAFT_ONLY=q100,q101 runs only queries with those prefixes.

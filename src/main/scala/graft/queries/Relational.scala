@@ -774,6 +774,39 @@ object Relational {
              SELECT c_mktsegment, custkey, n_orders, total, rk FROM r
              WHERE rk <= 5 ORDER BY c_mktsegment, rk""")
     ),
+    // --------------------------------------------------------------- q122
+    // The custom Catalyst expressions through the SQL front door: a pure
+    // spark.sql query calling graft_nfc and graft_dot as SQL functions
+    // (registered by GraftExtensions — this query gate-proves the
+    // SessionExtensions path, not just the Column API). The appended
+    // decomposed "cafe" + combining-acute composes under NFC; the dot
+    // product runs the codegen'd loop; both mirror exactly in DuckDB
+    // (nfc_normalize; sequential list_zip sum).
+    QueryDef(
+      "q122_sql_native_funcs",
+      (s, dir) => {
+        Engine.table(s, dir, "documents").createOrReplaceTempView("documents_v")
+        Engine.table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+        val comb = "\u0301" // combining acute, kept as an escape so no
+        // editor/linter can silently NFC-normalize the source literal
+        s.sql(s"""
+          SELECT d.doc_id,
+            md5(graft_nfc(d.text || ' cafe$comb')) AS nfc_md5,
+            round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+                            CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2
+          FROM documents_v d JOIN embeddings_v e ON d.doc_id = e.vec_id
+          ORDER BY d.doc_id
+        """)
+      },
+      Some(s"""SELECT d.doc_id,
+               md5(nfc_normalize(d.text || ' cafe' || chr(769))) AS nfc_md5,
+               round(list_sum(list_transform(
+                 list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))),
+                 x -> x[1] * x[2])), 6) AS norm2
+             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+             ORDER BY d.doc_id""")
+    ),
     // ---------------------------------------------------------------- q66
     // Band (non-equi range) join: bucket customers into balance tiers via
     // lo <= bal < hi against a tiny inline dimension. Broadcast makes the
