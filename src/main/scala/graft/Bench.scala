@@ -14,16 +14,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the canonical engine session (extensions registered, AQE, task
+    // retry, UTC, nanos handling) — benchmarks must measure the same
+    // environment the library ships, and q122 needs the SQL-registered
+    // functions
+    val spark = Engine.session("bench")
 
     // warmup: touch every table + one shuffle to JIT common paths
     Seq("region", "nation", "customer", "supplier", "part", "orders",
