@@ -569,6 +569,48 @@ object EventOps {
              WHERE a.event_type = 'purchase'
              GROUP BY a.event_id, a.value ORDER BY p_id""")
     ),
+    // --------------------------------------------------------------- q123
+    // Event-transition matrix (the Markov view of user journeys): per
+    // user, order events by time and count (state -> next state) pairs,
+    // then the row-normalized transition probability — int/int division,
+    // engine-exact. One window (lead over the user partition) + one
+    // aggregation; the per-user sequence never leaves its partition.
+    QueryDef(
+      "q123_transition_matrix",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Engine
+          .table(s, dir, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+        trans
+          .join(totals, "from_type")
+          .select(
+            col("from_type"),
+            col("to_type"),
+            col("n"),
+            round(col("n").cast("double") / col("row_n"), 6).as("p")
+          )
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH t AS (
+               SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+               FROM events),
+             tr AS (SELECT from_type, to_type, count(*) AS n FROM t
+                    WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             rt AS (SELECT from_type, sum(n) AS row_n FROM tr GROUP BY from_type)
+             SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+               round(CAST(tr.n AS DOUBLE) / rt.row_n, 6) AS p
+             FROM tr JOIN rt ON tr.from_type = rt.from_type
+             ORDER BY tr.from_type, to_type""")
+    ),
     // --------------------------------------------------------------- q113
     // Re-aggregatable sketch rollup — the at-scale distinct-count
     // pattern: build small per-(type, hour) HLL sketches once (Spark 4's
