@@ -35,11 +35,18 @@ object Bench {
     // reported as -1 and listed under "errors" — never as a normal time.
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // codegen warmup
+      Engine.releaseScratch(spark) // warmup's checkpoint blocks must not skew the timed run
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timer: cleanup is bookkeeping, not query cost — but
+      // without it checkpoint blocks accumulate across the whole run and
+      // every later query pays for them (r2: pure unchanged plans ran
+      // 4-12x slower late in the lexicographic order)
+      Engine.releaseScratch(spark)
+      (name, dt, ok)
     }
     // The driver captures only the LAST ~2000 chars of stdout, so the JSON
     // line must stay compact: short keys (the qNN prefix — unique across the

@@ -41,6 +41,23 @@ object Engine {
     spark
   }
 
+  /** Release every scratch materialization left behind by consumed query
+    * results: lazily-localCheckpoint-ed plans (they persist their RDD in
+    * the block manager on first action and stay registered until GC'd —
+    * the ContextCleaner only reclaims them after a full JVM GC notices
+    * the dead reference) and cached plans. Call after a query's result
+    * has been fully consumed (written / counted). A long-lived session
+    * that runs many queries without this accumulates block-manager state
+    * without bound — on a real cluster that is executor storage memory
+    * stolen from execution until eviction kicks in, and measurably slower
+    * queries; in the bench it contaminated every query that ran after a
+    * checkpoint-heavy one.
+    */
+  def releaseScratch(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Load one of the driver-generated parquet tables under `dir`.
     * Single-file parquet locally; the same call works on a partitioned
     * directory at cluster scale (partition pruning comes for free).

@@ -437,10 +437,11 @@ object DedupOps {
             count(lit(1)).as("n_tiles"),
             sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_tiles")
           )
-          .withColumn(
-            "dup_frac",
-            round(col("n_dup_tiles").cast("double") / col("n_tiles"), 6)
-          )
+          // parts-per-million by INTEGER division: round(nd/nt, 6) on
+          // doubles is not engine-exact (Spark rounds the shortest decimal
+          // repr via BigDecimal, DuckDB rounds the binary double — boundary
+          // fractions flip the last digit); (nd * 1e6) div nt is
+          .withColumn("dup_ppm", expr("(n_dup_tiles * 1000000) div n_tiles"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (
@@ -455,8 +456,8 @@ object DedupOps {
              dup AS (SELECT tile FROM tiles GROUP BY tile HAVING count(DISTINCT doc_id) >= 2)
              SELECT t.doc_id, count(*) AS n_tiles,
                sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_tiles,
-               round(CAST(sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS dup_frac
+               CAST(sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS dup_ppm
              FROM tiles t LEFT JOIN dup d USING (tile)
              GROUP BY t.doc_id ORDER BY t.doc_id""")
     ),

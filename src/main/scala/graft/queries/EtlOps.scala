@@ -48,6 +48,9 @@ object EtlOps {
     * magnitudes), %13=0 re-inserted under a shifted key range. One
     * derivation so the closure property q109 proves (apply(old,
     * diff(old, new)) == new) cannot drift between the two queries.
+    * The re-insert shift is 2^40 — far above any reachable o_orderkey
+    * (~6M * SF), so shifted keys can never collide with genuine ones
+    * at any scale factor this would run at.
     */
   private def snapshotChanges(
       s: org.apache.spark.sql.SparkSession,
@@ -59,7 +62,7 @@ object EtlOps {
     val neu = old
       .filter(col("k") % 7 =!= 0)
       .withColumn("p", when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")))
-      .union(old.filter(col("k") % 13 === 0).select((col("k") + 10000000L).as("k"), col("p")))
+      .union(old.filter(col("k") % 13 === 0).select((col("k") + (1L << 40)).as("k"), col("p")))
     val changes = old
       .as("o")
       .join(neu.as("n"), col("o.k") === col("n.k"), "full_outer")
@@ -133,7 +136,7 @@ object EtlOps {
                SELECT k, CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p
                FROM old WHERE k % 7 <> 0
                UNION ALL
-               SELECT k + 10000000, p FROM old WHERE k % 13 = 0),
+               SELECT k + 1099511627776, p FROM old WHERE k % 13 = 0),
              d AS (
                SELECT coalesce(o.k, n.k) AS o_orderkey,
                  CASE WHEN o.k IS NULL THEN 'insert'
@@ -173,7 +176,7 @@ object EtlOps {
                SELECT k, CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p
                FROM old WHERE k % 7 <> 0
                UNION ALL
-               SELECT k + 10000000, p FROM old WHERE k % 13 = 0)
+               SELECT k + 1099511627776, p FROM old WHERE k % 13 = 0)
              SELECT k AS o_orderkey, p AS o_totalprice FROM neu ORDER BY k""")
     ),
     // --------------------------------------------------------------- q111
@@ -313,10 +316,22 @@ object EtlOps {
           .groupBy(col("o_orderpriority"))
           .agg(
             count(lit(1)).as("n"),
-            round(avg(col("o_totalprice")), 2).as("raw_avg"),
-            round(avg(col("clipped")), 2).as("wins_avg"),
+            // exact integer cents, averaged by integer division: summing
+            // doubles is order-sensitive across partitions and round(avg,2)
+            // is rounded differently by Spark (shortest-decimal BigDecimal)
+            // vs DuckDB (binary double), so the last digit can flip; cents
+            // as BIGINT are associative and div is engine-identical
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("raw_cents"),
+            sum(expr("CAST(round(clipped * 100) AS BIGINT)")).as("wins_cents"),
             sum((col("o_totalprice") < col("p05") || col("o_totalprice") > col("p95"))
               .cast("long")).as("n_clipped")
+          )
+          .select(
+            col("o_orderpriority"),
+            col("n"),
+            expr("raw_cents div n").as("raw_avg_cents"),
+            expr("wins_cents div n").as("wins_avg_cents"),
+            col("n_clipped")
           )
           .orderBy(col("o_orderpriority"))
       },
@@ -332,8 +347,10 @@ object EtlOps {
                  max(CASE WHEN rn = greatest(1, (95 * n) // 100) THEN o_totalprice END) AS p95
                FROM r GROUP BY o_orderpriority)
              SELECT o.o_orderpriority, count(*) AS n,
-               round(avg(o_totalprice), 2) AS raw_avg,
-               round(avg(least(greatest(o_totalprice, p05), p95)), 2) AS wins_avg,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+                 AS BIGINT) AS raw_avg_cents,
+               CAST(sum(CAST(round(least(greatest(o_totalprice, p05), p95) * 100) AS BIGINT))
+                 // count(*) AS BIGINT) AS wins_avg_cents,
                sum(CAST(o_totalprice < p05 OR o_totalprice > p95 AS BIGINT)) AS n_clipped
              FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
              GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")

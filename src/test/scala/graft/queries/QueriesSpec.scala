@@ -354,9 +354,9 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (nt, nd) = (r.getAs[Long]("n_tiles"), r.getAs[Long]("n_dup_tiles"))
       assert(nt >= 1 && nd >= 0 && nd <= nt)
-      assert(math.abs(r.getAs[Double]("dup_frac") - math.round(nd.toDouble / nt * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[Long]("dup_ppm") == nd * 1000000L / nt)
     }
-    val frac = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    val ppm = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_ppm")).toMap
     // docs whose full text appears in >= 2 docs must be fully tiled-duplicated
     // (none exist at the tiniest SF — the property is vacuous there)
     graft.Engine
@@ -367,8 +367,8 @@ class QueriesSpec extends AnyFunSuite {
       .select(explode(col("ids")).as("doc_id"))
       .collect()
       .map(_.getAs[Long]("doc_id"))
-      .filter(frac.contains)
-      .foreach(id => assert(frac(id) == 1.0, s"exact-dup doc $id has dup_frac ${frac(id)}"))
+      .filter(ppm.contains)
+      .foreach(id => assert(ppm(id) == 1000000L, s"exact-dup doc $id has dup_ppm ${ppm(id)}"))
   }
 
   test("q101 pagerank: mass is conserved (sum == node count) and floor respected") {
