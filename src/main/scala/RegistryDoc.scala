@@ -1,14 +1,52 @@
 /** Generates REGISTRY.md — the auto-derived query-registry table, so the
   * documented inventory can never drift from `SparkEntry` (regenerate
   * with `sbt "runMain RegistryDoc"`).
+  *
+  * Correctness labels come from the LATEST driver gate file
+  * (CORRECTNESS_r*.json), not from the mere presence of an oracle — a
+  * query that failed its hash gate must read as red until a gate run
+  * proves otherwise, and a query added since the last gate reads as
+  * pending.
   */
 object RegistryDoc {
   def main(args: Array[String]): Unit = {
     val oracles = graft.SparkEntry.oracleSql.keySet
+    val gateFiles = new java.io.File(".")
+      .listFiles
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+      .sortBy(_.getName)
+    val gateName = gateFiles.lastOption.map(_.getName).getOrElse("none yet")
+    // tristate per query: true/false = gate verdict; absent = the gate
+    // never hash-checked it (new query, or it was rows-only back then —
+    // "hash_match": null)
+    val gate: Map[String, Boolean] = gateFiles.lastOption
+      .map { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        """"(q\w+)":\s*\{([^}]*)\}""".r
+          .findAllMatchIn(txt)
+          .flatMap { m =>
+            """"hash_match":\s*(true|false)""".r
+              .findFirstMatchIn(m.group(2))
+              .map(h => m.group(1) -> (h.group(1) == "true"))
+          }
+          .toMap
+      }
+      .getOrElse(Map.empty)
+    var nRed = 0
+    var nPending = 0
     val rows = graft.SparkEntry.allDefs
       .sortBy(_.name)
       .map { d =>
-        val check = if (oracles(d.name)) "DuckDB hash-match" else "rows-only (approx; spec-tested)"
+        val check =
+          if (!oracles(d.name)) "rows-only (approx by design; accuracy spec-tested)"
+          else
+            gate.get(d.name) match {
+              case Some(true) => s"DuckDB hash-match (verified in $gateName)"
+              case Some(false) =>
+                nRed += 1; s"**ORACLE MISMATCH** in $gateName"
+              case None =>
+                nPending += 1; "DuckDB hash-match oracle (added since last gate — pending)"
+            }
         s"| `${d.name}` | $check |"
       }
     val md =
@@ -16,14 +54,17 @@ object RegistryDoc {
          |
          |${graft.SparkEntry.queries.size} queries; ${oracles.size} oracle-gated,
          |${graft.SparkEntry.queries.size - oracles.size} rows-only (approximate by
-         |design, accuracy-tested in specs). See COVERAGE.md for the
-         |operator narrative and SURVEY.md §2 for the reference inventory.
+         |design, accuracy-tested in specs). Gate status read from `$gateName`
+         |($nRed mismatch, $nPending pending); a red row fixed after that gate
+         |stays red here until the next driver gate regenerates this file.
+         |See COVERAGE.md for the operator narrative and SURVEY.md §2 for the
+         |reference inventory.
          |
          || query | correctness check |
          ||---|---|
-         |${rows.mkString("\n")}
+         |${rows.mkString("\n         |")}
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("REGISTRY.md"), md)
-    println(s"REGISTRY.md written: ${rows.size} rows")
+    println(s"REGISTRY.md written: ${rows.size} rows ($nRed mismatch, $nPending pending vs $gateName)")
   }
 }

@@ -352,7 +352,7 @@ object DedupOps {
     // embeddings table, in one declarative plan. Each stage contributes
     // a keep/drop set; semi/anti joins intersect them. At 100 TB every
     // stage keeps its shape: narrow maps for scoring, bucket-key shuffles
-    // for LSH, label-blocked (or ANN-bucketed) pairs for embeddings.
+    // for LSH, ANN-bucketed candidate pairs for embeddings.
     QueryDef(
       "q99_curate",
       (s, dir) => {
@@ -368,7 +368,8 @@ object DedupOps {
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
         val nearDrop = minhashPairs(s, dir).select(col("id_b")).distinct()
-        // same drop set (and threshold) as q57 — single source of truth
+        // same ANN-bucketed drop set (and threshold) as q57 — single
+        // source of truth; candidates from band collisions, exact verify
         val embDrop = SimilarityOps.embDropIds(s, dir)
         docs
           .join(quality, Seq("doc_id"), "left_semi")
@@ -386,10 +387,7 @@ object DedupOps {
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
                FROM embeddings),
-             embp AS (SELECT b.vec_id AS id_b FROM temb a JOIN temb b
-               ON a.label = b.label AND a.vec_id < b.vec_id
-               WHERE round(list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))
-                     / sqrt(a.n2 * b.n2), 6) >= 0.45)
+             ${SimilarityOps.embDropSql("temb")}
              SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
              FROM documents d
              WHERE d.doc_id IN (SELECT doc_id FROM q)

@@ -85,4 +85,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q57: embedding dedup joins on band buckets, never a label-only self-join") {
+    val p = plan("q57_embedding_dedup")
+    // candidate generation must key the join on the (label, band, value)
+    // bucket — an equi-join containing the band columns; a label-only
+    // self-join (the O(n^2/labels) all-pairs shape) would show a join
+    // whose only equality key is the label
+    assert(p.contains("band"), p.take(3000))
+    // every equi-join keyed on label must also carry the band/value keys
+    val joinKeyLists =
+      """(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)(?:\w*)? \[([^\]]*)\]""".r
+        .findAllMatchIn(p)
+        .map(_.group(1))
+        .toList
+    assert(joinKeyLists.nonEmpty, p.take(2000))
+    joinKeyLists.filter(_.contains("label")).foreach { keys =>
+      assert(
+        keys.contains("band") || keys.contains("bv"),
+        s"label-only join keys: $keys in\n${p.take(2000)}"
+      )
+    }
+  }
 }

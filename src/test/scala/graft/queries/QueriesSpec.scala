@@ -215,6 +215,29 @@ class QueriesSpec extends AnyFunSuite {
     dropped.foreach(id => assert(!kept.contains(id), s"vec $id should have been dropped"))
   }
 
+  test("banded embedding-dedup: no false drops; full recall at the gate SF; recall pinned at sf0.1") {
+    // the correctness gate compares the banded operator to a banded
+    // oracle (exact by construction); this test pins the APPROXIMATION
+    // quality against the all-pairs baseline: at the gate SF the banded
+    // drop set must EQUAL the exact one, and at sf0.1 recall must stay
+    // above the floor measured when the banding was tuned (0.8 with
+    // 8 bands x 4 bits at threshold 0.45 — see SimilarityOps scaladoc).
+    val d01 = "/root/testdata/sf0.01"
+    val banded01 = SimilarityOps.embDropIds(spark, d01).collect().map(_.getLong(0)).toSet
+    val exact01 = SimilarityOps.embDropIdsExact(spark, d01).collect().map(_.getLong(0)).toSet
+    assert(banded01 == exact01, s"sf0.01 banded=$banded01 exact=$exact01")
+    val d1 = "/root/testdata/sf0.1"
+    val banded1 = SimilarityOps.embDropIds(spark, d1).collect().map(_.getLong(0)).toSet
+    val exact1 = SimilarityOps.embDropIdsExact(spark, d1).collect().map(_.getLong(0)).toSet
+    // verified candidates are a subset of true threshold pairs by
+    // construction — banded dedup can under-drop, never over-drop
+    assert(banded1.subsetOf(exact1))
+    val recall =
+      if (exact1.isEmpty) 1.0 else banded1.intersect(exact1).size.toDouble / exact1.size
+    info(f"sf0.1 drop-set recall = $recall%.2f (${banded1.size}/${exact1.size})")
+    assert(recall >= 0.6, f"banded drop-set recall degraded: $recall%.2f")
+  }
+
   test("q59 repetition fractions are in (0, 1]") {
     val rows = graft.SparkEntry.queries("q59_repetition_stats")(spark, dir).collect()
     assert(rows.nonEmpty)
