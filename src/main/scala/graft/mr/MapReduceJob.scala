@@ -95,11 +95,15 @@ object MapReduceJob {
     }
   }
 
-  /** Run a full map -> sort/group -> reduce job. Returns the output files
-    * (exactly numReducers, named outputfileNN like
-    * `mapreduce/manager/__main__.py:486-487`).
+  /** Map + group stages: the sorted, key-partitioned intermediate RDD
+    * (the content of the reference's grouper-output). Also returns the
+    * persisted map-stage RDD to unpersist after materialization (parity
+    * mode only).
     */
-  def run(spark: SparkSession, spec: JobSpec): Seq[File] = {
+  private def groupedRdd(
+      spark: SparkSession,
+      spec: JobSpec
+  ): (org.apache.spark.rdd.RDD[(String, Null)], Option[org.apache.spark.rdd.RDD[String]]) = {
     val sc = spark.sparkContext
 
     // --- source: sorted file listing, round-robined into numMappers
@@ -143,24 +147,60 @@ object MapReduceJob {
     val grouped = mapped
       .map(l => (l, null))
       .repartitionAndSortWithinPartitions(partitioner)
+    (grouped, if (spec.parityPartitioning) Some(mapped) else None)
+  }
+
+  /** Materialize an RDD's partitions as exactly `n` sequentially-named
+    * files under `outDir` (empty partitions still produce files —
+    * test_integration_03.py:79).
+    */
+  private def saveNumbered(
+      rdd: org.apache.spark.rdd.RDD[String],
+      n: Int,
+      outDir: String,
+      prefix: String
+  ): Seq[File] = {
+    val tmpOut = Files.createTempDirectory("graft-mr-").toString + "/out"
+    rdd.saveAsTextFile(tmpOut)
+    new File(outDir).mkdirs()
+    (0 until n).map { i =>
+      val part = Paths.get(tmpOut, f"part-$i%05d")
+      val dest = Paths.get(outDir, f"$prefix${i + 1}%02d")
+      if (Files.exists(part)) Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      else Files.write(dest, Array.emptyByteArray)
+      dest.toFile
+    }
+  }
+
+  /** Run a full map -> sort/group -> reduce job. Returns the output files
+    * (exactly numReducers, named outputfileNN like
+    * `mapreduce/manager/__main__.py:486-487`).
+    */
+  def run(spark: SparkSession, spec: JobSpec): Seq[File] = {
+    val (grouped, toRelease) = groupedRdd(spark, spec)
 
     // --- reduce stage: one external process per sorted partition (O6)
     val reducerCmd = spec.reducerCmd
     val reduced = grouped.mapPartitions(it => Pipes.pipePartition(reducerCmd, it.map(_._1)))
 
-    // --- sink: exactly numReducers files named outputfileNN (S4);
-    // empty partitions still produce files (test_integration_03.py:79)
-    val tmpOut = Files.createTempDirectory("graft-mr-").toString + "/out"
-    reduced.saveAsTextFile(tmpOut)
-    if (spec.parityPartitioning) mapped.unpersist(blocking = false)
-    val outDir = new File(spec.outputDir)
-    outDir.mkdirs()
-    (0 until spec.numReducers).map { i =>
-      val part = Paths.get(tmpOut, f"part-$i%05d")
-      val dest = Paths.get(spec.outputDir, f"outputfile${i + 1}%02d")
-      if (Files.exists(part)) Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-      else Files.write(dest, Array.emptyByteArray)
-      dest.toFile
-    }
+    // --- sink: exactly numReducers files named outputfileNN (S4)
+    val out = saveNumbered(reduced, spec.numReducers, spec.outputDir, "outputfile")
+    toRelease.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Map + group only, written as the reference's grouper-output files
+    * `reduceNN` (`tmp/job-N/grouper-output/reduce01..` —
+    * `mapreduce/manager/__main__.py:409-437`): each file is one key
+    * partition, lines fully sorted under codepoint order. This is the S3
+    * per-file intermediate sink surface; with `parityPartitioning=true`
+    * the files replay the reference's grouping byte-for-byte (pinned
+    * against the test_manager_08 goldens in MapReduceSpec).
+    */
+  def mapAndGroup(spark: SparkSession, spec: JobSpec, groupOutDir: String): Seq[File] = {
+    val (grouped, toRelease) = groupedRdd(spark, spec)
+    val out = saveNumbered(grouped.map(_._1), spec.numReducers, groupOutDir, "reduce")
+    toRelease.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -79,18 +79,17 @@ object CurationOps {
     QueryDef(
       "q64_decontaminate",
       (s, dir) => {
-        // materialized once (lazily — plan audits/EXPLAIN must not run
-        // the job at plan-build time): both the bench and train branches
-        // read the exploded shingle rows, and only the raw-text exchange
-        // (not the expensive shingle transform) would be reused without
-        // a barrier
-        val sh = shingleRows5(Engine.table(s, dir, "documents")).localCheckpoint(eager = false)
-        val bench = sh
-          .filter(col("source") === "src0")
+        val docs = Engine.table(s, dir, "documents")
+        // Each side shingles only ITS documents, so the corpus-sized
+        // train side streams through the broadcast semi-join with no
+        // materialization anywhere — a train-side checkpoint (as this
+        // query once had) would be a corpus-sized write at 100 TB. The
+        // benchmark side is small by construction (a held-out eval set)
+        // and is consumed exactly once, by the broadcast build.
+        val bench = shingleRows5(docs.filter(col("source") === "src0"))
           .select(col("sg"))
           .distinct()
-        val train = sh
-          .filter(col("source") =!= "src0")
+        val train = shingleRows5(docs.filter(col("source") =!= "src0"))
           .select(col("doc_id"), col("sg"))
         train
           .join(broadcast(bench), "sg")
