@@ -45,6 +45,43 @@ object Layout {
     spark.read.parquet(outDir)
   }
 
+  /** Deterministic, engine-portable training-shard assignment: two hex
+    * nibbles of md5(key) -> [0, 256) -> mod nShards. Built from ascii()
+    * arithmetic only, so a manifest computed by any engine (the DuckDB
+    * oracle, a downstream loader) agrees byte-for-byte with the writer —
+    * the property a training-data export needs so shard manifests can be
+    * recomputed independently of the engine that wrote the shards.
+    */
+  def shardOf(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
+    val h = md5(key.cast("string"))
+    def nibble(c: Column): Column =
+      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+    pmod(nibble(substring(h, 1, 1)) * 16 + nibble(substring(h, 2, 1)), lit(nShards))
+  }
+
+  /** Write `in` as hive-partitioned training shards (`shard=NN/`) keyed
+    * by `shardOf(key)` — the export step of a curation pipeline. One
+    * shuffle on the shard id; each shard directory is independently
+    * consumable (the property a data loader wants: workers claim whole
+    * shards). Returns the read-back.
+    */
+  def writeShards(
+      spark: SparkSession,
+      in: DataFrame,
+      outDir: String,
+      key: Column,
+      nShards: Int
+  ): DataFrame = {
+    in.withColumn("shard", shardOf(key, nShards))
+      .repartition(col("shard"))
+      .write
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Z-order value for two non-negative integer columns: the low `bits`
     * bits of each are interleaved (a in even positions, b in odd).
     * Values must fit in `bits` bits (caller scales/buckets first) —

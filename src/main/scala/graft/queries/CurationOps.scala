@@ -357,6 +357,51 @@ object CurationOps {
                CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
                md5(nfc_normalize(raw)) AS nfc_md5
              FROM p ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q125
+    // Training-shard manifest — the export-planning step of a curation
+    // pipeline: every document is assigned a deterministic shard
+    // (Layout.shardOf: md5-nibble arithmetic, engine-portable so a
+    // loader can recompute assignments independently), and the manifest
+    // reports per-(lang, shard) document/token/char volumes — what a
+    // trainer reads to balance data-parallel workers. One narrow map +
+    // one hash-agg shuffle at any scale; the physical shard write is
+    // Layout.writeShards (LayoutSpec pins count preservation and
+    // manifest agreement).
+    QueryDef(
+      "q125_shard_manifest",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(
+            col("lang"),
+            graft.operators.Layout.shardOf(col("doc_id"), 16).as("shard"),
+            size(Tokenize.toksExpr).cast("long").as("ntok"),
+            col("n_chars")
+          )
+          .groupBy(col("lang"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars")
+          )
+          .orderBy(col("lang"), col("shard")),
+      Some(s"""WITH t AS (
+               SELECT lang, n_chars,
+                 ${Tokenize.toksSql} AS toks,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+             sh AS (
+               SELECT lang, n_chars, len(toks) AS ntok,
+                 ((CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
+                        ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
+                + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
+                        ELSE ascii(substr(h, 2, 1)) - 87 END)) % 16 AS shard
+               FROM t)
+             SELECT lang, shard, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+             FROM sh GROUP BY lang, shard ORDER BY lang, shard""")
     )
   )
 }

@@ -100,4 +100,26 @@ class LayoutSpec extends AnyFunSuite {
       assert(deinterleave(z, 0) == a && deinterleave(z, 1) == b, s"z($a,$b)=$z")
     }
   }
+
+  test("training shards: write is partition-complete and loader-recomputable") {
+    val docs = Engine.table(spark, dir, "documents")
+    val out = tmp("layout-shards-")
+    val back = Layout.writeShards(spark, docs, out, col("doc_id"), 8)
+    assert(back.count() == docs.count())
+    // exactly 8 hive-partitioned shard directories, all non-empty
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == (0 until 8).map(i => s"shard=$i").toSet)
+    // per-shard counts equal an independent recomputation of the
+    // assignment — the "loader can recompute the manifest" property
+    val want = docs
+      .select(Layout.shardOf(col("doc_id"), 8).as("shard"))
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got8 = back
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getLong(1)).toMap
+    assert(got8 == want)
+    // assignment is a function of the key: no doc lands in two shards
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
 }

@@ -199,6 +199,34 @@ class MapReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("Submit accepts the reference's JSON job message and runs it (CLI surface)") {
+    // the manager's new_manager_job message, field-for-field
+    // (mapreduce/submit.py:68-76)
+    val out = Files.createTempDirectory("mr-submit-").toString
+    val msg = s"""{
+      "message_type": "new_manager_job",
+      "input_directory": "$ref/tests/testdata/input",
+      "output_directory": "$out",
+      "mapper_executable": "$ref/tests/testdata/exec/wc_map.sh",
+      "reducer_executable": "$ref/tests/testdata/exec/wc_reduce.sh",
+      "num_mappers": 2,
+      "num_reducers": 2
+    }"""
+    val spec = Submit.parseJob(msg)
+    assert(spec.numMappers == 2 && spec.numReducers == 2)
+    assert(spec.inputDir.endsWith("tests/testdata/input"))
+    val files = MapReduceJob.run(spark, spec)
+    assert(sortedLines(files) == golden("word_count_correct.txt"))
+    // defaults match submit.py's when fields are absent
+    val dflt = Submit.parseJob("""{"message_type": "new_manager_job"}""")
+    assert(dflt.numMappers == 4 && dflt.numReducers == 1)
+    assert(dflt.mapperCmd == "tests/testdata/exec/wc_map.sh")
+    // flag form mirrors the CLI options
+    val parsed = Submit.parseArgs(Seq("-i", "a", "-o", "b", "-m", "m.sh", "-r", "r.sh",
+      "--nmappers", "3", "--nreducers", "5"))
+    assert(parsed == Seq(JobSpec("a", "b", "m.sh", "r.sh", 3, 5)))
+  }
+
   test("legacy key extraction (rsplit quirk) still yields golden grep output") {
     // grep emits `1\tsome line text`; the reference's group key is the
     // line minus its last space-word (manager/__main__.py:432-434).
