@@ -517,6 +517,181 @@ object DedupOps {
              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
                AND bit_count(xor(a.simhash, b.simhash)) <= 3
              ORDER BY id_a, id_b""")
+    ),
+    // --------------------------------------------------------------- q126
+    // Incremental dedup — the daily-crawl shape: dedupe a NEW batch
+    // (docs with doc_id % 5 = 0 stand in for today's arrivals) against
+    // the standing corpus's content-hash index (the rest), keeping only
+    // batch docs that are first-of-hash within the batch AND absent from
+    // history. At 100 TB the history side is a compact persisted hash
+    // index; the batch anti-joins against it on the hash key — one
+    // shuffle proportional to the BATCH, never a recluster of the
+    // corpus. This is what makes dedup sustainable day over day: q50
+    // recomputes the world, q126 only touches the delta.
+    QueryDef(
+      "q126_incremental_dedup",
+      (s, dir) => {
+        val docs = Engine
+          .table(s, dir, "documents")
+          .withColumn("h", md5(col("text")))
+        val hist = docs.filter(col("doc_id") % 5 =!= 0).select(col("h")).distinct()
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        batch
+          .join(firstInBatch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .join(hist, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
+             hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+             b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             f AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
+             SELECT b.doc_id, b.lang, b.source FROM b
+             WHERE b.doc_id IN (SELECT doc_id FROM f)
+               AND b.h NOT IN (SELECT h FROM hist)
+             ORDER BY b.doc_id""")
+    ),
+    // --------------------------------------------------------------- q127
+    // Curation drop-reasons report — the explainability side of q99:
+    // one row per (rejected doc, rule), over the SAME building blocks
+    // the pipeline uses (tokenizer/quality thresholds, exact-hash keep
+    // rule, MinHash-LSH verified pairs, ANN-bucketed embedding pairs).
+    // Production pipelines ship this table next to the curated corpus
+    // so every exclusion is auditable; a doc can appear under several
+    // reasons. Same shuffle economics as the stages it mirrors.
+    QueryDef(
+      "q127_drop_reasons",
+      (s, dir) => {
+        val docs = Engine.table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+        val tooShort = toks
+          .filter(size(col("toks")) < 20)
+          .select(col("doc_id"), lit("too_short").as("reason"))
+        val lowDiv = toks
+          .filter(size(array_distinct(col("toks"))) * 2 < size(col("toks")))
+          .select(col("doc_id"), lit("low_diversity").as("reason"))
+        val dh = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        val keep = dh.groupBy(col("h")).agg(min(col("doc_id")).as("k"))
+        val exactDup = dh
+          .join(keep, "h")
+          .filter(col("doc_id") =!= col("k"))
+          .select(col("doc_id"), lit("exact_dup").as("reason"))
+        val nearDup = minhashPairs(s, dir)
+          .select(col("id_b").as("doc_id"))
+          .distinct()
+          .select(col("doc_id"), lit("near_dup").as("reason"))
+        val embDup = SimilarityOps
+          .embDropIds(s, dir)
+          .select(col("id_b").as("doc_id"))
+          .distinct()
+          .select(col("doc_id"), lit("emb_near_dup").as("reason"))
+        Seq(tooShort, lowDiv, exactDup, nearDup, embDup)
+          .reduce(_.unionAll(_))
+          .orderBy(col("doc_id"), col("reason"))
+      },
+      Some(s"""$minhashPairsSql,
+             temb AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+               FROM embeddings),
+             ${SimilarityOps.embDropSql("temb")},
+             dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+             keep AS (SELECT h, min(doc_id) AS k FROM dh GROUP BY h)
+             SELECT doc_id, reason FROM (
+               SELECT doc_id, 'too_short' AS reason FROM t WHERE len(toks) < 20
+               UNION ALL
+               SELECT doc_id, 'low_diversity' FROM t
+               WHERE 2 * len(list_distinct(toks)) < len(toks)
+               UNION ALL
+               SELECT dh.doc_id, 'exact_dup' FROM dh JOIN keep ON dh.h = keep.h
+               WHERE dh.doc_id <> keep.k
+               UNION ALL
+               SELECT DISTINCT id_b, 'near_dup' FROM v
+               UNION ALL
+               SELECT DISTINCT id_b, 'emb_near_dup' FROM embp)
+             ORDER BY doc_id, reason""")
+    ),
+    // --------------------------------------------------------------- q128
+    // Boilerplate scrub — q100's diagnosis applied destructively (the
+    // CCNet/RefinedWeb passage-removal shape): every 10-token tile that
+    // occurs in >= 2 distinct docs is REMOVED from each doc, the
+    // remaining tiles (plus the <10-token tail) are stitched back in
+    // order, and the cleaned text is emitted as token count + md5 so the
+    // rewrite itself is hash-verified. Scale shape: tile hashing is a
+    // narrow map, commonness is ONE shuffle on the tile hash, and the
+    // rebuild is a per-doc local transform after a drop-index join —
+    // no quadratic step, corpus never materializes twice.
+    QueryDef(
+      "q128_boilerplate_scrub",
+      (s, dir) => {
+        val d = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+          // barrier: toks is reused by the tile explode AND the rebuild
+          .repartition(col("doc_id"))
+          .filter(size(col("toks")) >= 10)
+        val th = d.select(
+          col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(toks) div 10 - 1), " +
+              "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))"
+          )).as(Seq("i", "th"))
+        )
+        val common = th
+          .groupBy(col("th"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("th"))
+        val dropIdx = th
+          .join(common, "th")
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("i")).as("drop_i"))
+        d.join(dropIdx, Seq("doc_id"), "left")
+          .withColumn("drop_i", coalesce(col("drop_i"), typedLit(Array.empty[Int])))
+          .withColumn(
+            "kept",
+            expr(
+              """concat(
+                   flatten(transform(
+                     filter(sequence(0, size(toks) div 10 - 1),
+                            i -> NOT array_contains(drop_i, i)),
+                     i -> slice(toks, i * 10 + 1, 10))),
+                   slice(toks, (size(toks) div 10) * 10 + 1,
+                         size(toks) - (size(toks) div 10) * 10))"""
+            )
+          )
+          .select(
+            col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept_toks"),
+            size(col("drop_i")).cast("long").as("n_dropped_tiles"),
+            md5(concat_ws(" ", col("kept"))).as("clean_md5")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
+             th AS (SELECT doc_id, i, md5(array_to_string(toks[i*10+1 : i*10+10], ' ')) AS th
+               FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) // 10 - 1)) AS i FROM d)),
+             common AS (SELECT th FROM th GROUP BY th HAVING count(DISTINCT doc_id) >= 2),
+             di AS (SELECT doc_id, list(DISTINCT i) AS drop_i
+               FROM th JOIN common USING (th) GROUP BY doc_id),
+             r AS (SELECT d.doc_id,
+                 flatten(list_transform(
+                   list_filter(generate_series(0, len(d.toks) // 10 - 1),
+                     i -> NOT list_contains(coalesce(di.drop_i, CAST([] AS BIGINT[])), i)),
+                   i -> d.toks[i*10+1 : i*10+10]))
+                 || d.toks[(len(d.toks) // 10) * 10 + 1 :] AS kept,
+                 coalesce(len(di.drop_i), 0) AS nd
+               FROM d LEFT JOIN di USING (doc_id))
+             SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept_toks,
+               CAST(nd AS BIGINT) AS n_dropped_tiles,
+               -- array_to_string([]) is NULL in DuckDB but '' under
+               -- Spark's concat_ws — coalesce so a fully-scrubbed doc
+               -- hashes identically in both engines
+               md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+             FROM r ORDER BY doc_id""")
     )
   )
 

@@ -394,6 +394,32 @@ class QueriesSpec extends AnyFunSuite {
       .foreach(id => assert(ppm(id) == 1000000L, s"exact-dup doc $id has dup_ppm ${ppm(id)}"))
   }
 
+  test("q128 scrub conserves tokens and agrees with the q100 diagnosis") {
+    val toksLen = graft.Engine
+      .table(spark, dir, "documents")
+      .select(col("doc_id"), size(graft.queries.Tokenize.toksExpr).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n"))
+      .toMap
+    val scrub = graft.SparkEntry.queries("q128_boilerplate_scrub")(spark, dir).collect()
+    assert(scrub.nonEmpty)
+    scrub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // every dropped tile removes exactly 10 tokens; nothing else moves
+      assert(r.getAs[Long]("n_kept_toks") + 10 * r.getAs[Long]("n_dropped_tiles") == toksLen(id))
+    }
+    // a doc loses tiles iff q100 flags it as containing duplicated tiles
+    val dup = graft.SparkEntry
+      .queries("q100_passage_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tiles"))
+      .toMap
+    scrub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_dropped_tiles") > 0) == (dup(id) > 0), s"doc $id disagrees")
+    }
+  }
+
   test("q101 pagerank: mass is conserved (sum == node count) and floor respected") {
     val pr = graft.SparkEntry.queries("q101_pagerank")(spark, dir).collect()
     assert(pr.nonEmpty)
