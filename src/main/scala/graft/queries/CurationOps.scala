@@ -402,6 +402,109 @@ object CurationOps {
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
              FROM sh GROUP BY lang, shard ORDER BY lang, shard""")
+    ),
+    // --------------------------------------------------------------- q129
+    // Sequence packing — the sample-packing step of LLM training prep:
+    // documents are concatenated in deterministic export order (doc_id)
+    // and split into fixed 2048-token training sequences, docs crossing
+    // pack boundaries (the GPT-style packing that wastes no tokens on
+    // padding). Each doc's (pack_id, pack_offset) comes from an EXACT
+    // DISTRIBUTED prefix sum — the q89 machinery: range repartition on
+    // the order key, per-partition local cumsum, a ~32-row offset table
+    // broadcast back. Never a global single-partition window; scales to
+    // any corpus the range partitioner can split.
+    QueryDef(
+      "q129_sequence_pack",
+      (s, dir) => {
+        val packLen = 2048L
+        val st = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        val ranged = st
+          .repartitionByRange(32, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        // start offset = tokens BEFORE this doc (exclusive prefix sum)
+        val wLocal = Window
+          .partitionBy(col("pid"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = ranged
+          .withColumn("local_start", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local
+          .groupBy(col("pid"))
+          .agg(sum(col("n_tokens")).as("pt"))
+          .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+          .select(col("pid"), col("off"))
+        local
+          .join(broadcast(offsets), "pid")
+          .withColumn("start", col("local_start") + col("off"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            expr(s"start div $packLen").as("pack_id"),
+            (col("start") % packLen).as("pack_offset")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id,
+                 ${Tokenize.toksSql} AS toks
+               FROM documents),
+             st AS (SELECT doc_id, len(toks) AS nt FROM t),
+             c AS (
+               SELECT doc_id, nt,
+                 coalesce(sum(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+               FROM st)
+             SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+               CAST(s // 2048 AS BIGINT) AS pack_id,
+               CAST(s % 2048 AS BIGINT) AS pack_offset
+             FROM c ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q130
+    // Deterministic train/val/test split manifest: every doc lands in a
+    // split by the same engine-portable md5-nibble arithmetic as shard
+    // assignment (Layout.shardOf over 100 buckets: 0-89 train, 90-94
+    // val, 95-99 test), so any engine — and any future re-run — assigns
+    // identically with no stored split column. The manifest is the
+    // 3-row audit a training run records: per-split doc and token
+    // volumes. One narrow map + one tiny aggregation.
+    QueryDef(
+      "q130_split_manifest",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(
+            graft.operators.Layout.shardOf(col("doc_id"), 100).as("bucket"),
+            size(toksExpr).cast("long").as("ntok")
+          )
+          .withColumn(
+            "split",
+            when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test")
+          )
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .orderBy(col("split")),
+      Some(s"""WITH t AS (
+               SELECT ${Tokenize.toksSql} AS toks,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+             b AS (
+               SELECT len(toks) AS ntok,
+                 ((CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
+                        ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
+                + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
+                        ELSE ascii(substr(h, 2, 1)) - 87 END)) % 100 AS bucket
+               FROM t),
+             sp AS (
+               SELECT CASE WHEN bucket < 90 THEN 'train'
+                           WHEN bucket < 95 THEN 'val'
+                           ELSE 'test' END AS split, ntok
+               FROM b)
+             SELECT split, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+             FROM sp GROUP BY split ORDER BY split""")
     )
   )
 }

@@ -86,6 +86,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q129: sequence packing never plans a global single-partition window over the data") {
+    val p = plan("q129_sequence_pack")
+    // same contract as q89: data-bearing cumsum is keyed on pid after a
+    // range repartition; only the ~32-row offset table sorts globally
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q57: embedding dedup joins on band buckets, never a label-only self-join") {
     val p = plan("q57_embedding_dedup")
     // candidate generation must key the join on the (label, band, value)
