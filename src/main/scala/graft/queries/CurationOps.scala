@@ -505,6 +505,65 @@ object CurationOps {
                FROM b)
              SELECT split, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
              FROM sp GROUP BY split ORDER BY split""")
+    ),
+    // --------------------------------------------------------------- q131
+    // Mixture APPLICATION — the execution half of q108: each source's
+    // q108 sampling rate is applied as a DETERMINISTIC per-doc keep
+    // decision (doc kept iff its md5-nibble bucket in [0,256) falls
+    // under floor(rate*256)), so the sampled corpus is reproducible by
+    // any engine from the data alone — no RNG state, no stored sample
+    // column, stable under re-runs and backfills. Narrow map + broadcast
+    // of the tiny per-source rate table; nothing shuffles but the
+    // source aggregation that computes the rates.
+    QueryDef(
+      "q131_mixture_apply",
+      (s, dir) => {
+        val docs = Engine.table(s, dir, "documents")
+        val perSource = docs
+          .withColumn("toks", toksExpr)
+          .groupBy(col("source"))
+          .agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+        val totals = perSource.agg(
+          sum(col("n_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_sources")
+        )
+        val rates = perSource
+          .crossJoin(broadcast(totals))
+          .select(
+            col("source"),
+            round(
+              least(
+                lit(1.0),
+                col("total_tokens").cast("double") / (col("n_sources") * col("n_tokens"))
+              ),
+              6
+            ).as("rate")
+          )
+        docs
+          .join(broadcast(rates), "source")
+          .filter(
+            graft.operators.Layout.shardOf(col("doc_id"), 256) < floor(col("rate") * 256)
+          )
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ps AS (
+               SELECT source,
+                 CAST(sum(len(${Tokenize.toksSql})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                          count(*) AS n_sources FROM ps),
+             r AS (SELECT source,
+                 round(least(1.0, CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)), 6)
+                   AS rate
+               FROM ps CROSS JOIN t),
+             d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+             SELECT d.doc_id, d.source FROM d JOIN r USING (source)
+             WHERE ((CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
+                          ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
+                  + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
+                          ELSE ascii(substr(h, 2, 1)) - 87 END)) < floor(rate * 256)
+             ORDER BY d.doc_id""")
     )
   )
 }

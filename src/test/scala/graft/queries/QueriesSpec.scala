@@ -77,6 +77,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 multi-table LSH: recall@3 at least matches single-table q61") {
+    def top3(q: String): Map[Long, Set[Long]] =
+      graft.SparkEntry
+        .queries(q)(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+        .groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = graft.SparkEntry
+      .queries("q60_knn_bruteforce")(spark, dir)
+      .filter(col("rn") <= 3)
+      .collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cid"))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    def recall(ann: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, want) => ann.getOrElse(q, Set.empty).intersect(want).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val (single, multi) = (recall(top3("q61_ann_lsh")), recall(top3("q132_ann_multitable")))
+    info(f"recall@3: single-table=$single%.2f multi-table=$multi%.2f")
+    assert(multi >= single, f"OR-amplification regressed recall: $multi%.2f < $single%.2f")
+  }
+
   test("q63 IVF ANN returns ranked neighbors for probed lists only") {
     val ivf = graft.SparkEntry.queries("q63_ann_ivf")(spark, dir).collect()
     assert(ivf.nonEmpty)
