@@ -75,4 +75,49 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.text(out)
     assert(sortedRows(back) == sortedRows(src))
   }
+
+  test("malformed JSON: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST fails") {
+    // the schema-drift contract a 100 TB ingest needs: bad records must
+    // be quarantinable (audited via _corrupt_record), droppable, or
+    // fatal — chosen per pipeline, never silently coerced
+    val in = Files.createTempDirectory("graft-badjson-")
+    Files.writeString(
+      in.resolve("part0.json"),
+      """{"id": 1, "v": "a"}
+        |{"id": 2, "v": "b"}
+        |{broken json
+        |{"id": "not-a-number", "v": "c"}
+        |{"id": 5, "v": "e"}
+        |""".stripMargin
+    )
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(in.toString)
+      .cache() // required: the corrupt-record column is unstable across re-parses
+    assert(permissive.count() == 5)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(permissive.filter(col("id").isNotNull).count() == 3)
+    permissive.unpersist(blocking = false)
+    // DROPMALFORMED is a production trap, pinned here deliberately:
+    // count() runs a column-pruned, structure-only parse and counts 4
+    // (the type-mismatched record parses as an object), while actually
+    // materializing the columns drops it and yields 3 rows — count()
+    // and collect() DISAGREE under this mode. One more reason the
+    // engine's recommended ingest contract is PERMISSIVE + corrupt
+    // column (audited), never silent dropping.
+    val dropped = spark.read
+      .schema("id LONG, v STRING")
+      .option("mode", "DROPMALFORMED")
+      .json(in.toString)
+    assert(dropped.count() == 4)
+    assert(dropped.collect().length == 3)
+    val failfast = spark.read
+      .schema("id LONG, v STRING")
+      .option("mode", "FAILFAST")
+      .json(in.toString)
+    assertThrows[org.apache.spark.SparkException](failfast.count())
+  }
 }
