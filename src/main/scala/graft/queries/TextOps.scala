@@ -538,6 +538,63 @@ object TextOps {
            FROM feat GROUP BY doc_id ORDER BY doc_id"""
       }
     ),
+    // --------------------------------------------------------------- q133
+    // Multimodal resize: nearest-neighbor downsample of the payload
+    // viewed as a 64-byte-wide raster (h = len div 64 full rows) to a
+    // fixed 16x16 thumbnail — the resize step of an image pipeline with
+    // the codec stubbed as byte sampling (no media libs in container;
+    // the sampling arithmetic, typed byte access, and partition shape
+    // are real). out(i, j) = raster(i*h div 16, j*4): works for any
+    // h >= 1 (down- or up-sampling), one narrow map, no shuffle. The
+    // thumbnail is hash-verified byte-for-byte; the mean is a sum of
+    // 256 bytes / 256 (power-of-two divisor — engine-exact).
+    QueryDef(
+      "q133_thumbnail",
+      (s, dir) => {
+        import s.implicits._
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, bytes) =>
+            val h = bytes.length / 64
+            if (h < 1) None
+            else {
+              val sampled = new Array[Byte](256)
+              var k = 0
+              var i = 0
+              while (i < 16) {
+                val row = i * h / 16
+                var j = 0
+                while (j < 16) { sampled(k) = bytes(row * 64 + j * 4); k += 1; j += 1 }
+                i += 1
+              }
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              val sha = md.digest(sampled).map("%02x".format(_)).mkString
+              var sum = 0
+              sampled.foreach(b => sum += b & 0xff)
+              Some((id, h.toLong, sha, sum / 256.0))
+            }
+          }
+          .toDF("doc_id", "src_h", "thumb_sha", "thumb_mean")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+               SELECT doc_id, text, length(text) // 64 AS h
+               FROM documents WHERE length(text) >= 64),
+             px AS (
+               SELECT doc_id, h, gi.i, gj.j,
+                 substr(text, CAST(((gi.i * h) // 16) * 64 + gj.j * 4 + 1 AS BIGINT), 1) AS ch
+               FROM d, generate_series(0, 15) gi(i), generate_series(0, 15) gj(j)),
+             t AS (
+               SELECT doc_id, h,
+                 string_agg(ch, '' ORDER BY i, j) AS thumb,
+                 sum(ascii(ch)) AS px_sum
+               FROM px GROUP BY doc_id, h)
+             SELECT doc_id, CAST(h AS BIGINT) AS src_h, sha256(thumb) AS thumb_sha,
+               px_sum / 256.0 AS thumb_mean
+             FROM t ORDER BY doc_id""")
+    ),
     // --------------------------------------------------------------- q103
     // Exact heavy hitters in two passes — the at-scale recipe for "which
     // tokens exceed 1/30 of a language's volume" when the token domain is

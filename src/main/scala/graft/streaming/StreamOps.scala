@@ -219,18 +219,18 @@ object StreamOps {
       (s, dir) => {
         // the replay's end-of-stream watermark: the query-global
         // watermark is the MIN across both watermarked inputs, i.e.
-        // min(max click ts, max purchase ts) - 2h — computed up front
-        // from a batch read of the same table the stream replays
-        val maxTs = graft.Engine
+        // min(max click ts, max purchase ts) - 2h. Kept LAZY as a
+        // one-row aggregate broadcast-joined onto the sink result —
+        // no extra driver job at plan-build time (the stream replay
+        // itself is the only action here, inherent to the harness).
+        val bound = graft.Engine
           .table(s, dir, "events")
           .agg(
             least(
               max(when(col("event_type") === "click", col("ts"))),
               max(when(col("event_type") === "purchase", col("ts")))
-            )
+            ).as("mx")
           )
-          .head()
-          .getTimestamp(0)
         val ev = EventStreaming.eventsStream(s, dir)
         val purchases = ev
           .filter(col("event_type") === "purchase")
@@ -251,7 +251,8 @@ object StreamOps {
           .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"), col("user_id"), col("p_ts"))
         EventStreaming
           .runToMemory(s, joined, sinkName("q105"), OutputMode.Append())
-          .filter(col("p_ts") < lit(maxTs) - expr("INTERVAL 190 MINUTES"))
+          .crossJoin(broadcast(bound))
+          .filter(col("p_ts") < col("mx") - expr("INTERVAL 190 MINUTES"))
           .select(col("p_id"), col("c_id"), col("user_id"))
           .orderBy(col("p_id"), col("c_id"))
       },
