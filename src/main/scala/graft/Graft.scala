@@ -33,6 +33,18 @@ object Graft {
   def runJob(spark: SparkSession, spec: mr.JobSpec): Seq[java.io.File] =
     mr.MapReduceJob.run(spark, spec)
 
+  /** Map + group only, written as the reference's grouper-output
+    * `reduceNN` files (the S3 intermediate sink; byte-parity with the
+    * reference under `parityPartitioning = true`).
+    */
+  def mapAndGroup(spark: SparkSession, spec: mr.JobSpec, groupOutDir: String): Seq[java.io.File] =
+    mr.MapReduceJob.mapAndGroup(spark, spec, groupOutDir)
+
+  /** Parse the reference's `new_manager_job` JSON message into a spec
+    * (the mapreduce-submit surface; see also `graft.mr.Submit.main`).
+    */
+  def parseJob(json: String): mr.JobSpec = mr.Submit.parseJob(json)
+
   // ---- reusable Spark-native operators ------------------------------
 
   /** Skew-safe salted inner equi-join (see EtlOps.saltedJoin). */
@@ -65,6 +77,24 @@ object Graft {
   /** Z-order composite clustering value (see Layout.zorderValue). */
   def zorderValue(a: Column, b: Column, bits: Int = 16): Column =
     operators.Layout.zorderValue(a, b, bits)
+
+  /** Engine-portable deterministic shard assignment (see Layout.shardOf). */
+  def shardOf(key: Column, nShards: Int): Column = operators.Layout.shardOf(key, nShards)
+
+  /** Write hive-partitioned training shards (see Layout.writeShards). */
+  def writeShards(
+      spark: SparkSession,
+      in: DataFrame,
+      outDir: String,
+      key: Column,
+      nShards: Int
+  ): DataFrame = operators.Layout.writeShards(spark, in, outDir, key, nShards)
+
+  /** Release scratch blocks (lazy checkpoints, cached plans) left by
+    * consumed query results — call per consumed result in long-lived
+    * sessions (see Engine.releaseScratch).
+    */
+  def releaseScratch(spark: SparkSession): Unit = Engine.releaseScratch(spark)
 
   /** Codegen'd dot product / cosine over array<double> columns. */
   def dot(a: Column, b: Column): Column = functions.VectorOps.dot(a, b)
