@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NfcNormalize}
+import graft.functions.{DotProduct, NfcNormalize, Norm2}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
-  * Column API. Installed by Engine.session via .withExtensions; also
-  * loadable with spark.sql.extensions=graft.GraftExtensions.
+  * Column API, plus the RewriteSelfDot optimizer rule (self-dot ->
+  * single-pass norm). Installed by Engine.session via .withExtensions;
+  * also loadable with spark.sql.extensions=graft.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -22,10 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("graft_norm2"),
+        new ExpressionInfo(classOf[Norm2].getName, "graft_norm2"),
+        (args: Seq[Expression]) => Norm2(args.head)
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (args: Seq[Expression]) => NfcNormalize(args.head)
       )
     )
+    e.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)
   }
 }

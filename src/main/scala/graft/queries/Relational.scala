@@ -789,11 +789,15 @@ object Relational {
         Engine.table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
         val comb = "\u0301" // combining acute, kept as an escape so no
         // editor/linter can silently NFC-normalize the source literal
+        // note: the graft_dot(e, e) self-dot is collapsed to
+        // graft_norm2 by the RewriteSelfDot optimizer rule — this gate
+        // row therefore verifies the REWRITTEN plan's values too
         s.sql(s"""
           SELECT d.doc_id,
             md5(graft_nfc(d.text || ' cafe$comb')) AS nfc_md5,
             round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
-                            CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2
+                            CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2,
+            round(graft_norm2(CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2_native
           FROM documents_v d JOIN embeddings_v e ON d.doc_id = e.vec_id
           ORDER BY d.doc_id
         """)
@@ -803,7 +807,11 @@ object Relational {
                round(list_sum(list_transform(
                  list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))),
-                 x -> x[1] * x[2])), 6) AS norm2
+                 x -> x[1] * x[2])), 6) AS norm2,
+               round(list_sum(list_transform(
+                 list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))),
+                 x -> x[1] * x[2])), 6) AS norm2_native
              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
              ORDER BY d.doc_id""")
     ),

@@ -41,6 +41,53 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("RewriteSelfDot: deterministic self-dot optimizes to graft_norm2, values bit-identical") {
+    val e = graft.Engine
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = e.select(VectorOps.norm2(col("e")).as("n2"), VectorOps.dotHof(col("e"), col("e")).as("hof"))
+    // the optimizer must collapse dot(e, e) to the single-read norm
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_norm2"),
+      q.queryExecution.optimizedPlan.toString.take(800))
+    assert(q.filter(col("n2") =!= col("hof")).count() == 0)
+  }
+
+  test("RewriteSelfDot: column-level self-dot over a non-deterministic source still rewrites safely") {
+    // the analyzer hoists non-deterministic expressions into their own
+    // projection, so dot(r, r) over a shuffle-valued COLUMN sees one
+    // attribute evaluated once — the rewrite is safe and must fire
+    val q = spark
+      .range(1)
+      .select(expr("shuffle(array(1.0d, 2.0d, 3.0d))").as("r"))
+      .select(VectorOps.dot(col("r"), col("r")).as("d"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_norm2"), opt.take(800))
+    assert(q.head.getDouble(0) == 14.0) // order-invariant: 1+4+9
+  }
+
+  test("RewriteSelfDot leaves INLINE non-deterministic self-dots alone") {
+    // two inline shuffle(...) calls are distinct non-deterministic
+    // expressions (separate seeds) — the determinism/fastEquals guard
+    // must keep graft_dot, since each side is its own evaluation
+    val q = spark
+      .range(1)
+      .select(
+        VectorOps
+          .dot(
+            expr("shuffle(array(1.0d, 2.0d, 3.0d))"),
+            expr("shuffle(array(1.0d, 2.0d, 3.0d))")
+          )
+          .as("d")
+      )
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot") && !opt.contains("graft_norm2"), opt.take(800))
+  }
+
+  test("graft_norm2 is callable from SQL") {
+    val r = spark.sql("SELECT graft_norm2(array(3.0d, 4.0d)) AS n")
+    assert(r.head.getDouble(0) == 25.0)
+  }
+
   test("dot product matches scala computation on seeded random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
