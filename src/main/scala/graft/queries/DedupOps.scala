@@ -108,6 +108,28 @@ object DedupOps {
        v AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS j FROM v0
          WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.3)"""
 
+  /** Transitive-closure clusters over the verified MinHash pairs as
+    * DuckDB SQL — the shared oracle of q58 (min-propagation CC) and
+    * q134 (large-star/small-star CC): both must produce exactly these
+    * clusters.
+    */
+  private val minhashClustersSql: String =
+    s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             e AS (SELECT id_a AS src, id_b AS dst FROM v
+                   UNION ALL SELECT id_b, id_a FROM v),
+             reach(src, dst) AS (
+               SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             comp AS (
+               SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
+               FROM (SELECT DISTINCT src AS id FROM e) n
+               JOIN reach r ON r.src = n.id GROUP BY n.id),
+             sz AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY cluster_id)
+             SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+             FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id"""
+
   /** MinHash-LSH verified near-dup pairs with exact Jaccard >= 0.3 in
     * column `j` — the scale path for near-dedup: signatures are a narrow
     * map, the candidate join shuffles on bucket keys only, verification
@@ -328,21 +350,28 @@ object DedupOps {
       },
       // the oracle computes the same components by transitive closure
       // (recursive CTE): comp(id) = min id reachable from id
-      Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             e AS (SELECT id_a AS src, id_b AS dst FROM v
-                   UNION ALL SELECT id_b, id_a FROM v),
-             reach(src, dst) AS (
-               SELECT src, dst FROM e
-               UNION
-               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-             comp AS (
-               SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
-               FROM (SELECT DISTINCT src AS id FROM e) n
-               JOIN reach r ON r.src = n.id GROUP BY n.id),
-             sz AS (SELECT cluster_id, count(*) AS cluster_size
-                    FROM comp GROUP BY cluster_id)
-             SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
-             FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""")
+      Some(minhashClustersSql)
+    ),
+    // --------------------------------------------------------------- q134
+    // The same near-dup clusters through the 100 TB CC algorithm:
+    // alternating large-star/small-star rounds (starComponents) instead
+    // of min-id propagation — bounded per-key state, O(log^2 n) rounds.
+    // Gate-checked against the SAME transitive-closure oracle as q58,
+    // so the two implementations are pinned equivalent end-to-end (and
+    // property-tested against each other on random graphs in
+    // ComponentsSpec).
+    QueryDef(
+      "q134_cc_star",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        val comp = starComponents(pairs)
+        val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        comp
+          .join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(minhashClustersSql)
     ),
     // ---------------------------------------------------------------- q99
     // The flagship end-to-end curation pipeline — what a training-data
@@ -745,6 +774,76 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
     comp
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the bounded-fan-in form the `connectedComponents`
+    * scaladoc defers to for 100 TB. Min-propagation funnels a hub's
+    * whole neighbor list through one grouping key every round; the star
+    * operations only ever move edges between a node and its CURRENT
+    * neighbors' minima, so per-key state stays bounded by star degree
+    * while convergence is O(log^2 n) rounds. Each round is two
+    * window-min passes (one shuffle each); the edge set is checkpointed
+    * per round and convergence = fixed point of the edge multiset
+    * (count + order-insensitive hash). Returns (id, comp) with comp =
+    * min node id in the component — same contract as
+    * `connectedComponents` (equivalence property-tested in
+    * ComponentsSpec, gate-verified by q134 against the q58 oracle).
+    */
+  def starComponents(pairs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // orient large -> small; drop self loops
+    var edges = pairs
+      .toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def sig(e: DataFrame): (Long, Long) = {
+      // order-insensitive multiset signature; bit_xor never overflows
+      // (sum of hashes trips ANSI overflow checking)
+      val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      nbrs
+        .withColumn("m", least(min(col("v")).over(W.partitionBy(col("u"))), col("u")))
+        .filter(col("v") > col("u")) // only strictly-larger neighbors re-point
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val withMin =
+        e.withColumn("m", least(min(col("v")).over(W.partitionBy(col("u"))), col("u")))
+      withMin
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var prev = sig(edges)
+    var converged = false
+    var iter = 0
+    val maxIter = 25
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val nextSig = sig(next)
+      converged = nextSig == prev
+      prev = nextSig
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"starComponents did not converge within $maxIter rounds")
+    // fixed point = stars: every non-center appears in exactly one
+    // (node, center) edge; centers appear as targets
+    edges
+      .select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   /** 32-bit SimHash per document: per-bit majority vote over the 32-bit

@@ -60,4 +60,34 @@ class ComponentsSpec extends AnyFunSuite {
       .toMap
     assert(got.size == 40 && got.values.forall(_ == 0L))
   }
+
+  test("large-star/small-star equals union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(30)
+      val nEdges = n / 2 + rnd.nextInt(n)
+      val edges = Seq.fill(nEdges) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val got = DedupOps
+        .starComponents(edges.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == expected, s"trial $trial: n=$n edges=${edges.size}")
+    }
+  }
+
+  test("large-star/small-star handles a long chain (the high-diameter case)") {
+    import spark.implicits._
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = DedupOps
+      .starComponents(chain.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
 }
