@@ -102,6 +102,45 @@ object EventStreaming {
       .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class ClosedSession(user_id: Long, start_us: Long, n_events: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState — the 0..N
+    * outputs-per-group-per-trigger member of the KeyValueGroupedDataset
+    * state API (mapGroupsWithState emits exactly one): a session CLOSES
+    * when a later event arrives more than 30 minutes after it, at which
+    * point it is emitted; the still-open session lives on in state and
+    * is never emitted (deterministic under replay — each user's last
+    * session stays open forever). Timestamps are carried as exact
+    * microseconds so the gap comparison is engine-identical.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          // iterator order within a trigger is unspecified — sort by time
+          val times = rows.map(_._2).toSeq.sorted
+          val out = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          times.foreach { t =>
+            open = open match {
+              case Some(s) if t - s.last_us > gapUs =>
+                out += ClosedSession(uid, s.start_us, s.n)
+                Some(OpenSession(t, t, 1))
+              case Some(s) => Some(s.copy(last_us = t, n = s.n + 1))
+              case None    => Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result. Batch-on-stream harness for tests
     * and Verify.

@@ -298,6 +298,39 @@ object StreamOps {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
                count(DISTINCT event_id) AS n_unique
              FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
+    ),
+    // --------------------------------------------------------------- q135
+    // Closed-session emission via flatMapGroupsWithState — the 0..N
+    // outputs-per-group API the mapGroupsWithState family lacks: a
+    // session is EMITTED the moment a later event proves it closed
+    // (gap > 30 min); the open session stays in state and never emits,
+    // so each user's final session is deliberately absent. The oracle
+    // sessionizes in SQL and drops each user's last session — pinning
+    // both the session arithmetic AND the emission semantics.
+    QueryDef(
+      "q135_stream_closed_sessions",
+      (s, dir) => {
+        val sessions =
+          EventStreaming.closedSessions(s, EventStreaming.eventsStream(s, dir)).toDF()
+        EventStreaming
+          .runToMemory(s, sessions, sinkName("q135"), OutputMode.Append())
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             o AS (SELECT user_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+               FROM e),
+             s AS (SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o),
+             g AS (SELECT user_id, sid, min(us) AS start_us, count(*) AS n_events
+               FROM s GROUP BY user_id, sid)
+             SELECT user_id, start_us, CAST(n_events AS BIGINT) AS n_events FROM g
+             QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+             ORDER BY user_id, start_us""")
     )
   )
 }
