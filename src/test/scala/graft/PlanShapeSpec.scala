@@ -94,6 +94,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q131: the per-source rate table broadcasts; the corpus side never shuffles for it") {
+    val p = plan("q131_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q125: the shard manifest aggregates map-side before its one exchange") {
+    val p = plan("q125_shard_manifest")
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q57: embedding dedup joins on band buckets, never a label-only self-join") {
     val p = plan("q57_embedding_dedup")
     // candidate generation must key the join on the (label, band, value)
