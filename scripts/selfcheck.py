@@ -43,8 +43,20 @@ def main(sf_dir: str, out_dir: str) -> int:
         ok = list(got.columns) == list(want.columns) and len(got) == len(want)
         detail = ""
         if ok:
+            # dtype-strict: the driver's hash distinguishes value types
+            # (DuckDB sum() over ints -> HUGEINT != Spark BIGINT flipped
+            # q100/q119 for two rounds while check_dtype=False hid it here).
+            if list(got.dtypes) != list(want.dtypes):
+                ok = False
+                bad = [
+                    f"{c}: spark={gd} oracle={wd}"
+                    for c, gd, wd in zip(got.columns, got.dtypes, want.dtypes)
+                    if gd != wd
+                ]
+                detail = "dtype mismatch: " + "; ".join(bad)
+        if ok:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 ok = False
                 detail = str(e).split("\n")[0]

@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":...,"queries":{...}}.
   *
   * Methodology: a warmup pass first touches every table (parquet footers,
-  * filesystem cache); then each query runs twice — an untimed run that
-  * pays plan analysis + whole-stage-codegen compilation (a fixed ~1-3 s
-  * cost that is irrelevant at scale), and a timed run measuring
-  * steady-state operator throughput around a full materialization.
+  * filesystem cache) and runs every query once untimed (plan analysis +
+  * whole-stage-codegen compilation); then the WHOLE query list runs
+  * SPARK_GRAFT_PASSES (default 3) timed passes and each query reports its
+  * minimum across passes. Interleaving separates a query's samples by the
+  * full list duration so a transient external-load window on a shared box
+  * cannot capture all of a query's samples at once.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,26 +33,44 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
 
-    // Per query: (elapsed seconds, succeeded). A query that throws is
-    // reported as -1 and listed under "errors" — never as a normal time.
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // codegen warmup
-      Engine.releaseScratch(spark) // warmup's checkpoint blocks must not skew the timed run
-      // min of two timed runs: the box shares cores with everything
-      // (±25% observed), and a query's steady-state cost is the run the
-      // scheduler did NOT interfere with. Cleanup stays outside the
-      // timers — checkpoint blocks accumulating across the run was the
-      // r2 contamination (4-12x on late queries).
-      val times = (0 until 2).flatMap { _ =>
+    val ordered = selected.sortBy(_._1)
+
+    // One untimed pass pays plan analysis + whole-stage-codegen compilation
+    // (a fixed ~1-3 s/query cost that is irrelevant at scale).
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      Engine.releaseScratch(spark) // warmup blocks must not skew the timed runs
+    }
+
+    // PASS-INTERLEAVED timing: run the WHOLE list N times and take each
+    // query's minimum ACROSS passes. Back-to-back repeats of one query sit
+    // inside the same external-load window on a shared box (BENCH_r03
+    // showed q99 at 22.3 s in the driver's run vs 2.5 s isolated — both
+    // adjacent runs were inside the loaded window); interleaving separates
+    // a query's samples by the full list duration (~1 min at sf0.1), so
+    // min-across-passes converges on plan cost, not box weather. Cleanup
+    // stays outside the timers — checkpoint blocks accumulating across the
+    // run was the r2 contamination (4-12x on late queries).
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(3)
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    (0 until passes).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         Engine.releaseScratch(spark)
-        if (ok) Some(dt) else None
+        if (ok) samples(name) = samples(name) :+ dt
       }
-      (name, times.sorted.headOption.getOrElse(-1.0), times.nonEmpty)
+    }
+    // Per query: (min seconds across passes, max/min spread, succeeded).
+    // A query that throws in every pass is -1, listed under "errors".
+    val results = ordered.map { case (name, _) =>
+      val ts = samples(name)
+      if (ts.isEmpty) (name, -1.0, 0.0, false)
+      else (name, ts.min, ts.max / ts.min, true)
     }
     // The driver captures only the LAST ~2000 chars of stdout, so the JSON
     // line must stay compact: short keys (the qNN prefix — unique across the
@@ -58,15 +78,20 @@ object Bench {
     // report printed BEFORE the JSON line.
     def short(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    results.foreach { case (k, v, ok) =>
-      println(s"BENCH ${k.padTo(32, ' ')} ${if (ok) fmt(v) + " s" else "ERROR"}")
+    results.foreach { case (k, v, spread, ok) =>
+      val s = if (ok) fmt(v) + " s  (spread x" + fmt(spread) + ")" else "ERROR"
+      println(s"BENCH ${k.padTo(32, ' ')} $s")
     }
-    val qs = results.map { case (k, v, ok) =>
+    // spread = max/min across interleaved passes; >2x means that query's
+    // samples all hit external load and its min is still suspect.
+    val noisy = results.collect { case (k, _, sp, true) if sp > 2.0 => s"$k x${fmt(sp)}" }
+    if (noisy.nonEmpty) println(s"BENCH-NOISY ${noisy.mkString(", ")}")
+    val qs = results.map { case (k, v, _, ok) =>
       "\"" + short(k) + "\":" + (if (ok) fmt(v) else "-1")
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
+    val errors = results.collect { case (k, _, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, _, true) => v }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)

@@ -41,21 +41,45 @@ object Engine {
     spark
   }
 
+  /** Memory-sink temp views registered by the streaming harness
+    * (`EventStreaming.runToMemory`); each holds its full materialized
+    * result in driver memory until dropped. Tracked here so
+    * `releaseScratch` can reclaim them once consumed — without this a
+    * full Bench leaves ~30 result tables pinned and a long-lived session
+    * grows without bound.
+    */
+  private[graft] val sinkViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Release every scratch materialization left behind by consumed query
     * results: lazily-localCheckpoint-ed plans (they persist their RDD in
     * the block manager on first action and stay registered until GC'd —
     * the ContextCleaner only reclaims them after a full JVM GC notices
-    * the dead reference) and cached plans. Call after a query's result
-    * has been fully consumed (written / counted). A long-lived session
-    * that runs many queries without this accumulates block-manager state
-    * without bound — on a real cluster that is executor storage memory
-    * stolen from execution until eviction kicks in, and measurably slower
-    * queries; in the bench it contaminated every query that ran after a
-    * checkpoint-heavy one.
+    * the dead reference), cached plans, and memory-sink temp views from
+    * streaming runs. Call after a query's result has been fully consumed
+    * (written / counted). A long-lived session that runs many queries
+    * without this accumulates block-manager state without bound — on a
+    * real cluster that is executor storage memory stolen from execution
+    * until eviction kicks in, and measurably slower queries; in the bench
+    * it contaminated every query that ran after a checkpoint-heavy one.
+    *
+    * SINGLE-WRITER CONTRACT: this is session-global cleanup — it drops
+    * EVERY persisted RDD and cached plan, including a concurrent query's
+    * mid-flight localCheckpoint (whose truncated lineage cannot be
+    * recomputed: that query fails with "checkpoint block not found"
+    * rather than recovering). Call it only from the thread that owns the
+    * session's query lifecycle, between queries — never while another
+    * query on the same session is executing. Concurrent query EXECUTION
+    * is supported (ConcurrencySpec); concurrent cleanup is not.
     */
   def releaseScratch(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.sharedState.cacheManager.clearCache()
+    val it = sinkViews.iterator()
+    while (it.hasNext) {
+      spark.catalog.dropTempView(it.next())
+      it.remove()
+    }
   }
 
   /** Load one of the driver-generated parquet tables under `dir`.

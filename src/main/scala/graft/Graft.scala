@@ -81,6 +81,11 @@ object Graft {
   /** Engine-portable deterministic shard assignment (see Layout.shardOf). */
   def shardOf(key: Column, nShards: Int): Column = operators.Layout.shardOf(key, nShards)
 
+  /** Engine-portable percent bucket [0,100) for split assignment, bias
+    * <0.01 percentage points (see Layout.pctBucket).
+    */
+  def pctBucket(key: Column): Column = operators.Layout.pctBucket(key)
+
   /** Write hive-partitioned training shards (see Layout.writeShards). */
   def writeShards(
       spark: SparkSession,
@@ -90,9 +95,16 @@ object Graft {
       nShards: Int
   ): DataFrame = operators.Layout.writeShards(spark, in, outDir, key, nShards)
 
-  /** Release scratch blocks (lazy checkpoints, cached plans) left by
-    * consumed query results — call per consumed result in long-lived
-    * sessions (see Engine.releaseScratch).
+  /** Release scratch blocks (lazy checkpoints, cached plans, streaming
+    * memory-sink views) left by consumed query results — call per
+    * consumed result in long-lived sessions.
+    *
+    * SINGLE-WRITER: session-global cleanup. Calling this while another
+    * query on the same session is mid-flight can drop that query's
+    * materialized localCheckpoint (truncated lineage — it fails rather
+    * than recomputes). Concurrent query execution is supported; call
+    * cleanup only between queries, from the session-owning thread
+    * (see Engine.releaseScratch).
     */
   def releaseScratch(spark: SparkSession): Unit = Engine.releaseScratch(spark)
 

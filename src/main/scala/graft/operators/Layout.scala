@@ -55,9 +55,27 @@ object Layout {
   def shardOf(key: Column, nShards: Int): Column = {
     require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
     val h = md5(key.cast("string"))
-    def nibble(c: Column): Column =
-      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
     pmod(nibble(substring(h, 1, 1)) * 16 + nibble(substring(h, 2, 1)), lit(nShards))
+  }
+
+  private def nibble(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** Deterministic percent bucket in [0, 100) for split assignment: FOUR
+    * hex nibbles of md5(key) -> [0, 65536) mod 100. Two nibbles (the
+    * shardOf draw) would make mod 100 grossly biased — buckets 0-55 get
+    * probability 3/256 vs 2/256 for 56-99, so a documented 90/5/5 split
+    * actually lands ~92.2/3.9/3.9. With four nibbles the per-bucket bias
+    * is at most 1/65536 absolute (656/65536 vs 655/65536, ~0.15%
+    * relative), so split fractions hold to <0.01 percentage points.
+    * Same ascii() arithmetic as shardOf — recomputable by any engine.
+    */
+  def pctBucket(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    val v = (0 until 4)
+      .map(i => nibble(substring(h, i + 1, 1)) * (1 << (4 * (3 - i))))
+      .reduce(_ + _)
+    pmod(v, lit(100))
   }
 
   /** Write `in` as hive-partitioned training shards (`shard=NN/`) keyed

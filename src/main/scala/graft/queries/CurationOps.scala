@@ -465,19 +465,23 @@ object CurationOps {
     ),
     // --------------------------------------------------------------- q130
     // Deterministic train/val/test split manifest: every doc lands in a
-    // split by the same engine-portable md5-nibble arithmetic as shard
-    // assignment (Layout.shardOf over 100 buckets: 0-89 train, 90-94
-    // val, 95-99 test), so any engine — and any future re-run — assigns
-    // identically with no stored split column. The manifest is the
-    // 3-row audit a training run records: per-split doc and token
-    // volumes. One narrow map + one tiny aggregation.
+    // split by engine-portable md5-nibble arithmetic (Layout.pctBucket:
+    // FOUR nibbles -> [0,65536) mod 100; buckets 0-89 train, 90-94 val,
+    // 95-99 test), so any engine — and any future re-run — assigns
+    // identically with no stored split column. Four nibbles matter: a
+    // two-nibble [0,256) mod 100 draw gives buckets 0-55 probability
+    // 3/256 vs 2/256 (~92.2/3.9/3.9 actual for a documented 90/5/5);
+    // pctBucket bounds the bias at ~0.15% relative so the split
+    // fractions hold as stated. The manifest is the 3-row audit a
+    // training run records: per-split doc and token volumes. One narrow
+    // map + one tiny aggregation.
     QueryDef(
       "q130_split_manifest",
       (s, dir) =>
         Engine
           .table(s, dir, "documents")
           .select(
-            graft.operators.Layout.shardOf(col("doc_id"), 100).as("bucket"),
+            graft.operators.Layout.pctBucket(col("doc_id")).as("bucket"),
             size(toksExpr).cast("long").as("ntok")
           )
           .withColumn(
@@ -491,13 +495,20 @@ object CurationOps {
                SELECT ${Tokenize.toksSql} AS toks,
                  md5(CAST(doc_id AS VARCHAR)) AS h
                FROM documents),
-             b AS (
-               SELECT len(toks) AS ntok,
-                 ((CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
-                        ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
-                + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
-                        ELSE ascii(substr(h, 2, 1)) - 87 END)) % 100 AS bucket
+             n AS (
+               SELECT toks,
+                 (CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
+                       ELSE ascii(substr(h, 1, 1)) - 87 END) * 4096
+               + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
+                       ELSE ascii(substr(h, 2, 1)) - 87 END) * 256
+               + (CASE WHEN ascii(substr(h, 3, 1)) <= 57 THEN ascii(substr(h, 3, 1)) - 48
+                       ELSE ascii(substr(h, 3, 1)) - 87 END) * 16
+               + (CASE WHEN ascii(substr(h, 4, 1)) <= 57 THEN ascii(substr(h, 4, 1)) - 48
+                       ELSE ascii(substr(h, 4, 1)) - 87 END) AS v
                FROM t),
+             b AS (
+               SELECT len(toks) AS ntok, v % 100 AS bucket
+               FROM n),
              sp AS (
                SELECT CASE WHEN bucket < 90 THEN 'train'
                            WHEN bucket < 95 THEN 'val'

@@ -482,7 +482,7 @@ object DedupOps {
                      FROM t WHERE len(toks) >= 10)),
              dup AS (SELECT tile FROM tiles GROUP BY tile HAVING count(DISTINCT doc_id) >= 2)
              SELECT t.doc_id, count(*) AS n_tiles,
-               sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_tiles,
+               CAST(sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
                CAST(sum(CASE WHEN d.tile IS NOT NULL THEN 1 ELSE 0 END) * 1000000
                  // count(*) AS BIGINT) AS dup_ppm
              FROM tiles t LEFT JOIN dup d USING (tile)
@@ -571,6 +571,42 @@ object DedupOps {
           .join(hist, Seq("h"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
+             hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+             b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             f AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
+             SELECT b.doc_id, b.lang, b.source FROM b
+             WHERE b.doc_id IN (SELECT doc_id FROM f)
+               AND b.h NOT IN (SELECT h FROM hist)
+             ORDER BY b.doc_id""")
+    ),
+    // --------------------------------------------------------------- q136
+    // Persisted-index incremental dedup — q126's missing production
+    // half. q126 recomputes the history hash index from the corpus every
+    // run (fine as a query; wrong as a daily job — the whole point of
+    // incremental dedup is NOT re-hashing 100 TB each day). Here the
+    // index is a real stored artifact: day 0 hashes the standing corpus
+    // ONCE into a range-clustered parquet index (Layout.compact on the
+    // hash key, so the anti-join's shuffle reads sorted, stats-pruned
+    // files); day 1 hashes only its batch, anti-joins the STORED index
+    // — the day-1 plan reads exactly two sources, the batch slice and
+    // the index, with no md5 over the corpus (pinned in
+    // IncrementalIndexSpec) — and appends only its own new hashes, so
+    // day 2 starts from an index that grew by the delta. Same survivors
+    // as q126, so the same oracle gates it.
+    QueryDef(
+      "q136_dedup_index_persist",
+      (s, dir) => {
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft_q136_${math.abs(dir.hashCode)}"
+        val indexDir = buildHashIndex(s, dir, work)
+        val survivors = incrementalAgainstIndex(s, dir, indexDir)
+          // materialize BEFORE the index append: the plan is lazy, and
+          // appending first would make the anti-join see the batch's own
+          // hashes and drop everything
+          .localCheckpoint()
+        survivors.select(col("h")).distinct().write.mode("append").parquet(indexDir)
+        survivors.select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
              hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
@@ -844,6 +880,52 @@ object DedupOps {
       .select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
+  }
+
+  /** Day-0 step of persisted-index dedup (q136): hash the standing
+    * corpus (doc_id % 5 != 0 — "everything before today") ONCE and store
+    * the distinct content hashes as a range-clustered parquet index
+    * under `workDir`. Returns the index directory. Overwrites any prior
+    * index, so each q136 run is self-contained/idempotent.
+    */
+  private[graft] def buildHashIndex(s: SparkSession, dir: String, workDir: String): String = {
+    val hist = Engine
+      .table(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("h"))
+      .distinct()
+    val indexDir = s"$workDir/hash_index"
+    graft.operators.Layout.compact(s, hist, indexDir, 4, col("h"))
+    indexDir
+  }
+
+  /** Day-1 step of persisted-index dedup (q136): hash ONLY the batch
+    * (doc_id % 5 == 0), keep first-of-hash within the batch, anti-join
+    * the STORED index. Lazy — returned with columns (doc_id, lang,
+    * source, h) so the caller can both emit survivors and append their
+    * hashes. The plan reads exactly two sources (batch slice + index
+    * parquet) and computes no md5 over the standing corpus — the
+    * incremental property, pinned in IncrementalIndexSpec.
+    */
+  private[graft] def incrementalAgainstIndex(
+      s: SparkSession,
+      dir: String,
+      indexDir: String): DataFrame = {
+    val batch = Engine
+      .table(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+      // hash the batch ONCE: the first-of-hash aggregation and the
+      // survivors join both consume this; without the checkpoint each
+      // side re-scans and re-hashes the batch (same tiles pattern as
+      // q100). Text is already dropped — the materialization is the
+      // narrow (id, lang, source, h) projection.
+      .localCheckpoint(eager = false)
+    val firstInBatch = batch.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    batch
+      .join(firstInBatch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(s.read.parquet(indexDir), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
   }
 
   /** 32-bit SimHash per document: per-bit majority vote over the 32-bit

@@ -351,7 +351,8 @@ object EtlOps {
                  AS BIGINT) AS raw_avg_cents,
                CAST(sum(CAST(round(least(greatest(o_totalprice, p05), p95) * 100) AS BIGINT))
                  // count(*) AS BIGINT) AS wins_avg_cents,
-               sum(CAST(o_totalprice < p05 OR o_totalprice > p95 AS BIGINT)) AS n_clipped
+               CAST(sum(CAST(o_totalprice < p05 OR o_totalprice > p95 AS BIGINT))
+                 AS BIGINT) AS n_clipped
              FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
              GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")
     )

@@ -201,21 +201,39 @@ object EventOps {
     // Approximate percentile sketch (the second sketch family next to
     // q35's HLL): approx_percentile keeps a bounded-size digest per
     // group, merged associatively across partitions — the scale path
-    // when q34's exact sort-based percentile is too expensive. Sketch
-    // internals differ per engine, so like q35 this is rows-only for the
-    // driver; accuracy vs the exact q34 values is pinned in QueriesSpec.
+    // when q34's exact sort-based percentile is too expensive. The
+    // digest values differ per engine, so the gate asserts the sketch's
+    // RANK guarantee instead: approx_percentile(accuracy=1000) returns an
+    // element whose empirical rank is within 1/1000 of the target, so the
+    // engine recounts values <= the returned quantile and emits a boolean
+    // at 10x that bound (±1% + 1 for ties). The oracle expects TRUE.
     QueryDef(
       "q75_approx_percentiles",
-      (s, dir) =>
-        Engine
-          .table(s, dir, "events")
+      (s, dir) => {
+        val e = Engine.table(s, dir, "events")
+        val ap = e
           .groupBy(col("event_type"))
           .agg(
-            round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
-            round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_approx")
+            expr("approx_percentile(value, 0.5, 1000)").as("p50a"),
+            expr("approx_percentile(value, 0.99, 1000)").as("p99a")
           )
-          .orderBy(col("event_type")),
-      None
+        e.join(broadcast(ap), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") <= col("p99a"), 1L).otherwise(0L)).as("le99")
+          )
+          .select(
+            col("event_type"),
+            col("n"),
+            (abs(col("le50") - col("n") * 0.5) <= col("n") * 0.01 + 1.0).as("p50_ok"),
+            (abs(col("le99") - col("n") * 0.99) <= col("n") * 0.01 + 1.0).as("p99_ok")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, TRUE AS p50_ok, TRUE AS p99_ok
+             FROM events GROUP BY event_type ORDER BY event_type""")
     ),
     // ---------------------------------------------------------------- q82
     // Cohort retention: users bucketed by first-seen week, counted in
@@ -487,8 +505,12 @@ object EventOps {
     ),
     // ---------------------------------------------------------------- q35
     // Sketch aggregation: HyperLogLog++ distinct users per event type.
-    // Approximate by design (no SQL oracle — rows-only; accuracy vs the
-    // exact count is asserted in QueriesSpec).
+    // The sketch internals differ per engine, so the ESTIMATE cannot be
+    // an oracle column — instead the query emits the exact count (which
+    // DuckDB recomputes) plus `hll_ok`, the engine's own assertion that
+    // the estimate lands within the 5% bound. The oracle expects TRUE:
+    // a broken sketch flips the boolean and the hash gate catches it
+    // (same bound-as-integer-row pattern as q124's ANN recall gate).
     QueryDef(
       "q35_approx_distinct",
       (s, dir) =>
@@ -497,10 +519,20 @@ object EventOps {
           .groupBy(col("event_type"))
           .agg(
             approx_count_distinct(col("user_id")).as("approx_users"),
+            countDistinct(col("user_id")).as("n_users_exact"),
             count(lit(1)).as("n")
           )
+          .select(
+            col("event_type"),
+            col("n"),
+            col("n_users_exact"),
+            (abs(col("approx_users") - col("n_users_exact")) <=
+              greatest(lit(1L), (col("n_users_exact") * 0.05).cast("long"))).as("hll_ok")
+          )
           .orderBy(col("event_type")),
-      None
+      Some("""SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users_exact, TRUE AS hll_ok
+             FROM events GROUP BY event_type ORDER BY event_type""")
     ),
     // --------------------------------------------------------------- q120
     // Hopping (sliding) windows: 1-hour windows every 15 minutes — each
@@ -619,21 +651,50 @@ object EventOps {
     // the raw data again. This is what replaces count(DISTINCT) in a
     // 100 TB rollup cube: partials are mergeable, so every coarser
     // grain is a cheap second-level aggregation over kilobyte sketches.
-    // Approximate by design (rows-only; accuracy vs exact asserted in
-    // QueriesSpec).
+    // Gate (q124 pattern): the estimate itself is engine-specific, so the
+    // query emits oracle-recomputable columns (n_hours, exact distinct)
+    // plus two engine assertions the oracle expects TRUE — `rollup_ok`
+    // (merged estimate within the 5% bound of exact) and `merge_lossless`
+    // (the union of per-hour sketches estimates EXACTLY what one direct
+    // sketch over the raw data does: HLL merge is a per-register max, so
+    // rolling up partials loses nothing — the property that makes the
+    // pattern safe at 100 TB).
     QueryDef(
       "q113_sketch_rollup",
       (s, dir) => {
-        val partials = Engine
-          .table(s, dir, "events")
+        val e = Engine.table(s, dir, "events")
+        val partials = e
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        partials
+        val rolled = partials
           .groupBy(col("event_type"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_union"),
+            count(lit(1)).as("n_hours")
+          )
+        val direct = e
+          .groupBy(col("event_type"))
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_direct"),
+            countDistinct(col("user_id")).as("n_users_exact")
+          )
+        rolled
+          .join(direct, "event_type")
+          .select(
+            col("event_type"),
+            col("n_hours"),
+            col("n_users_exact"),
+            (abs(col("approx_union") - col("n_users_exact")) <=
+              greatest(lit(1L), (col("n_users_exact") * 0.05).cast("long"))).as("rollup_ok"),
+            (col("approx_union") === col("approx_direct")).as("merge_lossless")
+          )
           .orderBy(col("event_type"))
       },
-      None
+      Some("""SELECT event_type,
+               count(DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS n_hours,
+               count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS rollup_ok, TRUE AS merge_lossless
+             FROM events GROUP BY event_type ORDER BY event_type""")
     )
   )
 }

@@ -100,12 +100,18 @@ object SimilarityOps {
     }
     // the band array goes DIRECTLY into the generator: a named column
     // would let InferFiltersFromGenerate push the inlined 32-projection
-    // expression below the exchange as a pre-shuffle filter
-    val bands = e.select(
-      col("vec_id"),
-      col("label"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv"))
-    )
+    // expression below the exchange as a pre-shuffle filter.
+    // localCheckpoint materializes the tiny (vec_id, label, band, bv)
+    // table ONCE — without it the self-join recomputes all 32 dot
+    // products per vector on BOTH join sides (the same tiles pattern as
+    // q100; invisible at sf0.1, 2x projection work saved at scale).
+    val bands = e
+      .select(
+        col("vec_id"),
+        col("label"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bv"))
+      )
+      .localCheckpoint(eager = false)
     bands
       .as("x")
       .join(

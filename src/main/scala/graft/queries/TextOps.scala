@@ -29,6 +29,23 @@ object TextOps {
 
   private val stopEn = "'the','and','of','to','in','a','is'"
 
+  /** DuckDB SQL for the byte value at 0-based byte offset `p` (a SQL
+    * expression) of `hx`, a LOWERCASE hex dump of the payload
+    * (`lower(hex(encode(text)))`). The multimodal queries (q71/q115/q133)
+    * do BYTE work on the Spark side (`text.cast("binary")` = UTF-8
+    * bytes); DuckDB's substr/ascii/length index CHARACTERS, which only
+    * coincides with bytes for pure-ASCII payloads. Indexing the hex dump
+    * two chars per byte makes the oracle byte-oriented for ANY payload —
+    * no fixture-encoding assumption.
+    */
+  private def hexByteSql(hx: String, p: String): String = {
+    def nib(off: Int) = {
+      val c = s"ascii(substr($hx, ($p) * 2 + $off, 1))"
+      s"(CASE WHEN $c <= 57 THEN $c - 48 ELSE $c - 87 END)"
+    }
+    s"(${nib(1)} * 16 + ${nib(2)})"
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q40
     // Word count — the reference's flagship query (Q1 in SURVEY §2.4).
@@ -441,8 +458,12 @@ object TextOps {
     // Multimodal frame sampling: treat the payload as fixed-size 64-byte
     // "frames" (video-frame stand-in), keep every 2nd frame, emit
     // per-frame metadata — a 1->N binary explode in typed mapPartitions.
-    // The stub "codec" is byte slicing (payloads are ASCII, so the
-    // varchar-based oracle sees the same bytes).
+    // The stub "codec" is byte slicing. The per-frame fingerprint is
+    // SHA-256 of the frame's LOWERCASE HEX DUMP (not the raw bytes):
+    // hashing an ASCII hex string is the one form both engines can
+    // compute for arbitrary bytes — DuckDB's sha256 only accepts VARCHAR,
+    // and slicing `lower(hex(encode(text)))` two chars per byte keeps the
+    // oracle byte-oriented for non-ASCII payloads too.
     QueryDef(
       "q71_frame_sample",
       (s, dir) => {
@@ -458,19 +479,25 @@ object TextOps {
             (0 until nFrames).filter(_ % 2 == 0).map { f =>
               val start = f * 64
               val frame = java.util.Arrays.copyOfRange(bytes, start, math.min(start + 64, bytes.length))
+              val hexStr = frame.map(b => "%02x".format(b & 0xff)).mkString
               md.reset()
-              (id, f.toLong, md.digest(frame).map("%02x".format(_)).mkString)
+              val sha = md
+                .digest(hexStr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+                .map("%02x".format(_))
+                .mkString
+              (id, f.toLong, sha)
             }
           }
           .toDF("doc_id", "frame_idx", "frame_sha")
           .orderBy(col("doc_id"), col("frame_idx"))
       },
-      Some("""WITH f AS (
-               SELECT doc_id, text,
-                 unnest(generate_series(0, CAST(floor((length(text) - 1) / 64) AS BIGINT))) AS frame_idx
-               FROM documents)
+      Some("""WITH d AS (
+               SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 CAST(floor((octet_length(encode(text)) - 1) / 64) AS BIGINT) AS maxf
+               FROM documents),
+             f AS (SELECT doc_id, hx, unnest(generate_series(0, maxf)) AS frame_idx FROM d)
              SELECT doc_id, frame_idx,
-               sha256(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_sha
+               sha256(substr(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128)) AS frame_sha
              FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")
     ),
     // --------------------------------------------------------------- q115
@@ -483,8 +510,8 @@ object TextOps {
     // over Array[Byte] (one decode per frame, no row-level JVM boxing of
     // the whole payload), narrow until the per-doc pooling shuffle.
     // Block means are sums of 8 ints / 8.0 — exact in both engines
-    // (power-of-two divisor); the oracle reads the same bytes through
-    // ascii(substr(..)) since payloads are ASCII.
+    // (power-of-two divisor); the oracle reads the same BYTES through the
+    // hex dump (hexByteSql), valid for any payload encoding.
     QueryDef(
       "q115_multimodal_embed",
       (s, dir) => {
@@ -524,15 +551,15 @@ object TextOps {
       Some {
         val blocks = (0 until 8)
           .map { j =>
-            s"""list_sum(list_transform(generate_series(fr*64 + $j*8 + 1, fr*64 + $j*8 + 8),
-                p -> ascii(substr(text, CAST(p AS INT), 1)))) / 8.0 AS b$j"""
+            s"""list_sum(list_transform(generate_series(fr*64 + $j*8, fr*64 + $j*8 + 7),
+                p -> ${hexByteSql("hx", "p")})) / 8.0 AS b$j"""
           }
           .mkString(",\n")
         val pools = (0 until 8).map(j => s"round(avg(b$j), 4) AS f$j").mkString(", ")
         s"""WITH fr AS (
-             SELECT doc_id, text,
-               unnest(generate_series(0, length(text) // 64 - 1)) AS fr
-             FROM documents WHERE length(text) >= 64),
+             SELECT doc_id, lower(hex(encode(text))) AS hx,
+               unnest(generate_series(0, octet_length(encode(text)) // 64 - 1)) AS fr
+             FROM documents WHERE octet_length(encode(text)) >= 64),
            feat AS (SELECT doc_id, $blocks FROM fr)
            SELECT doc_id, count(*) AS n_frames, $pools
            FROM feat GROUP BY doc_id ORDER BY doc_id"""
@@ -546,8 +573,11 @@ object TextOps {
     // the sampling arithmetic, typed byte access, and partition shape
     // are real). out(i, j) = raster(i*h div 16, j*4): works for any
     // h >= 1 (down- or up-sampling), one narrow map, no shuffle. The
-    // thumbnail is hash-verified byte-for-byte; the mean is a sum of
-    // 256 bytes / 256 (power-of-two divisor — engine-exact).
+    // thumbnail is hash-verified byte-for-byte — the fingerprint is
+    // SHA-256 of the thumbnail's lowercase hex dump (same byte-oriented
+    // oracle convention as q71: valid for any payload encoding, since
+    // DuckDB sha256 only takes VARCHAR); the mean is a sum of 256 bytes
+    // / 256 (power-of-two divisor — engine-exact).
     QueryDef(
       "q133_thumbnail",
       (s, dir) => {
@@ -570,7 +600,11 @@ object TextOps {
                 i += 1
               }
               val md = java.security.MessageDigest.getInstance("SHA-256")
-              val sha = md.digest(sampled).map("%02x".format(_)).mkString
+              val hexStr = sampled.map(b => "%02x".format(b & 0xff)).mkString
+              val sha = md
+                .digest(hexStr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+                .map("%02x".format(_))
+                .mkString
               var sum = 0
               sampled.foreach(b => sum += b & 0xff)
               Some((id, h.toLong, sha, sum / 256.0))
@@ -579,19 +613,20 @@ object TextOps {
           .toDF("doc_id", "src_h", "thumb_sha", "thumb_mean")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH d AS (
-               SELECT doc_id, text, length(text) // 64 AS h
-               FROM documents WHERE length(text) >= 64),
+      Some(s"""WITH d AS (
+               SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) // 64 AS h
+               FROM documents WHERE octet_length(encode(text)) >= 64),
              px AS (
                SELECT doc_id, h, gi.i, gj.j,
-                 substr(text, CAST(((gi.i * h) // 16) * 64 + gj.j * 4 + 1 AS BIGINT), 1) AS ch
+                 substr(hx, CAST((((gi.i * h) // 16) * 64 + gj.j * 4) * 2 + 1 AS BIGINT), 2) AS bh
                FROM d, generate_series(0, 15) gi(i), generate_series(0, 15) gj(j)),
              t AS (
                SELECT doc_id, h,
-                 string_agg(ch, '' ORDER BY i, j) AS thumb,
-                 sum(ascii(ch)) AS px_sum
+                 string_agg(bh, '' ORDER BY i, j) AS thumbhex,
+                 sum(${hexByteSql("bh", "0")}) AS px_sum
                FROM px GROUP BY doc_id, h)
-             SELECT doc_id, CAST(h AS BIGINT) AS src_h, sha256(thumb) AS thumb_sha,
+             SELECT doc_id, CAST(h AS BIGINT) AS src_h, sha256(thumbhex) AS thumb_sha,
                px_sum / 256.0 AS thumb_mean
              FROM t ORDER BY doc_id""")
     ),

@@ -192,6 +192,10 @@ object EventStreaming {
         finally walk.close()
       } catch { case _: Throwable => () }
     }
+    // Register for reclamation: the memory sink pins the full result in
+    // driver memory until its temp view is dropped. Engine.releaseScratch
+    // drops it after the caller has consumed the returned DataFrame.
+    graft.Engine.sinkViews.add(name)
     spark.table(name)
   }
 }

@@ -122,4 +122,26 @@ class LayoutSpec extends AnyFunSuite {
     // assignment is a function of the key: no doc lands in two shards
     assert(back.select("doc_id").distinct().count() == docs.count())
   }
+
+  test("pctBucket is near-uniform: a 90/5/5 split lands within 2pp of stated") {
+    // The two-nibble draw (shardOf % 100) is visibly biased — buckets
+    // 0-55 get 3/256 vs 2/256, i.e. a 90/5/5 split became 92.2/3.9/3.9.
+    // pctBucket's four-nibble draw bounds per-bucket bias at ~0.15%
+    // relative; on a finite corpus the observed fractions should sit
+    // within sampling noise (2pp here) of the stated split.
+    val ids = spark.range(1, 20001).toDF("k")
+    val frac = ids
+      .select(Layout.pctBucket(col("k")).as("b"))
+      .agg(
+        avg(when(col("b") < 90, 1.0).otherwise(0.0)).as("train"),
+        avg(when(col("b") >= 90 && col("b") < 95, 1.0).otherwise(0.0)).as("vl")
+      )
+      .head()
+    assert(math.abs(frac.getAs[Double]("train") - 0.90) < 0.02, s"train=${frac.get(0)}")
+    assert(math.abs(frac.getAs[Double]("vl") - 0.05) < 0.02, s"val=${frac.get(1)}")
+    // engine-portable: bucket always in [0, 100)
+    val rng = ids.select(Layout.pctBucket(col("k")).as("b"))
+      .agg(min(col("b")), max(col("b"))).head()
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) <= 99)
+  }
 }

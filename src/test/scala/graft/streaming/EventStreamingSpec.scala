@@ -47,4 +47,20 @@ class EventStreamingSpec extends AnyFunSuite {
       assert(math.abs(g.getAs[Double]("total_value") - w.getAs[Double]("total_value")) < 1e-9)
     }
   }
+
+  test("releaseScratch drops consumed memory-sink temp views") {
+    // Each memory-sink run pins its full result in driver memory behind a
+    // temp view; a long-lived session (Bench runs ~30 streaming results)
+    // must reclaim them. Contract: after the result is consumed and
+    // releaseScratch runs, no sink views remain registered.
+    val stream = EventStreaming.eventsStream(spark, dir)
+    val n = EventStreaming
+      .runToMemory(spark, EventStreaming.hourlyCounts(stream), "sink_reclaim_test")
+      .count()
+    assert(n > 0)
+    assert(spark.catalog.tableExists("sink_reclaim_test"))
+    graft.Engine.releaseScratch(spark)
+    assert(!spark.catalog.tableExists("sink_reclaim_test"))
+    assert(graft.Engine.sinkViews.isEmpty)
+  }
 }
