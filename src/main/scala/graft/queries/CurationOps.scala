@@ -575,6 +575,89 @@ object CurationOps {
                   + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
                           ELSE ascii(substr(h, 2, 1)) - 87 END)) < floor(rate * 256)
              ORDER BY d.doc_id""")
+    ),
+    // --------------------------------------------------------------- q140
+    // Length-bucket packing audit: docs bucketed by power-of-two token
+    // length (bucket = floor(log2 nt), computed as length(bin(nt)) - 1 —
+    // pure integer arithmetic, no float log whose boundary rounding
+    // could disagree at exact powers of two), and per bucket the padding
+    // waste a naive pad-to-512 batching would pay: padded = ceil(nt/512)
+    // * 512 summed, waste_ppm = (padded - real) ppm. The measurement
+    // that motivates length-grouped batching / sequence packing (q129
+    // is the cure; this is the diagnosis). One narrow map + one tiny
+    // hash-agg — nothing scales past the scan.
+    QueryDef(
+      "q140_length_buckets",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(size(toksExpr).cast("long").as("nt"))
+          .filter(col("nt") >= 1)
+          .withColumn("bucket", expr("length(bin(nt)) - 1").cast("long"))
+          .withColumn("padded", expr("((nt + 511) div 512) * 512"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            sum(col("padded")).as("n_padded"),
+            expr("sum(padded - nt) * 1000000 div sum(padded)").as("waste_ppm")
+          )
+          .orderBy(col("bucket")),
+      Some(s"""WITH t AS (
+               SELECT len(${Tokenize.toksSql}) AS nt
+               FROM documents),
+             b AS (
+               SELECT nt, CAST(length(bin(nt)) - 1 AS BIGINT) AS bucket,
+                 ((nt + 511) // 512) * 512 AS padded
+               FROM t WHERE nt >= 1)
+             SELECT bucket, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(padded) AS BIGINT) AS n_padded,
+               CAST(sum(padded - nt) * 1000000 // sum(padded) AS BIGINT) AS waste_ppm
+             FROM b GROUP BY bucket ORDER BY bucket""")
+    ),
+    // --------------------------------------------------------------- q141
+    // Deterministic global training order: every doc gets a position in
+    // a seeded pseudo-random permutation (sort key = md5('s42|'||doc_id),
+    // doc_id tiebreak — any engine recomputes the same order from the
+    // data alone, no RNG state) plus a round-robin shard assignment from
+    // that position. The global position is the q89/q129 EXACT
+    // distributed prefix sum: range-repartition on the sort key,
+    // per-partition row numbering, and a ~32-row broadcast offset table
+    // — never a single-partition global window, so the shuffle manifest
+    // of a 100 TB corpus costs one range exchange.
+    QueryDef(
+      "q141_shuffle_manifest",
+      (s, dir) => {
+        val keyed = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), md5(concat(lit("s42|"), col("doc_id").cast("string"))).as("h"))
+        val ranged = keyed
+          .repartitionByRange(32, col("h"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window
+          .partitionBy(col("pid"))
+          .orderBy(col("h"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .select(col("pid"), col("off"))
+        local
+          .join(broadcast(offsets), "pid")
+          .withColumn("pos", col("local_rn") + col("off") - 1L)
+          .select(col("doc_id"), col("pos"), (col("pos") % 16).as("shard"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH k AS (
+               SELECT doc_id, md5('s42|' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents)
+             SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+               CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 16 AS BIGINT) AS shard
+             FROM k ORDER BY pos""")
     )
   )
 }

@@ -373,6 +373,62 @@ object DedupOps {
       },
       Some(minhashClustersSql)
     ),
+    // --------------------------------------------------------------- q139
+    // Quality-aware canonical selection: near-dup clusters (the q134
+    // large-star/small-star components) keep their BEST member — longest
+    // text, doc_id as the deterministic tiebreak — instead of the
+    // arbitrary min-id that plain dedup materialization keeps. This is
+    // the shape production near-dedup actually ships (pick the
+    // highest-quality representative; drop the rest), and it reports the
+    // cost/benefit per cluster: members dropped and characters retired.
+    // Scale: components via bounded-fan-in star rounds; the rep choice
+    // is one row_number window partitioned by cluster id (shuffles on
+    // the cluster key, never global).
+    QueryDef(
+      "q139_cluster_best_rep",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        val comp = starComponents(pairs)
+        val members = comp.join(
+          Engine.table(s, dir, "documents").select(col("doc_id").as("id"), col("n_chars")),
+          "id"
+        )
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))
+          .orderBy(col("n_chars").desc, col("id"))
+        members
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("comp").as("cluster_id"))
+          .agg(
+            count(lit(1)).as("cluster_size"),
+            max(when(col("rk") === 1, col("id"))).as("rep_doc_id"),
+            max(when(col("rk") === 1, col("n_chars"))).as("rep_chars"),
+            sum(when(col("rk") =!= 1, col("n_chars")).otherwise(0L)).as("dropped_chars")
+          )
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             e AS (SELECT id_a AS src, id_b AS dst FROM v
+                   UNION ALL SELECT id_b, id_a FROM v),
+             reach(src, dst) AS (
+               SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             comp AS (
+               SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
+               FROM (SELECT DISTINCT src AS id FROM e) n
+               JOIN reach r ON r.src = n.id GROUP BY n.id),
+             mem AS (
+               SELECT c.cluster_id, c.id, d.n_chars,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.id) AS rk
+               FROM comp c JOIN documents d ON d.doc_id = c.id)
+             SELECT cluster_id, count(*) AS cluster_size,
+               CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS rep_doc_id,
+               CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+               CAST(sum(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+             FROM mem GROUP BY cluster_id ORDER BY cluster_id""")
+    ),
     // ---------------------------------------------------------------- q99
     // The flagship end-to-end curation pipeline — what a training-data
     // user actually runs: quality gate (length + lexical diversity),

@@ -807,6 +807,108 @@ object TextOps {
                    FROM bi JOIN h ON bi.a = h.a)
              SELECT a, b, CAST(n AS BIGINT) AS n, round(CAST(n AS DOUBLE) / na, 6) AS p
              FROM r WHERE rk <= 3 ORDER BY a, n DESC, b""")
+    ),
+    // --------------------------------------------------------------- q137
+    // LM-based quality score (the CCNet/DataComp perplexity-filter
+    // shape): train the q117 bigram LM on the corpus itself, then score
+    // each document by its mean conditional bigram probability. Stays
+    // engine-exact by working in integer parts-per-million — each
+    // bigram's p(b|a) = (n_ab * 1e6) div n_a, and the doc score is the
+    // count-weighted integer mean — no float log/exp anywhere. Low
+    // lm_ppm = improbable token transitions = gibberish/boilerplate
+    // candidates. Scale shape: the LM build is one hash-shuffle on the
+    // pair key; scoring joins the doc's bigram counts to the LM on the
+    // same key — scan + two hash shuffles, no per-doc loops.
+    QueryDef(
+      "q137_lm_score",
+      (s, dir) => {
+        val docBi = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))"
+            )).as("p")
+          )
+          .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val lm = docBi.groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+        val heads = lm.groupBy(col("a")).agg(sum(col("n")).as("na"))
+        docBi
+          .join(lm.join(heads, "a"), Seq("a", "b"))
+          .withColumn("ppm", expr("(n * 1000000) div na"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_bigrams"),
+            expr("sum(c * ppm) div sum(c)").as("lm_ppm")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id, ${Tokenize.toksSql} AS toks
+               FROM documents),
+             db AS (
+               SELECT doc_id, p[1] AS a, p[2] AS b, count(*) AS c FROM (
+                 SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> [toks[i], toks[i+1]])) AS p
+                 FROM t WHERE len(toks) >= 2)
+               GROUP BY 1, 2, 3),
+             lm AS (SELECT a, b, sum(c) AS n FROM db GROUP BY a, b),
+             h AS (SELECT a, sum(n) AS na FROM lm GROUP BY a),
+             sc AS (SELECT db.doc_id, db.c, (lm.n * 1000000) // h.na AS ppm
+                    FROM db JOIN lm ON db.a = lm.a AND db.b = lm.b
+                    JOIN h ON db.a = h.a)
+             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(sum(c * ppm) // sum(c) AS BIGINT) AS lm_ppm
+             FROM sc GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q138
+    // Vocabulary build + per-doc out-of-vocabulary rate — the
+    // tokenizer-prep step of a training pipeline: the top-1000 corpus
+    // tokens (count desc, token asc — deterministic at the boundary)
+    // form the vocabulary; each doc reports how many of its tokens fall
+    // outside it (integer ppm). High OOV = encoding noise / unseen
+    // language — a routing signal for tokenizer retraining. Scale
+    // shape: the vocab is a global top-k (TakeOrderedAndProject — never
+    // a full sort) whose 1000 rows broadcast back onto the exploded
+    // token stream; one hash-agg by doc_id closes the plan.
+    QueryDef(
+      "q138_vocab_oov",
+      (s, dir) => {
+        val toks = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), explode(toksExpr).as("tok"))
+        val vocab = toks
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(1000)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        toks
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov")
+          )
+          .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id, ${Tokenize.toksSql} AS toks
+               FROM documents),
+             tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+             v AS (SELECT tok FROM tk GROUP BY tok
+                   ORDER BY count(*) DESC, tok LIMIT 1000)
+             SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS oov_ppm
+             FROM tk LEFT JOIN v ON tk.tok = v.tok
+             GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

@@ -331,6 +331,68 @@ object StreamOps {
              SELECT user_id, start_us, CAST(n_events AS BIGINT) AS n_events FROM g
              QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
              ORDER BY user_id, start_us""")
+    ),
+    // --------------------------------------------------------------- q142
+    // Chained TIME-WINDOW aggregations in one streaming query — the
+    // other multi-stateful-operator shape Spark 4 allows (q106 chains
+    // dedup->window; this chains window->window): hourly counts re-
+    // aggregated into daily rollups by windowing OVER the hourly window
+    // column. The daily stage sees one row per (hour, type) instead of
+    // raw events — exactly how a 100 TB metrics pipeline keeps its
+    // second-stage state tiny. Append mode is required for chained
+    // stateful aggs, so a day emits only once the watermark passes its
+    // close; the replay's final watermark is max(ts) - 2h, and both the
+    // engine and the oracle bound themselves to days provably emitted
+    // (day end <= max ts - 130 min: 2 h watermark + slack off the
+    // eviction boundary). Counts and max are exact across the two
+    // stages (sum-of-sums / max-of-maxes); no float re-association.
+    QueryDef(
+      "q142_stream_daily_rollup",
+      (s, dir) => {
+        val bound = graft.Engine
+          .table(s, dir, "events")
+          .agg(max(col("ts")).as("mx"))
+        val hourly = EventStreaming
+          .eventsStream(s, dir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("value")).as("mx_v"))
+        val daily = hourly
+          .groupBy(window(col("w"), "1 day").as("d"), col("event_type"))
+          .agg(
+            sum(col("n")).as("n_events"),
+            count(lit(1)).as("n_hours"),
+            max(col("n")).as("peak_hour_n"),
+            round(max(col("mx_v")), 2).as("max_value")
+          )
+          .select(
+            col("d.start").as("day"), col("d.end").as("day_end"), col("event_type"),
+            col("n_events"), col("n_hours"), col("peak_hour_n"), col("max_value")
+          )
+        EventStreaming
+          .runToMemory(s, daily, sinkName("q142"), OutputMode.Append())
+          .crossJoin(broadcast(bound))
+          .filter(col("day_end") <= col("mx") - expr("INTERVAL 130 MINUTES"))
+          .select(
+            col("day"), col("event_type"), col("n_events"),
+            col("n_hours"), col("peak_hour_n"), col("max_value")
+          )
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             h AS (
+               SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type,
+                 count(*) AS n, max(value) AS mx_v
+               FROM events GROUP BY 1, 2)
+             SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day, event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               count(*) AS n_hours,
+               CAST(max(n) AS BIGINT) AS peak_hour_n,
+               round(max(mx_v), 2) AS max_value
+             FROM h
+             WHERE date_trunc('day', hr) + INTERVAL 1 DAY
+               <= (SELECT mx FROM m) - INTERVAL 130 MINUTE
+             GROUP BY 1, 2 ORDER BY day, event_type""")
     )
   )
 }

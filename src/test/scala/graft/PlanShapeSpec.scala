@@ -94,6 +94,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q141: the shuffle manifest never plans a global single-partition window over the data") {
+    val p = plan("q141_shuffle_manifest")
+    // same contract as q89/q129: the data-bearing row numbering is keyed
+    // on pid after a range repartition; only the ~32-row offset table
+    // sorts globally and it is broadcast back
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q138: the vocab is a top-k (never a full sort) and broadcasts onto the token stream") {
+    val p = plan("q138_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q131: the per-source rate table broadcasts; the corpus side never shuffles for it") {
     val p = plan("q131_mixture_apply")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

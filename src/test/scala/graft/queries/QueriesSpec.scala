@@ -573,4 +573,89 @@ class QueriesSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("q137 lm score: ppm bounded and corpus-best doc scores above corpus-worst") {
+    val rows = graft.SparkEntry.queries("q137_lm_score")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("lm_ppm")
+      // every scored bigram came from the corpus LM, so p(b|a) >= 1/na:
+      // the integer mean lies in (0, 1e6]
+      assert(ppm >= 0 && ppm <= 1000000L, s"doc ${r.get(0)}: lm_ppm $ppm out of range")
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+  }
+
+  test("q139 best-rep: reps are cluster members with maximal n_chars; sizes partition q58") {
+    val reps = graft.SparkEntry.queries("q139_cluster_best_rep")(spark, dir).collect()
+    val clusters = graft.SparkEntry.queries("q58_dup_clusters")(spark, dir)
+    val docs = graft.Engine.table(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val members = clusters
+      .join(docs, "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1)
+    assert(reps.map(_.getAs[Long]("cluster_size")).sum == clusters.count())
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val m = members(cid)
+      val best = m.minBy(t => (-t._3, t._2)) // max n_chars, tie min doc_id
+      assert(r.getAs[Long]("rep_doc_id") == best._2, s"cluster $cid rep mismatch")
+      assert(r.getAs[Long]("rep_chars") == best._3)
+      assert(r.getAs[Long]("dropped_chars") == m.map(_._3).sum - best._3)
+      assert(r.getAs[Long]("cluster_size") == m.size)
+    }
+  }
+
+  test("q140 length buckets: partition the tokenized docs; padding never shrinks") {
+    val rows = graft.SparkEntry.queries("q140_length_buckets")(spark, dir).collect()
+    val nDocs = graft.Engine
+      .table(spark, dir, "documents")
+      .filter(size(graft.queries.Tokenize.toksExpr) >= 1)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_padded") >= r.getAs[Long]("n_tokens"))
+      val w = r.getAs[Long]("waste_ppm")
+      assert(w >= 0 && w < 1000000L)
+      // bucket b holds docs with nt in [2^b, 2^(b+1)): padded rounds to
+      // 512s, so per-doc padded < nt + 512
+      assert(
+        r.getAs[Long]("n_padded") < r.getAs[Long]("n_tokens") + 512L * r.getAs[Long]("n_docs")
+      )
+    }
+  }
+
+  test("q141 shuffle manifest: pos is an exact permutation and shards balance") {
+    val df = graft.SparkEntry.queries("q141_shuffle_manifest")(spark, dir)
+    val n = graft.Engine.table(spark, dir, "documents").count()
+    val pos = df.select(col("pos")).collect().map(_.getLong(0))
+    assert(pos.length == n)
+    assert(pos.toSet == (0L until n).toSet, "positions are not 0..n-1 exactly once")
+    val shardCounts = df.groupBy(col("shard")).count().collect().map(_.getLong(1))
+    assert(shardCounts.max - shardCounts.min <= 1, "round-robin shards must balance within 1")
+  }
+
+  test("q142 daily rollup: agrees with the batch recomputation on emitted days") {
+    val rows = graft.SparkEntry.queries("q142_stream_daily_rollup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val batch = graft.Engine
+      .table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w.start").cast("date").as("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"), max(col("n")).as("peak"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_hours"), r.getAs[Long]("peak")))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("day").toLocalDateTime.toLocalDate.toString,
+        r.getAs[String]("event_type"))
+      val (ne, nh, pk) = batch(k)
+      assert(r.getAs[Long]("n_events") == ne, s"$k n_events")
+      assert(r.getAs[Long]("n_hours") == nh, s"$k n_hours")
+      assert(r.getAs[Long]("peak_hour_n") == pk, s"$k peak")
+    }
+  }
 }
