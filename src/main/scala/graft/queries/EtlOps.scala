@@ -355,6 +355,82 @@ object EtlOps {
                  AS BIGINT) AS n_clipped
              FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
              GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")
+    ),
+    // --------------------------------------------------------------- q144
+    // Z-order clustering audit — gate-verifies Layout.zorderValue's
+    // engine portability and quantifies the data skipping it buys. Docs
+    // get a 2-D key (x = power-of-two token-length bucket, y = source
+    // index), the 5-bit Z curve interleaves them, and file assignment is
+    // the top Z bits (file = z div 16 — deterministic, recomputable by
+    // any engine, unlike sampled range-partition boundaries). Per file:
+    // row count, per-dimension min/max (exactly the parquet footer stats
+    // a scan planner reads), whether the file survives a literal 2-D box
+    // predicate's min/max pruning (x in [3,5] AND y in [4,11]), and the
+    // rows actually matching. Because the Z curve keeps BOTH dimensions
+    // locally dense, most files prune on one dimension or the other —
+    // the property that makes a 100 TB scan touch 3% of its files. The
+    // sound-pruning invariant (a skipped file contains zero matches) is
+    // spec-asserted.
+    QueryDef(
+      "q144_zorder_pruning",
+      (s, dir) => {
+        val d = Engine
+          .table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            least(
+              length(bin(greatest(size(Tokenize.toksExpr), lit(1)))) - 1,
+              lit(31)
+            ).cast("long").as("x"),
+            substring(col("source"), 4, 2).cast("long").as("y")
+          )
+        d.withColumn("z", graft.operators.Layout.zorderValue(col("x"), col("y"), 5))
+          .withColumn("file_id", expr("z div 16"))
+          .groupBy(col("file_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"),
+            max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"),
+            max(col("y")).as("max_y"),
+            sum(
+              when(col("x").between(3, 5) && col("y").between(4, 11), 1L).otherwise(0L)
+            ).as("n_match")
+          )
+          .withColumn(
+            "scanned",
+            (!(col("max_x") < 3 || col("min_x") > 5 || col("max_y") < 4 || col("min_y") > 11))
+              .cast("long")
+          )
+          .select(
+            col("file_id"), col("n_rows"), col("min_x"), col("max_x"),
+            col("min_y"), col("max_y"), col("scanned"), col("n_match")
+          )
+          .orderBy(col("file_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id,
+                 least(length(bin(greatest(len(${Tokenize.toksSql}), 1))) - 1, 31) AS x,
+                 CAST(substr(source, 4, 2) AS BIGINT) AS y
+               FROM documents),
+             z AS (
+               SELECT x, y,
+                 (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+               + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+               + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+               + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+               + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) AS zv
+               FROM t),
+             f AS (
+               SELECT zv // 16 AS file_id, x, y FROM z)
+             SELECT file_id, count(*) AS n_rows,
+               CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+               CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+               CAST(NOT (max(x) < 3 OR min(x) > 5 OR max(y) < 4 OR min(y) > 11)
+                 AS BIGINT) AS scanned,
+               CAST(sum(CASE WHEN x BETWEEN 3 AND 5 AND y BETWEEN 4 AND 11
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+             FROM f GROUP BY file_id ORDER BY file_id""")
     )
   )
 }

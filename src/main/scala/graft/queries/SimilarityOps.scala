@@ -636,6 +636,91 @@ object SimilarityOps {
                  i -> abs(e[i] - qv[i] / scale))) / len(e), 6) AS mae
              FROM q ORDER BY vec_id""")
     ),
+    // --------------------------------------------------------------- q145
+    // Product quantization (PQ) — the memory path that makes
+    // billion-vector ANN fit RAM: the 64-dim vector splits into 8
+    // subvectors of 8 dims; each subvector is assigned the nearest of 16
+    // codebook entries (here: the 16 lowest-vec_id vectors — a fixed,
+    // engine-recomputable codebook standing in for trained centroids),
+    // so a vector stores as 8 half-byte codes: 64 float32s -> 4 bytes,
+    // 64x compression. All arithmetic happens in integer micro-units
+    // (floor(x*1e6 + 0.5), the q72 rounding) so distances, argmins, and
+    // the reconstruction error are engine-exact integers — no float
+    // accumulation anywhere. Scale shape: the codebook (16 rows)
+    // broadcasts; assignment is a narrow map per vector; one hash-agg
+    // reassembles codes. Exactly IVF-PQ's compression stage.
+    QueryDef(
+      "q145_pq_codes",
+      (s, dir) => {
+        val iv = Engine
+          .table(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            expr("transform(cast(embedding as array<double>), " +
+              "x -> cast(floor(x * 1000000 + 0.5d) as bigint))").as("iv")
+          )
+        val codes = iv
+          .orderBy(col("vec_id"))
+          .limit(16)
+          .select(col("vec_id").as("code_vec"), col("iv").as("cv"))
+          .withColumn(
+            "code_id",
+            (row_number().over(Window.orderBy(col("code_vec"))) - 1).cast("long")
+          )
+          .select(col("code_id"), col("cv"))
+        val assigned = iv
+          .crossJoin(broadcast(codes))
+          .select(
+            col("vec_id"),
+            col("code_id"),
+            explode(expr(
+              "transform(sequence(0, 7), s -> named_struct('sub', s, 'dist', " +
+                "aggregate(sequence(1, 8), 0L, (a, j) -> " +
+                "a + (element_at(iv, s*8+j) - element_at(cv, s*8+j)) * " +
+                "(element_at(iv, s*8+j) - element_at(cv, s*8+j)))))"
+            )).as("sd")
+          )
+          .select(col("vec_id"), col("code_id"), col("sd.sub").as("sub"), col("sd.dist").as("dist"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("dist"), col("code_id"))).as("best"))
+          .select(
+            col("vec_id"), col("sub"),
+            col("best.code_id").as("code"), col("best.dist").as("dist")
+          )
+        assigned
+          .groupBy(col("vec_id"))
+          .agg(
+            concat_ws(",", expr(
+              "transform(array_sort(collect_list(struct(sub, code))), p -> cast(p.code as string))"
+            )).as("pq_codes"),
+            sum(col("dist")).as("err_sq")
+          )
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH t AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS iv
+               FROM embeddings),
+             c AS (
+               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, iv AS cv
+               FROM t ORDER BY vec_id LIMIT 16),
+             d AS (
+               SELECT t.vec_id, c.code_id, ss.s AS sub,
+                 list_sum(list_transform(generate_series(1, 8),
+                   j -> (t.iv[ss.s*8 + j] - c.cv[ss.s*8 + j])
+                      * (t.iv[ss.s*8 + j] - c.cv[ss.s*8 + j]))) AS dist
+               FROM t CROSS JOIN c
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) ss),
+             b AS (
+               SELECT vec_id, sub, code_id, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code_id) AS rk
+               FROM d)
+             SELECT vec_id,
+               string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY sub) AS pq_codes,
+               CAST(sum(dist) AS BIGINT) AS err_sq
+             FROM b WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.

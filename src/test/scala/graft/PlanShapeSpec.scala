@@ -109,6 +109,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q145: the PQ codebook broadcasts; vectors never shuffle for assignment") {
+    val p = plan("q145_pq_codes")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q131: the per-source rate table broadcasts; the corpus side never shuffles for it") {
     val p = plan("q131_mixture_apply")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

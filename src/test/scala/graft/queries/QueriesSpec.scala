@@ -636,6 +636,65 @@ class QueriesSpec extends AnyFunSuite {
     assert(shardCounts.max - shardCounts.min <= 1, "round-robin shards must balance within 1")
   }
 
+  test("q143 triangles: credit sums to 3x a whole triangle count and matches naive enumeration") {
+    val rows = graft.SparkEntry.queries("q143_triangles")(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_triangles")).sum
+    assert(total > 0 && total % 3 == 0, s"per-node credit $total must be 3x triangle count")
+    // naive id-ordered enumeration over the same co-activity graph must
+    // agree with the degree-oriented count (orientation-invariance)
+    val sl = graft.Engine
+      .table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct()
+    val el = sl
+      .select(col("user_id").as("u"), col("h"), col("event_type"))
+      .join(sl.select(col("user_id").as("v"), col("h"), col("event_type")), Seq("h", "event_type"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .select(col("u"), col("v"))
+    val naive = el.as("e1")
+      .join(el.as("e2"), col("e1.v") === col("e2.u"))
+      .join(
+        el.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
+        "left_semi"
+      )
+      .count()
+    assert(total == 3 * naive, s"degree-oriented $total != 3 * naive $naive")
+  }
+
+  test("q144 z-order pruning is sound and actually skips files") {
+    val rows = graft.SparkEntry.queries("q144_zorder_pruning")(spark, dir).collect()
+    val nDocs = graft.Engine.table(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nDocs, "files partition the table")
+    rows.foreach { r =>
+      if (r.getAs[Long]("scanned") == 0L)
+        assert(r.getAs[Long]("n_match") == 0L,
+          s"file ${r.get(0)}: min/max pruning skipped a file containing matches")
+      assert(r.getAs[Long]("min_x") <= r.getAs[Long]("max_x"))
+      assert(r.getAs[Long]("min_y") <= r.getAs[Long]("max_y"))
+    }
+    assert(rows.exists(_.getAs[Long]("scanned") == 0L), "the box predicate should prune something")
+  }
+
+  test("q145 PQ: 8 codes in [0,15] per vector; codebook vectors reconstruct exactly") {
+    val rows = graft.SparkEntry.queries("q145_pq_codes")(spark, dir).collect()
+    rows.foreach { r =>
+      val codes = r.getAs[String]("pq_codes").split(",")
+      assert(codes.length == 8, s"vec ${r.get(0)}: expected 8 subspace codes")
+      codes.foreach(c => assert(c.toInt >= 0 && c.toInt <= 15))
+      assert(r.getAs[Long]("err_sq") >= 0L)
+    }
+    // the 16 lowest vec_ids ARE the codebook: each assigns to itself in
+    // every subspace with zero distance
+    val codebookIds = rows.map(_.getAs[Long]("vec_id")).sorted.take(16).toSet
+    rows.filter(r => codebookIds(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(r.getAs[Long]("err_sq") == 0L, s"codebook vec ${r.get(0)} must reconstruct exactly")
+    }
+  }
+
   test("q142 daily rollup: agrees with the batch recomputation on emitted days") {
     val rows = graft.SparkEntry.queries("q142_stream_daily_rollup")(spark, dir).collect()
     assert(rows.nonEmpty)
