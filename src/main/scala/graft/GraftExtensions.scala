@@ -36,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     )
     e.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)
+    // whole-operator extension (Expression -> Rule -> Strategy/SparkPlan
+    // tiers all exercised): pure range-containment joins against a small
+    // interval table plan as a broadcast stabbing index, O(log I + k)
+    // per probe row, instead of BroadcastNestedLoopJoin's O(I)
+    e.injectPlannerStrategy(s => graft.plans.IntervalStabJoin.Strat(s))
   }
 }

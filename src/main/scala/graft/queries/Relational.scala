@@ -843,6 +843,46 @@ object Relational {
              JOIN customer ON c_acctbal >= lo AND c_acctbal < hi
              GROUP BY tier ORDER BY tier""")
     ),
+    // --------------------------------------------------------------- q146
+    // Fine-grained price banding through the NATIVE interval-stab join
+    // (plans/IntervalStabJoin.scala — the whole-operator Catalyst
+    // extension tier: custom SparkStrategy + SparkPlan injected via
+    // GraftExtensions). 1000 contiguous [k*600, (k+1)*600) bands: with
+    // no equality key Spark's builtin planner can only produce
+    // BroadcastNestedLoopJoin, re-evaluating 1000 range predicates per
+    // order; the stab operator broadcasts the bands as a sorted index
+    // and answers each order in O(log 1000 + 1). Same declarative
+    // DataFrame code — the strategy rewrite is invisible to the caller,
+    // which is the point of doing it in the planner. Both engines drop
+    // orders outside [0, 600000) identically (inner join).
+    QueryDef(
+      "q146_price_bands",
+      (s, dir) => {
+        val bands = s
+          .range(1000)
+          .select(
+            col("id").as("band"),
+            (col("id") * 600.0).as("lo"),
+            ((col("id") + 1) * 600.0).as("hi")
+          )
+        Engine
+          .table(s, dir, "orders")
+          .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents")
+          )
+          .orderBy(col("band"))
+      },
+      Some("""WITH b AS (
+               SELECT range AS band, range * 600.0 AS lo, (range + 1) * 600.0 AS hi
+               FROM range(0, 1000))
+             SELECT band, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             FROM orders JOIN b ON o_totalprice >= lo AND o_totalprice < hi
+             GROUP BY band ORDER BY band""")
+    ),
     // ---------------------------------------------------------------- q67
     // Correlated EXISTS with a non-equi correlated predicate — planned as
     // a left-semi join with the extra condition in the join clause.

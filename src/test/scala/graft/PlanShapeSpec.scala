@@ -42,9 +42,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(800))
   }
 
-  test("q66: non-equi band join broadcasts the tier table (no cartesian shuffle)") {
+  test("q66: non-equi band join plans the native interval-stab operator (no cartesian shuffle)") {
     val p = plan("q66_band_join")
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the injected IntervalStabJoin strategy (Catalyst tier (c)) takes
+    // this pattern from BroadcastNestedLoopJoin's O(I)-per-row scan to a
+    // broadcast stabbing index
+    assert(p.contains("IntervalStabJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q146: the 1000-band stab join plans the native operator, never a nested loop") {
+    val p = plan("q146_price_bands")
+    assert(p.contains("IntervalStabJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
   test("q67: correlated EXISTS plans as a semi join with the priority filter pushed to the scan") {

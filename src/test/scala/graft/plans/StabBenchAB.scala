@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+/** One-off A/B for PERF.md: the interval-stab operator vs
+  * BroadcastNestedLoopJoin on the q146 shape (1000 bands x orders).
+  * B forces BNLJ by zeroing the broadcast threshold (the stab strategy
+  * declines) while keeping an explicit broadcast hint (so the builtin
+  * planner still picks BNLJ, not a cartesian).
+  */
+object StabBenchAB {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.session("stab-ab")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val orders = graft.Engine.table(spark, dir, "orders")
+    def bands = spark
+      .range(1000)
+      .select(col("id").as("band"), (col("id") * 600.0).as("lo"), ((col("id") + 1) * 600.0).as("hi"))
+    def run(label: String, forceBnlj: Boolean): Unit = {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      if (forceBnlj) spark.conf.set(key, "0")
+      try {
+        val b = if (forceBnlj) broadcast(bands) else bands
+        val df = orders
+          .join(b, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"))
+        df.count() // warm
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+        }
+        val plan = df.queryExecution.executedPlan.toString
+        val op =
+          if (plan.contains("IntervalStabJoin")) "IntervalStabJoin"
+          else if (plan.contains("BroadcastNestedLoopJoin")) "BroadcastNestedLoopJoin"
+          else "other"
+        println(f"AB $label%-6s op=$op%-24s min=${times.min}%.3f s runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      } finally spark.conf.set(key, prev)
+    }
+    run("stab", forceBnlj = false)
+    run("bnlj", forceBnlj = true)
+    spark.stop()
+  }
+}
