@@ -721,6 +721,111 @@ object SimilarityOps {
                CAST(sum(dist) AS BIGINT) AS err_sq
              FROM b WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
     ),
+    // --------------------------------------------------------------- q147
+    // Distributed k-means, 2 Lloyd rounds, 16 clusters — the clustering
+    // stage of SemDeDup-style semantic dedup and the trained-codebook
+    // counterpart to q145's fixed one. Every step is ENGINE-EXACT
+    // integer arithmetic: vectors land in micro-units with a +2^24
+    // offset so all values are non-negative — offsets cancel in the
+    // (a-b)^2 distances, and on non-negative sums Spark's `div`
+    // (truncate) and DuckDB's `//` (floor) agree, so the centroid
+    // update sum(v) div n is bit-identical cross-engine (signed sums
+    // would floor vs truncate differently). Deterministic init = the 16
+    // lowest vec_ids; argmin ties break on cluster id; empty clusters
+    // keep their previous centroid. Scale shape: centroids broadcast
+    // (16 rows); assignment is a narrow map over vectors; each update
+    // is ONE shuffle keyed (cluster, dim) with k*64 groups; 2 rounds =
+    // 2 such shuffles — the canonical distributed Lloyd.
+    QueryDef(
+      "q147_kmeans",
+      (s, dir) => {
+        val iv = Engine
+          .table(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            expr("transform(cast(embedding as array<double>), " +
+              "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv")
+          )
+          .localCheckpoint(eager = false)
+        val init = iv
+          .orderBy(col("vec_id"))
+          .limit(16)
+          .select(col("vec_id").as("cvid"), col("iv").as("cv"))
+          .withColumn(
+            "cid",
+            (row_number().over(Window.orderBy(col("cvid"))) - 1).cast("long")
+          )
+          .select(col("cid"), col("cv"))
+        def assign(cents: DataFrame): DataFrame =
+          iv.crossJoin(broadcast(cents))
+            .withColumn(
+              "d",
+              expr("aggregate(sequence(1, size(iv)), 0L, (a, j) -> " +
+                "a + (element_at(iv, j) - element_at(cv, j)) * " +
+                "(element_at(iv, j) - element_at(cv, j)))")
+            )
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d"), col("cid"))).as("best"))
+            .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
+        def update(assigned: DataFrame): DataFrame = {
+          val means = assigned
+            .join(iv, "vec_id")
+            .select(col("cid"), posexplode(col("iv")).as(Seq("pos", "v")))
+            .groupBy(col("cid"), col("pos"))
+            .agg(expr("sum(v) div count(1)").as("m"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("nv"))
+          // empty clusters keep their previous centroid
+          init
+            .join(means, Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        }
+        val round1 = assign(init)
+        val cents1 = update(round1)
+        assign(cents1)
+          .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist_sq"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH t AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             c0 AS (
+               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS cv
+               FROM t ORDER BY vec_id LIMIT 16),
+             a1 AS (
+               SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+               FROM (
+                 SELECT t.vec_id, c0.cid,
+                   list_sum(list_transform(generate_series(1, len(t.iv)),
+                     j -> (t.iv[j] - c0.cv[j]) * (t.iv[j] - c0.cv[j]))) AS dist
+                 FROM t CROSS JOIN c0)),
+             m1 AS (
+               SELECT a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS m
+               FROM a1 a JOIN t ON a.vec_id = t.vec_id,
+                 LATERAL (SELECT unnest(t.iv) AS v,
+                   unnest(generate_series(1, len(t.iv))) AS pos) u
+               WHERE a.rk = 1
+               GROUP BY a.cid, u.pos),
+             c1 AS (
+               SELECT c0.cid,
+                 coalesce(mm.nv, c0.cv) AS cv
+               FROM c0 LEFT JOIN (
+                 SELECT cid, list(m ORDER BY pos) AS nv FROM m1 GROUP BY cid) mm
+                 ON c0.cid = mm.cid),
+             a2 AS (
+               SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+               FROM (
+                 SELECT t.vec_id, c1.cid,
+                   list_sum(list_transform(generate_series(1, len(t.iv)),
+                     j -> (t.iv[j] - c1.cv[j]) * (t.iv[j] - c1.cv[j]))) AS dist
+                 FROM t CROSS JOIN c1))
+             SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+               CAST(dist AS BIGINT) AS dist_sq
+             FROM a2 WHERE rk = 1 ORDER BY vec_id""")
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.

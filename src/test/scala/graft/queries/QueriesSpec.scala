@@ -695,6 +695,50 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 k-means: distributed Lloyd equals an exact driver-side recomputation") {
+    val rows = graft.SparkEntry.queries("q147_kmeans")(spark, dir).collect()
+    val vecs = graft.Engine
+      .table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val iv = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong + 16777216L).toArray
+        r.getAs[Long]("vec_id") -> iv
+      }
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(cents: Array[Array[Long]]): Map[Long, (Int, Long)] =
+      vecs.map { case (id, iv) =>
+        val best = cents.zipWithIndex.map { case (c, i) => (d2(iv, c), i) }.min
+        id -> (best._2, best._1)
+      }.toMap
+    var cents = vecs.take(16).map(_._2)
+    val a1 = assign(cents)
+    cents = (0 until 16).map { c =>
+      val members = vecs.filter { case (id, _) => a1(id)._1 == c }
+      if (members.isEmpty) cents(c)
+      else {
+        val dims = cents(0).length
+        Array.tabulate(dims)(j => members.map(_._2(j)).sum / members.length)
+      }
+    }.toArray
+    val a2 = assign(cents)
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val (ec, ed) = a2(id)
+      assert(r.getAs[Long]("cluster") == ec.toLong, s"vec $id cluster")
+      assert(r.getAs[Long]("dist_sq") == ed, s"vec $id dist")
+    }
+    // the clustering is load-bearing: more than one cluster in use
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length > 1)
+  }
+
   test("q142 daily rollup: agrees with the batch recomputation on emitted days") {
     val rows = graft.SparkEntry.queries("q142_stream_daily_rollup")(spark, dir).collect()
     assert(rows.nonEmpty)
