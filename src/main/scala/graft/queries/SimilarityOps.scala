@@ -392,6 +392,102 @@ object SimilarityOps {
              ir AS (SELECT qid, cid, cos,
                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM isc)"""
 
+  /** Integer micro-unit vectors (+2^24 offset — non-negative, so the
+    * centroid-mean division floors identically in both engines and the
+    * offset cancels in distances) — shared by q147/q148.
+    */
+  private def ivecs(s: SparkSession, dir: String): DataFrame =
+    Engine
+      .table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv")
+      )
+      .localCheckpoint(eager = false)
+
+  /** 2 exact-integer Lloyd rounds at k=16 (init = 16 lowest vec_ids;
+    * argmin ties to the lower cluster id; empty clusters keep their
+    * previous centroid). Returns (vec_id, cid, d) of the final
+    * assignment — the shared core of q147 and q148's SemDeDup.
+    */
+  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val iv = ivecs(s, dir)
+    val init = iv
+      .orderBy(col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cvid"), col("iv").as("cv"))
+      .withColumn(
+        "cid",
+        (row_number().over(Window.orderBy(col("cvid"))) - 1).cast("long")
+      )
+      .select(col("cid"), col("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      iv.crossJoin(broadcast(cents))
+        .withColumn(
+          "d",
+          expr("aggregate(sequence(1, size(iv)), 0L, (a, j) -> " +
+            "a + (element_at(iv, j) - element_at(cv, j)) * " +
+            "(element_at(iv, j) - element_at(cv, j)))")
+        )
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
+    val round1 = assign(init)
+    val means = round1
+      .join(iv, "vec_id")
+      .select(col("cid"), posexplode(col("iv")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("nv"))
+    val cents1 = init
+      .join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+    assign(cents1)
+  }
+
+  /** DuckDB CTE chain mirroring [[kmeansAssign]]; ends with `a2` whose
+    * rk=1 rows are the final (vec_id, cid, dist) assignment.
+    */
+  private val kmeansSql: String =
+    """WITH t AS (
+         SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS cv
+         FROM t ORDER BY vec_id LIMIT 16),
+       a1 AS (
+         SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         FROM (
+           SELECT t.vec_id, c0.cid,
+             list_sum(list_transform(generate_series(1, len(t.iv)),
+               j -> (t.iv[j] - c0.cv[j]) * (t.iv[j] - c0.cv[j]))) AS dist
+           FROM t CROSS JOIN c0)),
+       m1 AS (
+         SELECT a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS m
+         FROM a1 a JOIN t ON a.vec_id = t.vec_id,
+           LATERAL (SELECT unnest(t.iv) AS v,
+             unnest(generate_series(1, len(t.iv))) AS pos) u
+         WHERE a.rk = 1
+         GROUP BY a.cid, u.pos),
+       c1 AS (
+         SELECT c0.cid,
+           coalesce(mm.nv, c0.cv) AS cv
+         FROM c0 LEFT JOIN (
+           SELECT cid, list(m ORDER BY pos) AS nv FROM m1 GROUP BY cid) mm
+           ON c0.cid = mm.cid),
+       a2 AS (
+         SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         FROM (
+           SELECT t.vec_id, c1.cid,
+             list_sum(list_transform(generate_series(1, len(t.iv)),
+               j -> (t.iv[j] - c1.cv[j]) * (t.iv[j] - c1.cv[j]))) AS dist
+           FROM t CROSS JOIN c1))"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q54
     // Embedding near-dup pairs within label blocks: top-100 by cosine.
@@ -738,93 +834,56 @@ object SimilarityOps {
     // 2 such shuffles — the canonical distributed Lloyd.
     QueryDef(
       "q147_kmeans",
-      (s, dir) => {
-        val iv = Engine
-          .table(s, dir, "embeddings")
-          .select(
-            col("vec_id"),
-            expr("transform(cast(embedding as array<double>), " +
-              "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv")
-          )
-          .localCheckpoint(eager = false)
-        val init = iv
-          .orderBy(col("vec_id"))
-          .limit(16)
-          .select(col("vec_id").as("cvid"), col("iv").as("cv"))
-          .withColumn(
-            "cid",
-            (row_number().over(Window.orderBy(col("cvid"))) - 1).cast("long")
-          )
-          .select(col("cid"), col("cv"))
-        def assign(cents: DataFrame): DataFrame =
-          iv.crossJoin(broadcast(cents))
-            .withColumn(
-              "d",
-              expr("aggregate(sequence(1, size(iv)), 0L, (a, j) -> " +
-                "a + (element_at(iv, j) - element_at(cv, j)) * " +
-                "(element_at(iv, j) - element_at(cv, j)))")
-            )
-            .groupBy(col("vec_id"))
-            .agg(min(struct(col("d"), col("cid"))).as("best"))
-            .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
-        def update(assigned: DataFrame): DataFrame = {
-          val means = assigned
-            .join(iv, "vec_id")
-            .select(col("cid"), posexplode(col("iv")).as(Seq("pos", "v")))
-            .groupBy(col("cid"), col("pos"))
-            .agg(expr("sum(v) div count(1)").as("m"))
-            .groupBy(col("cid"))
-            .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("nv"))
-          // empty clusters keep their previous centroid
-          init
-            .join(means, Seq("cid"), "left")
-            .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
-        }
-        val round1 = assign(init)
-        val cents1 = update(round1)
-        assign(cents1)
+      (s, dir) =>
+        kmeansAssign(s, dir)
           .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist_sq"))
-          .orderBy(col("vec_id"))
-      },
-      Some("""WITH t AS (
-               SELECT vec_id, list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
-               FROM embeddings),
-             c0 AS (
-               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS cv
-               FROM t ORDER BY vec_id LIMIT 16),
-             a1 AS (
-               SELECT vec_id, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-               FROM (
-                 SELECT t.vec_id, c0.cid,
-                   list_sum(list_transform(generate_series(1, len(t.iv)),
-                     j -> (t.iv[j] - c0.cv[j]) * (t.iv[j] - c0.cv[j]))) AS dist
-                 FROM t CROSS JOIN c0)),
-             m1 AS (
-               SELECT a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS m
-               FROM a1 a JOIN t ON a.vec_id = t.vec_id,
-                 LATERAL (SELECT unnest(t.iv) AS v,
-                   unnest(generate_series(1, len(t.iv))) AS pos) u
-               WHERE a.rk = 1
-               GROUP BY a.cid, u.pos),
-             c1 AS (
-               SELECT c0.cid,
-                 coalesce(mm.nv, c0.cv) AS cv
-               FROM c0 LEFT JOIN (
-                 SELECT cid, list(m ORDER BY pos) AS nv FROM m1 GROUP BY cid) mm
-                 ON c0.cid = mm.cid),
-             a2 AS (
-               SELECT vec_id, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-               FROM (
-                 SELECT t.vec_id, c1.cid,
-                   list_sum(list_transform(generate_series(1, len(t.iv)),
-                     j -> (t.iv[j] - c1.cv[j]) * (t.iv[j] - c1.cv[j]))) AS dist
-                 FROM t CROSS JOIN c1))
+          .orderBy(col("vec_id")),
+      Some(s"""$kmeansSql
              SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
                CAST(dist AS BIGINT) AS dist_sq
              FROM a2 WHERE rk = 1 ORDER BY vec_id""")
+    ),
+    // --------------------------------------------------------------- q148
+    // SemDeDup, literally: k-means the embedding space (q147's exact
+    // Lloyd rounds), then compare ONLY within-cluster pairs by cosine
+    // and drop the higher vec_id of every pair clearing the near-dup
+    // threshold (0.45 on this synthetic corpus, the engine-wide tuned
+    // value from embDropIds). Survivors emitted with their cluster.
+    // This is the third ANN-bucketing route to embedding dedup in the
+    // engine (LSH bands q57, banded multi-table q132, clusters here) —
+    // at 100 TB the pair scan is bounded per cluster instead of per
+    // band, and clusters come from the data rather than random planes,
+    // which is why SemDeDup catches semantic dups random planes split.
+    QueryDef(
+      "q148_semdedup",
+      (s, dir) => {
+        val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+        val e = emb(s, dir).select(col("vec_id"), col("e"), col("n2"))
+        val m = asg.join(e, "vec_id")
+        val drops = m.as("a")
+          .join(m.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .filter(
+            round(cosCol(col("a.e"), col("b.e"), col("a.n2"), col("b.n2")), 6) >= 0.45
+          )
+          .select(col("b.vec_id").as("vec_id"))
+          .distinct()
+        asg
+          .join(drops, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid").as("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$kmeansSql,
+             asg AS (SELECT vec_id, cid FROM a2 WHERE rk = 1),
+             emb0 AS ($embSql),
+             m AS (SELECT asg.vec_id, asg.cid, emb0.e, emb0.n2
+                   FROM asg JOIN emb0 ON asg.vec_id = emb0.vec_id),
+             drops AS (
+               SELECT DISTINCT b.vec_id
+               FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE round(${cosSql("a.e", "b.e", "a.n2", "b.n2")}, 6) >= 0.45)
+             SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+             FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+             ORDER BY vec_id""")
     ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via

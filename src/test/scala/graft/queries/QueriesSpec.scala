@@ -739,6 +739,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("cluster")).distinct.length > 1)
   }
 
+  test("q148 SemDeDup: drops are real near-dups; no surviving same-cluster pair clears the bar") {
+    val survivors = graft.SparkEntry.queries("q148_semdedup")(spark, dir)
+    val clusters = graft.SparkEntry.queries("q147_kmeans")(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+    val nAll = clusters.count()
+    val nSurv = survivors.count()
+    assert(nSurv < nAll, "the threshold must actually drop something")
+    // cosine over same-cluster pairs, with the engine's own formula
+    val e = graft.Engine
+      .table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", expr("aggregate(e, 0d, (a, x) -> a + x * x)"))
+      .join(clusters, "vec_id")
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(
+          expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0d, (acc, v) -> acc + v)") /
+            sqrt(col("a.n2") * col("b.n2")),
+          6
+        ).as("cos")
+      )
+    val hot = pairs.filter(col("cos") >= 0.45).cache()
+    // soundness: every dropped vec has a lower-id near-dup in its cluster
+    val dropped = clusters.join(survivors.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val unexplained = dropped
+      .join(hot.select(col("id_b").as("vec_id")), Seq("vec_id"), "left_anti")
+      .count()
+    assert(unexplained == 0, "a vec was dropped without a qualifying near-dup")
+    // completeness: among survivors, no same-cluster pair clears the bar
+    val survSet = survivors.select(col("vec_id"))
+    val survivingHot = hot
+      .join(survSet.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(survSet.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+      .count()
+    assert(survivingHot == 0, "two surviving same-cluster vecs still clear the threshold")
+    hot.unpersist()
+  }
+
   test("q142 daily rollup: agrees with the batch recomputation on emitted days") {
     val rows = graft.SparkEntry.queries("q142_stream_daily_rollup")(spark, dir).collect()
     assert(rows.nonEmpty)
