@@ -65,6 +65,20 @@ object Graft {
   def connectedComponents(pairs: DataFrame): DataFrame =
     queries.DedupOps.connectedComponents(pairs)
 
+  /** Connected components via alternating large-star/small-star rounds —
+    * the bounded-fan-in variant for graphs with huge components (the
+    * 100 TB path; same output contract as [[connectedComponents]]).
+    */
+  def starComponents(pairs: DataFrame): DataFrame =
+    queries.DedupOps.starComponents(pairs)
+
+  /** Deterministic distributed k-means assignment over `embeddings`
+    * (2 exact-integer Lloyd rounds, k=16): (vec_id, cid, d). The
+    * clustering stage of SemDeDup-style semantic dedup.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    queries.SimilarityOps.kmeansAssign(spark, dir)
+
   /** Compact a table into range-clustered files (see Layout.compact). */
   def compact(
       spark: SparkSession,

@@ -411,7 +411,7 @@ object SimilarityOps {
     * previous centroid). Returns (vec_id, cid, d) of the final
     * assignment — the shared core of q147 and q148's SemDeDup.
     */
-  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val iv = ivecs(s, dir)
     val init = iv
       .orderBy(col("vec_id"))
