@@ -393,6 +393,43 @@ object StreamOps {
              WHERE date_trunc('day', hr) + INTERVAL 1 DAY
                <= (SELECT mx FROM m) - INTERVAL 130 MINUTE
              GROUP BY 1, 2 ORDER BY day, event_type""")
+    ),
+    // --------------------------------------------------------------- q149
+    // Stream-static BAND join: the event stream enriched against a
+    // static value-tier table on a pure range condition (no equality
+    // key) — the non-equi cousin of q94's dimension join. Also pins the
+    // IntervalStabJoin guard from the streaming side: the injected
+    // strategy must stand down on streaming inputs (its executeCollect
+    // of the build side has no streaming semantics), leaving Spark's
+    // stock stream-static BroadcastNestedLoopJoin — asserted in
+    // PlanShapeSpec. Per micro-batch the static side re-broadcasts; at
+    // scale the tier table is tiny so the non-equi scan is 3 predicate
+    // evaluations per event.
+    QueryDef(
+      "q149_stream_band_join",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val tiers = Seq(
+          ("small", -1e9, 10.0),
+          ("mid", 10.0, 60.0),
+          ("large", 60.0, 1e9)
+        ).toDF("tier", "lo", "hi")
+        val stream = EventStreaming
+          .eventsStream(s, dir)
+          .join(tiers, col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("tier"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        EventStreaming
+          .runToMemory(s, stream, sinkName("q149"))
+          .orderBy(col("tier"), col("event_type"))
+      },
+      Some("""SELECT tier, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             FROM events
+             JOIN (VALUES ('small', -1e9, 10.0), ('mid', 10.0, 60.0),
+                          ('large', 60.0, 1e9)) AS t(tier, lo, hi)
+               ON value >= lo AND value < hi
+             GROUP BY tier, event_type ORDER BY tier, event_type""")
     )
   )
 }

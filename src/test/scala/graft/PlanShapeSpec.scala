@@ -119,6 +119,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q149: the stab strategy stands down on streaming inputs (stock stream-static join)") {
+    // build the streaming side of q149 directly: the STREAMING logical
+    // plan must not route through IntervalStabJoinExec (executeCollect
+    // on an unbounded side would be wrong) — the builtin non-equi
+    // stream-static join takes it
+    val s = spark
+    import s.implicits._
+    val tiers = Seq(("small", -1e9, 10.0), ("mid", 10.0, 60.0), ("large", 60.0, 1e9))
+      .toDF("tier", "lo", "hi")
+    val stream = graft.streaming.EventStreaming
+      .eventsStream(s, dir)
+      .join(tiers, org.apache.spark.sql.functions.col("value") >= org.apache.spark.sql.functions.col("lo") &&
+        org.apache.spark.sql.functions.col("value") < org.apache.spark.sql.functions.col("hi"))
+    // streaming plans can't executedPlan without a sink; the analyzed +
+    // optimized streaming plan is enough to prove strategy selection at
+    // the micro-batch level via an explain on a one-batch run
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("q149_planshape")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      val p = buf.toString
+      assert(!p.contains("IntervalStabJoin"), p.take(1500))
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("q149_planshape")
+    }
+  }
+
   test("q145: the PQ codebook broadcasts; vectors never shuffle for assignment") {
     val p = plan("q145_pq_codes")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
