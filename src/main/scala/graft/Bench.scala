@@ -83,9 +83,13 @@ object Bench {
       println(s"BENCH ${k.padTo(32, ' ')} $s")
     }
     // spread = max/min across interleaved passes; >2x means that query's
-    // samples all hit external load and its min is still suspect.
-    val noisy = results.collect { case (k, _, sp, true) if sp > 2.0 => s"$k x${fmt(sp)}" }
-    if (noisy.nonEmpty) println(s"BENCH-NOISY ${noisy.mkString(", ")}")
+    // samples all hit external load and its min is still suspect. The
+    // noisy list rides INSIDE the JSON line (the driver keeps only the
+    // last ~2000 chars of stdout, and r4's pre-JSON BENCH-NOISY line was
+    // truncated to an unattributable " x2.728").
+    val noisy = results.collect { case (k, _, sp, true) if sp > 2.0 =>
+      "\"" + short(k) + " x" + fmt(sp) + "\""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, ok) =>
       "\"" + short(k) + "\":" + (if (ok) fmt(v) else "-1")
     }.mkString("{", ",", "}")
@@ -93,7 +97,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
@@ -65,13 +67,16 @@ object IntervalStabJoin {
   /** The planner strategy. Tried before Spark's builtin join strategies
     * (extension strategies run first); returning Nil falls through.
     */
-  /** Orderable atomic types whose boxed JVM values implement Comparable
-    * — the index's comparison contract. (Binary is atomic but its
-    * Array[Byte] is not Comparable; complex types are out of scope.)
+  /** Orderable atomic types the index supports. Comparisons use
+    * Catalyst's interpreted ordering for the type — the same ordering
+    * `BinaryComparison.eval` uses — so SQL semantics (-0.0 == 0.0 and
+    * NaN-greatest for Float/Double, collation-aware strings) match the
+    * builtin join this plan replaces by construction. Complex types are
+    * out of scope.
     */
   private def comparableAtomic(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-        BooleanType | TimestampType | TimestampNTZType | DateType => true
+        BooleanType | TimestampType | TimestampNTZType | DateType | BinaryType => true
     case _: DecimalType => true
     case _: StringType => true
     case _ => false
@@ -174,10 +179,26 @@ final case class IntervalStabJoinExec(
     if (probeIsLeft) copy(probe = newLeft, build = newRight)
     else copy(probe = newRight, build = newLeft)
 
-  @inline private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  // The operator is a per-partition map over the probe side: rows are
+  // neither moved nor reordered, so the probe child's partitioning and
+  // ordering survive. Propagating them (as BroadcastHashJoinExec does
+  // for its streamed side) lets a downstream aggregation on probe-side
+  // keys skip an avoidable exchange.
+  override def outputPartitioning: Partitioning = probe.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = probe.outputOrdering
+
+  // Catalyst's interpreted ordering for the point/bound type — the same
+  // ordering BinaryComparison evaluates with, so the index agrees with
+  // the builtin join on every edge the JVM's boxed Comparable gets
+  // wrong: -0.0 == 0.0 for Float/Double (Double.compareTo orders
+  // -0.0 < 0.0), and non-binary string collations (UTF8String.compareTo
+  // is binary). Derived from the serializable DataType on each side of
+  // the wire; the Ordering instance itself never crosses it.
+  private def sqlOrdering(): Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(point.dataType)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val ord = sqlOrdering()
     val loEval = BindReferences.bindReference(lo, build.output)
     val hiEval = BindReferences.bindReference(hi, build.output)
     // inner-join semantics: a NULL bound can never satisfy a comparison
@@ -185,7 +206,7 @@ final case class IntervalStabJoinExec(
       val l = loEval.eval(r)
       val h = hiEval.eval(r)
       if (l == null || h == null) None else Some((l, h, r))
-    }.toArray.sortWith((x, y) => cmp(x._1, y._1) < 0)
+    }.toArray.sortWith((x, y) => ord.compare(x._1, y._1) < 0)
     val n = intervals.length
     val los = intervals.map(_._1)
     val his = intervals.map(_._2)
@@ -195,7 +216,7 @@ final case class IntervalStabJoinExec(
     var i = 0
     var run: Any = null
     while (i < n) {
-      if (run == null || cmp(his(i), run) > 0) run = his(i)
+      if (run == null || ord.compare(his(i), run) > 0) run = his(i)
       maxHi(i) = run
       i += 1
     }
@@ -206,9 +227,11 @@ final case class IntervalStabJoinExec(
     val extra = extraCond
     val flip = !probeIsLeft
     val outAttrs = output
+    val pointType = point.dataType
     probe.execute().mapPartitionsWithIndex { (pidx, iter) =>
       val (blos, bhis, bmax, brows) = bc.value
       val m = blos.length
+      val pOrd = TypeUtils.getInterpretedOrdering(pointType)
       val pEval = BindReferences.bindReference(pointExpr, probeOut)
       // joined attribute order follows the ORIGINAL logical join
       val joined = new JoinedRow
@@ -219,10 +242,10 @@ final case class IntervalStabJoinExec(
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       proj.initialize(pidx)
       def lowerOk(l: Any, p: Any): Boolean = {
-        val c = cmp(l, p); if (loInclusive) c <= 0 else c < 0
+        val c = pOrd.compare(l, p); if (loInclusive) c <= 0 else c < 0
       }
       def upperOk(h: Any, p: Any): Boolean = {
-        val c = cmp(p, h); if (hiInclusive) c <= 0 else c < 0
+        val c = pOrd.compare(p, h); if (hiInclusive) c <= 0 else c < 0
       }
       iter.flatMap { row =>
         val p = pEval.eval(row)

@@ -955,21 +955,25 @@ object DedupOps {
     indexDir
   }
 
-  /** Day-1 step of persisted-index dedup (q136): hash ONLY the batch
-    * (doc_id % 5 == 0), keep first-of-hash within the batch, anti-join
+  /** Day-N step of persisted-index dedup (q136): hash ONLY the batch
+    * (default slice doc_id % 5 == 0; `batchPred` selects any later
+    * day's slice), keep first-of-hash within the batch, anti-join
     * the STORED index. Lazy — returned with columns (doc_id, lang,
     * source, h) so the caller can both emit survivors and append their
-    * hashes. The plan reads exactly two sources (batch slice + index
-    * parquet) and computes no md5 over the standing corpus — the
-    * incremental property, pinned in IncrementalIndexSpec.
+    * hashes, then run the NEXT day's batch against the grown index —
+    * the cumulative day-over-day cycle IncrementalIndexSpec pins. The
+    * plan reads exactly two sources (batch slice + index parquet) and
+    * computes no md5 over the standing corpus — the incremental
+    * property, also pinned in IncrementalIndexSpec.
     */
   private[graft] def incrementalAgainstIndex(
       s: SparkSession,
       dir: String,
-      indexDir: String): DataFrame = {
+      indexDir: String,
+      batchPred: Column = col("doc_id") % 5 === 0): DataFrame = {
     val batch = Engine
       .table(s, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
+      .filter(batchPred)
       .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
       // hash the batch ONCE: the first-of-hash aggregation and the
       // survivors join both consume this; without the checkpoint each

@@ -406,16 +406,35 @@ object SimilarityOps {
       )
       .localCheckpoint(eager = false)
 
-  /** 2 exact-integer Lloyd rounds at k=16 (init = 16 lowest vec_ids;
-    * argmin ties to the lower cluster id; empty clusters keep their
-    * previous centroid). Returns (vec_id, cid, d) of the final
-    * assignment — the shared core of q147 and q148's SemDeDup.
+  /** SemDeDup's scale knob: target within-cluster population. k grows
+    * as ceil(n / 256) (floor 16) so cluster size — and the
+    * within-cluster pair scan — stays ~constant as the corpus grows:
+    * pair work is O(256·n), LINEAR in n, where a fixed k would be
+    * O(n²/k) quadratic (real SemDeDup scales k with corpus size for
+    * exactly this reason). The count(*) that sizes k is a
+    * metadata-only parquet read, not a scan, and the oracle recomputes
+    * the identical k from its own count(*).
+    */
+  private val TargetClusterSize = 256L
+
+  private def kmeansK(s: SparkSession, dir: String): Int = {
+    val n = Engine.table(s, dir, "embeddings").count()
+    math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
+  }
+
+  /** 2 exact-integer Lloyd rounds at k = max(16, ceil(n/256)) (init =
+    * k lowest vec_ids; argmin ties to the lower cluster id; empty
+    * clusters keep their previous centroid). Returns (vec_id, cid, d)
+    * of the final assignment — the shared core of q147 and q148's
+    * SemDeDup. At the gate scales (n = 500/2000) k stays at the floor
+    * of 16; the synthetic sf1 replica (n = 20000) drives k to 79, so
+    * the scaled path is what PERF.md measures.
     */
   private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val iv = ivecs(s, dir)
     val init = iv
       .orderBy(col("vec_id"))
-      .limit(16)
+      .limit(kmeansK(s, dir))
       .select(col("vec_id").as("cvid"), col("iv").as("cv"))
       .withColumn(
         "cid",
@@ -455,9 +474,11 @@ object SimilarityOps {
          SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
          FROM embeddings),
+       kk AS (
+         SELECT greatest(16, (count(*) + 255) // 256) AS k FROM t),
        c0 AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS cv
-         FROM t ORDER BY vec_id LIMIT 16),
+         FROM t QUALIFY cid < (SELECT k FROM kk)),
        a1 AS (
          SELECT vec_id, cid, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
@@ -491,6 +512,10 @@ object SimilarityOps {
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q54
     // Embedding near-dup pairs within label blocks: top-100 by cosine.
+    // QUADRATIC RECALL BASELINE (like q56's edit-distance): within-label
+    // all-pairs is O(n²/labels) and exists to measure the ANN paths'
+    // recall, not to run at corpus scale — the 100 TB scale paths are
+    // the banded/bucketed variants q57/q132 and SemDeDup q148.
     QueryDef(
       "q54_embedding_pairs",
       (s, dir) => {
@@ -818,18 +843,20 @@ object SimilarityOps {
              FROM b WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
     ),
     // --------------------------------------------------------------- q147
-    // Distributed k-means, 2 Lloyd rounds, 16 clusters — the clustering
-    // stage of SemDeDup-style semantic dedup and the trained-codebook
-    // counterpart to q145's fixed one. Every step is ENGINE-EXACT
+    // Distributed k-means, 2 Lloyd rounds, k = max(16, ceil(n/256))
+    // clusters (k SCALES with the corpus so cluster population stays
+    // ~256 — see kmeansK) — the clustering stage of SemDeDup-style
+    // semantic dedup and the trained-codebook counterpart to q145's
+    // fixed one. Every step is ENGINE-EXACT
     // integer arithmetic: vectors land in micro-units with a +2^24
     // offset so all values are non-negative — offsets cancel in the
     // (a-b)^2 distances, and on non-negative sums Spark's `div`
     // (truncate) and DuckDB's `//` (floor) agree, so the centroid
     // update sum(v) div n is bit-identical cross-engine (signed sums
-    // would floor vs truncate differently). Deterministic init = the 16
+    // would floor vs truncate differently). Deterministic init = the k
     // lowest vec_ids; argmin ties break on cluster id; empty clusters
     // keep their previous centroid. Scale shape: centroids broadcast
-    // (16 rows); assignment is a narrow map over vectors; each update
+    // (k rows); assignment is a narrow map over vectors; each update
     // is ONE shuffle keyed (cluster, dim) with k*64 groups; 2 rounds =
     // 2 such shuffles — the canonical distributed Lloyd.
     QueryDef(
@@ -851,9 +878,10 @@ object SimilarityOps {
     // value from embDropIds). Survivors emitted with their cluster.
     // This is the third ANN-bucketing route to embedding dedup in the
     // engine (LSH bands q57, banded multi-table q132, clusters here) —
-    // at 100 TB the pair scan is bounded per cluster instead of per
-    // band, and clusters come from the data rather than random planes,
-    // which is why SemDeDup catches semantic dups random planes split.
+    // k scales with n (kmeansK) so cluster population stays ~256 and
+    // total pair work is O(256·n), LINEAR in corpus size, and clusters
+    // come from the data rather than random planes, which is why
+    // SemDeDup catches semantic dups random planes split.
     QueryDef(
       "q148_semdedup",
       (s, dir) => {

@@ -104,6 +104,79 @@ class IntervalStabSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("signed zero and NaN follow SQL comparison semantics, not Double.compareTo") {
+    // Spark's nanSafeCompare treats -0.0 == 0.0 (Double.compareTo orders
+    // -0.0 < 0.0) and NaN as greatest with NaN == NaN. The stab index
+    // must agree with the BroadcastNestedLoopJoin it replaces on both.
+    val intervals = Seq(
+      (1L, 0.0, 1.0),
+      (2L, -1.0, -0.0),
+      (3L, -0.0, 0.5),
+      (4L, 5.0, Double.NaN))
+    val points = Seq((1L, -0.0), (2L, 0.0), (3L, 0.3), (4L, -0.5), (5L, Double.NaN))
+    val idf = intervals.toDF("iid", "lo", "hi")
+    val pdf = points.toDF("pid", "p")
+    val joined = pdf.join(idf, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(planOf(joined).contains("IntervalStabJoin"))
+    val got = joined.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SQL-semantics brute force: normalize -0.0 to 0.0, then
+    // Double.compare (whose NaN handling already matches Spark's)
+    def norm(d: Double) = if (d == 0.0) 0.0 else d
+    def le(a: Double, b: Double) = java.lang.Double.compare(norm(a), norm(b)) <= 0
+    val expected = (for {
+      (pid, p) <- points
+      (iid, lo, hi) <- intervals
+      if le(lo, p) && le(p, hi)
+    } yield (pid, iid)).toSet
+    assert(got == expected)
+    // the discriminating pairs: a -0.0 probe must stab a [0.0, _] interval
+    assert(got.contains((1L, 1L)) && got.contains((2L, 2L)) && got.contains((5L, 4L)))
+  }
+
+  test("non-binary string collations are honored by the index ordering") {
+    // UTF8_LCASE orders case-insensitively; binary UTF8String.compareTo
+    // would put "C" (0x43) before "b" (0x62) and miss the match.
+    val idf = Seq((1L, "b", "d"), (2L, "Apple", "cat"), (3L, "M", "z"))
+      .toDF("iid", "lo", "hi")
+      .select(col("iid"),
+        collate(col("lo"), "UTF8_LCASE").as("lo"),
+        collate(col("hi"), "UTF8_LCASE").as("hi"))
+    val pdf = Seq((1L, "C"), (2L, "BANANA"), (3L, "n"), (4L, "aardvark"))
+      .toDF("pid", "p")
+      .select(col("pid"), collate(col("p"), "UTF8_LCASE").as("p"))
+    val joined = pdf.join(idf, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(planOf(joined).contains("IntervalStabJoin"))
+    val got = joined.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // case-insensitive brute force (ASCII data, so lowercase+binary
+    // compare is exactly UTF8_LCASE)
+    val expected = (for {
+      (pid, p) <- Seq((1L, "c"), (2L, "banana"), (3L, "n"), (4L, "aardvark"))
+      (iid, lo, hi) <- Seq((1L, "b", "d"), (2L, "apple", "cat"), (3L, "m", "z"))
+      if lo <= p && p <= hi
+    } yield (pid, iid)).toSet
+    assert(got == expected)
+    assert(got.contains((1L, 1L)), "case-insensitive 'C' in ['b','d'] must match")
+  }
+
+  test("probe-side partitioning survives the join: no re-shuffle before a downstream agg") {
+    val (points, intervals) = fixtures(31)
+    val pdf = points.toDF("pid", "p").repartition(col("pid"))
+    val idf = intervals.toDF("iid", "lo", "hi")
+    val agg = pdf.join(idf, col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("pid")).count()
+    agg.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // exchanges in the executed (final) section only
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("IntervalStabJoin"), plan.take(1500))
+    // exactly the one explicit repartition exchange: the join propagates
+    // HashPartitioning(pid), so the groupBy(pid) adds no exchange
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("timestamp points stab timestamp intervals") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
