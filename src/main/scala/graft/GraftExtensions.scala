@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NfcNormalize, Norm2}
+import graft.functions.{DotProduct, IntL2Sq, NfcNormalize, Norm2}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_norm2"),
         new ExpressionInfo(classOf[Norm2].getName, "graft_norm2"),
         (args: Seq[Expression]) => Norm2(args.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_l2sq"),
+        new ExpressionInfo(classOf[IntL2Sq].getName, "graft_l2sq"),
+        (args: Seq[Expression]) => IntL2Sq(args(0), args(1))
       )
     )
     e.injectFunction(

@@ -26,6 +26,11 @@ object VectorOps {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** codegen'd exact-integer squared L2 over array<bigint>
+    * (graft.functions.IntL2Sq) — the k-means/PQ hot loop
+    */
+  def l2sqLong(a: Column, b: Column): Column = column(IntL2Sq(expression(a), expression(b)))
+
   /** cosine = dot / sqrt(|a|^2 * |b|^2) — formula mirrored in oracles. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(norm2(a) * norm2(b))
 }

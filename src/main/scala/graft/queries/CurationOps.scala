@@ -658,6 +658,46 @@ object CurationOps {
                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
                CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 16 AS BIGINT) AS shard
              FROM k ORDER BY pos""")
+    ),
+    // --------------------------------------------------------------- q153
+    // Per-stratum QUOTA split: within each (lang, source) stratum the
+    // first ceil(5%) of docs in deterministic-hash order become the
+    // held-out 'val' set, the rest 'train' — eval-set construction with
+    // EXACT per-stratum counts, complementing q130's proportional hash
+    // split (which only hits 5% in expectation; a small stratum can
+    // end up with zero eval docs there, never here). Hash order, not
+    // doc_id order, so the quota isn't biased by ingestion sequence.
+    // Scale shape: one count + one rank per stratum (range-partitioned
+    // sort within strata, the standard distributed quota shape); the
+    // ceil uses (n + 19) div 20 on both engines — non-negative, so
+    // truncate (Spark div) and floor (DuckDB //) agree.
+    QueryDef(
+      "q153_quota_split",
+      (s, dir) => {
+        val wS = Window.partitionBy(col("lang"), col("source"))
+        Engine
+          .table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("source"),
+            md5(col("doc_id").cast("string").cast("binary")).as("hk")
+          )
+          .withColumn("n", count(lit(1)).over(wS))
+          .withColumn("rn", row_number().over(wS.orderBy(col("hk"), col("doc_id"))))
+          .withColumn(
+            "split",
+            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
+          )
+          .select(col("doc_id"), col("lang"), col("source"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source,
+               CASE WHEN row_number() OVER (PARTITION BY lang, source
+                                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      <= (count(*) OVER (PARTITION BY lang, source) + 19) // 20
+                    THEN 'val' ELSE 'train' END AS split
+             FROM documents ORDER BY doc_id""")
     )
   )
 }

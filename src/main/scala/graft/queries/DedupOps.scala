@@ -813,6 +813,139 @@ object DedupOps {
                -- hashes identically in both engines
                md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q150
+    // Perceptual-hash near-dup over the MULTIMODAL byte payload: the
+    // aHash scheme (mean-threshold bitmap of the decoded image) with the
+    // decode step stubbed as "first 62 bytes of the payload" (the
+    // image/audio codecs aren't in this container — q70/q71's
+    // convention; the Spark-side shape is the real thing: a narrow
+    // per-row hash, 4-band LSH bucketing, candidates-only verify).
+    // 62 bits, not 64: the hash stays in BIGINT's positive range, so
+    // the band extraction's integer division floors identically in both
+    // engines (negative div is the one cross-engine trap — q147's
+    // offset note). 4 bands over Hamming radius 3 is EXACT by
+    // pigeonhole (q74's argument): every pair within distance 3 shares
+    // at least one untouched 16-bit band, so the bucket join misses
+    // nothing. At 100 TB: hashes are one narrow map, candidates join on
+    // tiny (band, value) keys — never all-pairs.
+    QueryDef(
+      "q150_phash_neardup",
+      (s, dir) => {
+        val ah = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("b"))
+          .withColumn("hx", lower(hex(col("b"))))
+          .withColumn("m", least(lit(62), octet_length(col("b"))))
+          .withColumn(
+            "bs",
+            expr("""transform(sequence(0, m - 1), j ->
+                   (instr('0123456789abcdef', substr(hx, 2*j+1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(hx, 2*j+2, 1)) - 1))""")
+          )
+          .withColumn("mean", expr("aggregate(bs, 0L, (a, x) -> a + x) div m"))
+          .withColumn(
+            "ahash",
+            expr("""aggregate(sequence(1, size(bs)), 0L, (a, j) ->
+                   a + if(element_at(bs, j) >= mean, shiftleft(1L, j - 1), 0L))""")
+          )
+          .select(col("doc_id"), col("ahash"))
+          .localCheckpoint(eager = false)
+        val bands = ah.select(
+          col("doc_id"),
+          col("ahash"),
+          explode(expr(
+            "transform(sequence(0, 3), i -> named_struct('bi', i, 'bv', (ahash div shiftleft(1L, 16 * i)) % 65536))"
+          )).as("bb")
+        ).select(col("doc_id"), col("ahash"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+        bands
+          .as("a")
+          .join(
+            bands.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id")
+          )
+          .select(
+            col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming")
+          )
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      },
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+             h0 AS (SELECT doc_id, lower(hex(b)) AS hx,
+                    least(62, octet_length(b)) AS m FROM p),
+             by0 AS (SELECT doc_id, m, list_transform(generate_series(0, m - 1), j ->
+                     CAST((strpos('0123456789abcdef', substr(hx, 2*j+1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1)) - 1) AS BIGINT)) AS bs
+                     FROM h0),
+             mn AS (SELECT doc_id, bs, list_sum(bs) // m AS mean FROM by0),
+             ah AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, len(bs)), j ->
+                     CASE WHEN bs[j] >= mean THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END))
+                     AS BIGINT) AS ahash FROM mn),
+             bb AS (SELECT doc_id, ahash, bi,
+                     (ahash // (CAST(1 AS BIGINT) << (16 * CAST(bi AS INTEGER)))) % 65536 AS bv
+                    FROM ah, UNNEST(generate_series(0, 3)) AS t(bi)),
+             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+                      FROM bb a JOIN bb b
+                        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+             ORDER BY hamming, id_a, id_b""")
+    ),
+    // --------------------------------------------------------------- q151
+    // Cross-document winnowing collisions: pairs sharing >= 15 winnow
+    // fingerprints (q48's MOSS sketch turned into a detector — the
+    // plagiarism/approximate-containment shape, catching PARTIAL overlap
+    // that whole-document MinHash dilutes away). Inverted index on the
+    // fingerprint, hot-fingerprint cap at 50 docs (boilerplate shingles
+    // would fan out B^2 pairs — the q143 hot-slot pattern, reproduced
+    // in the oracle), pair-count aggregation over candidates only. At
+    // 100 TB: fingerprints shuffle on their own hash, buckets are
+    // bounded, the pair agg touches only co-bucketed docs.
+    QueryDef(
+      "q151_winnow_pairs",
+      (s, dir) => {
+        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val fps = Engine
+          .table(s, dir, "documents")
+          .withColumn("t", lower(col("text")))
+          .filter(length(col("t")) >= 8)
+          .withColumn("h", expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))"))
+          .withColumn(
+            "fps",
+            array_distinct(expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))"))
+          )
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .withColumn("nfp", count(lit(1)).over(wFp))
+          .filter(col("nfp") <= 50)
+          .drop("nfp")
+        fps
+          .as("a")
+          .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 15)
+          .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+             t1 AS (SELECT doc_id,
+               list_transform(generate_series(1, length(t) - 4), i -> md5(substr(t, i, 5))) AS h
+               FROM t0 WHERE length(t) >= 8),
+             t2 AS (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(h) - 3),
+                 i -> list_aggregate(list_slice(h, i, i + 3), 'min'))) AS fps
+               FROM t1),
+             fpx AS (SELECT doc_id, unnest(fps) AS fp FROM t2),
+             fpc AS (SELECT doc_id, fp FROM fpx
+                     QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+             pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                    FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+             SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 15
+             ORDER BY n_shared DESC, id_a, id_b""")
     )
   )
 

@@ -39,6 +39,56 @@ object GraphOps {
       .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
   }
 
+  /** Users co-active in >= 3 distinct (hour, event_type) slots — the
+    * undirected edge list shared by q143 (triangles) and q152 (label
+    * propagation). Hot-slot guard (the q52 degenerate-bucket pattern):
+    * a slot with B co-active users fans out B^2 candidate pairs, so
+    * slots beyond 200 users are dropped — bounded work for a bounded,
+    * documented recall loss (a flash-crowd hour says little about
+    * pairwise affinity anyway). The window runs on the slot
+    * partitioning; no extra shuffle. Doesn't bind at test SFs (max 51
+    * at sf0.1) — the oracle reproduces the cap so the gate stays exact
+    * regardless.
+    */
+  private def coActivityEdges(s: SparkSession, dir: String): DataFrame = {
+    val wSlot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("event_type"))
+    val sl = Engine
+      .table(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .distinct()
+      .withColumn("slot_n", count(lit(1)).over(wSlot))
+      .filter(col("slot_n") <= 200)
+      .drop("slot_n")
+    sl
+      .select(col("user_id").as("u"), col("h"), col("event_type"))
+      .join(
+        sl.select(col("user_id").as("v"), col("h"), col("event_type")),
+        Seq("h", "event_type")
+      )
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .select(col("u"), col("v"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** DuckDB CTE chain producing the same `el(u, v)` edge list. */
+  private val coActivitySql: String =
+    """sl0 AS (
+         SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+         FROM events),
+       sl AS (
+         SELECT * FROM sl0
+         QUALIFY count(*) OVER (PARTITION BY h, event_type) <= 200),
+       pe AS (
+         SELECT a.user_id AS u, b.user_id AS v, count(*) AS c
+         FROM sl a JOIN sl b
+           ON a.h = b.h AND a.event_type = b.event_type AND a.user_id < b.user_id
+         GROUP BY 1, 2),
+       el AS (SELECT u, v FROM pe WHERE c >= 3)"""
+
   val entries: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- q101
     // PageRank (damping 0.85, 5 rounds, init 1.0) over the undirected
@@ -101,34 +151,8 @@ object GraphOps {
     QueryDef(
       "q143_triangles",
       (s, dir) => {
-        // Hot-slot guard (the q52 degenerate-bucket pattern): a slot with
-        // B co-active users fans out B^2 candidate pairs, so slots beyond
-        // 200 users are dropped — bounded work for a bounded, documented
-        // recall loss (a flash-crowd hour says little about pairwise
-        // affinity anyway). The window runs on the slot partitioning; no
-        // extra shuffle. Doesn't bind at test SFs (max 51 at sf0.1) — the
-        // oracle reproduces the cap so the gate stays exact regardless.
-        val wSlot = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("h"), col("event_type"))
-        val sl = Engine
-          .table(s, dir, "events")
-          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
-          .distinct()
-          .withColumn("slot_n", count(lit(1)).over(wSlot))
-          .filter(col("slot_n") <= 200)
-          .drop("slot_n")
-        val el = sl
-          .select(col("user_id").as("u"), col("h"), col("event_type"))
-          .join(
-            sl.select(col("user_id").as("v"), col("h"), col("event_type")),
-            Seq("h", "event_type")
-          )
-          .filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v"))
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 3)
-          .select(col("u"), col("v"))
-          .localCheckpoint(eager = false)
+        // co-activity edges incl. the hot-slot cap — see coActivityEdges
+        val el = coActivityEdges(s, dir)
         val deg = el
           .select(col("u").as("id"))
           .union(el.select(col("v").as("id")))
@@ -164,18 +188,7 @@ object GraphOps {
           .agg(count(lit(1)).as("n_triangles"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH sl0 AS (
-               SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
-               FROM events),
-             sl AS (
-               SELECT * FROM sl0
-               QUALIFY count(*) OVER (PARTITION BY h, event_type) <= 200),
-             pe AS (
-               SELECT a.user_id AS u, b.user_id AS v, count(*) AS c
-               FROM sl a JOIN sl b
-                 ON a.h = b.h AND a.event_type = b.event_type AND a.user_id < b.user_id
-               GROUP BY 1, 2),
-             el AS (SELECT u, v FROM pe WHERE c >= 3),
+      Some(s"""WITH $coActivitySql,
              tri AS (
                SELECT e1.u AS a, e1.v AS b, e2.v AS c
                FROM el e1 JOIN el e2 ON e1.v = e2.u
@@ -185,6 +198,56 @@ object GraphOps {
                    UNION ALL SELECT c FROM tri)
              SELECT user_id, count(*) AS n_triangles
              FROM m GROUP BY user_id ORDER BY user_id""")
+    ),
+    // --------------------------------------------------------------- q152
+    // Synchronous label propagation (3 rounds) over the co-activity
+    // graph — the cheap community detector for corpus-level grouping
+    // (domain clusters, sockpuppet rings) where connected components
+    // (q58/q134) are too coarse: LPA splits a bridge-connected blob
+    // into its dense cores. Deterministic: every node starts as its own
+    // label; each round takes the most frequent neighbor label, ties to
+    // the SMALLEST label; fixed 3 rounds (no convergence race — sync
+    // rounds are reproducible, async is not). Scale shape: per round
+    // ONE shuffle join (edges x labels on the neighbor id) + two
+    // hash-aggs; the label table stays (id, lab) narrow, the argmax is
+    // min(struct(-count, label)) — no window, no sort. The oracle
+    // unrolls the same 3 rounds as CTEs with the identical tiebreak.
+    QueryDef(
+      "q152_label_prop",
+      (s, dir) => {
+        val el = coActivityEdges(s, dir)
+        val e2 = el
+          .select(col("u").as("a"), col("v").as("b"))
+          .union(el.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint(eager = false)
+        var lab = e2.select(col("a").as("id")).distinct().withColumn("lab", col("id"))
+        for (_ <- 1 to 3) {
+          lab = e2
+            .join(lab.select(col("id").as("b"), col("lab")), "b")
+            .groupBy(col("a"), col("lab"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("a").as("id"))
+            .agg(min(struct((col("c") * -1).as("nc"), col("lab").as("lab"))).as("bst"))
+            .select(col("id"), col("bst.lab").as("lab"))
+            .localCheckpoint(eager = false)
+        }
+        lab
+          .select(col("id").as("user_id"), col("lab").as("community"))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e2.a AS id, l.lab, count(*) AS c
+                FROM e2 JOIN l${i - 1} l ON e2.b = l.id GROUP BY 1, 2),
+              l$i AS (SELECT id, lab FROM c$i
+                QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) = 1)"""
+        }
+        s"""WITH $coActivitySql,
+           e2 AS (SELECT u AS a, v AS b FROM el UNION ALL SELECT v, u FROM el),
+           l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e2),
+           ${rounds.mkString(",\n")}
+           SELECT id AS user_id, lab AS community FROM l3 ORDER BY user_id"""
+      }
     )
   )
 }

@@ -443,12 +443,11 @@ object SimilarityOps {
       .select(col("cid"), col("cv"))
     def assign(cents: DataFrame): DataFrame =
       iv.crossJoin(broadcast(cents))
-        .withColumn(
-          "d",
-          expr("aggregate(sequence(1, size(iv)), 0L, (a, j) -> " +
-            "a + (element_at(iv, j) - element_at(cv, j)) * " +
-            "(element_at(iv, j) - element_at(cv, j)))")
-        )
+        // codegen'd native integer L2 (IntL2Sq): same Long arithmetic
+        // as the composable aggregate() form it replaced, ~100x less
+        // per-eval cost — the assign is (vectors x k) evaluations and
+        // was the plan's dominant stage with the interpreted HOF
+        .withColumn("d", graft.functions.VectorOps.l2sqLong(col("iv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d"), col("cid"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cid"), col("best.d").as("d"))
@@ -794,11 +793,14 @@ object SimilarityOps {
           .select(
             col("vec_id"),
             col("code_id"),
+            // per-subspace distance via the codegen'd graft_l2sq over
+            // 8-element slices (same Long arithmetic as the interpreted
+            // aggregate() it replaced; the slice alloc is 8 longs — the
+            // inner loop is native, which is what dominates at
+            // (vectors x 16 codes x 8 subspaces) volume)
             explode(expr(
               "transform(sequence(0, 7), s -> named_struct('sub', s, 'dist', " +
-                "aggregate(sequence(1, 8), 0L, (a, j) -> " +
-                "a + (element_at(iv, s*8+j) - element_at(cv, s*8+j)) * " +
-                "(element_at(iv, s*8+j) - element_at(cv, s*8+j)))))"
+                "graft_l2sq(slice(iv, s*8+1, 8), slice(cv, s*8+1, 8))))"
             )).as("sd")
           )
           .select(col("vec_id"), col("code_id"), col("sd.sub").as("sub"), col("sd.dist").as("dist"))
@@ -885,9 +887,14 @@ object SimilarityOps {
     QueryDef(
       "q148_semdedup",
       (s, dir) => {
+        // both the pair self-join sides AND the final survivors read the
+        // assignment — materialize it once (without the barrier each
+        // consumer re-runs the full two-round Lloyd DAG: 3 recomputes,
+        // measured 24x the sf0.1 cost at sf1 before this checkpoint)
         val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+          .localCheckpoint(eager = false)
         val e = emb(s, dir).select(col("vec_id"), col("e"), col("n2"))
-        val m = asg.join(e, "vec_id")
+        val m = asg.join(e, "vec_id").localCheckpoint(eager = false)
         val drops = m.as("a")
           .join(m.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
           .filter(
