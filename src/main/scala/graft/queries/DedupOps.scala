@@ -834,6 +834,8 @@ object DedupOps {
       (s, dir) => {
         val ah = Engine
           .table(s, dir, "documents")
+          // one-file scan -> spread the per-doc byte hashing
+          .repartition(col("doc_id"))
           .select(col("doc_id"), col("text").cast("binary").as("b"))
           .withColumn("hx", lower(hex(col("b"))))
           .withColumn("m", least(lit(62), octet_length(col("b"))))
@@ -909,8 +911,19 @@ object DedupOps {
       "q151_winnow_pairs",
       (s, dir) => {
         val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-        val fps = Engine
+        // BARRIER BEFORE THE EXPLODE (the q74 tiles lesson, one level
+        // earlier): Generate(explode(fps)) plants an implicit
+        // isnotnull/size filter that INLINES the fps expression, and
+        // filter pushdown carries that whole nested-transform DAG below
+        // the repartition to the single-file scan — measured as ONE
+        // task grinding 39 CPU-minutes at the 10x replica. Checkpoint
+        // the (doc_id, fps ARRAY) projection first so every downstream
+        // reference (the explode, the hot-fp window, both self-join
+        // sides) reads materialized arrays. The repartition spreads the
+        // md5-gram grinding across cores before that.
+        val fdocs = Engine
           .table(s, dir, "documents")
+          .repartition(col("doc_id"))
           .withColumn("t", lower(col("text")))
           .filter(length(col("t")) >= 8)
           .withColumn("h", expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))"))
@@ -918,6 +931,9 @@ object DedupOps {
             "fps",
             array_distinct(expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))"))
           )
+          .select(col("doc_id"), col("fps"))
+          .localCheckpoint(eager = false)
+        val fps = fdocs
           .select(col("doc_id"), explode(col("fps")).as("fp"))
           .withColumn("nfp", count(lit(1)).over(wFp))
           .filter(col("nfp") <= 50)

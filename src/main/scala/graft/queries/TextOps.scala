@@ -909,6 +909,63 @@ object TextOps {
                  // count(*) AS BIGINT) AS oov_ppm
              FROM tk LEFT JOIN v ON tk.tok = v.tok
              GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q154
+    // N-gram novelty score: the fraction of a doc's DISTINCT token
+    // 8-grams whose corpus-wide first occurrence (min doc_id) is this
+    // doc — the "how much of this is new text" curation signal
+    // (near-0 = rehash of earlier documents, even when no single
+    // earlier doc is a whole-doc near-dup; the containment angle q52's
+    // whole-doc MinHash dilutes). Exact integer ppm. Scale shape: ONE
+    // shuffle on the gram hash (first-occurrence min) + the join back
+    // to re-score docs — grams are the unit of work, linear in corpus
+    // token count, no pair enumeration anywhere.
+    QueryDef(
+      "q154_ngram_novelty",
+      (s, dir) => {
+        // BARRIER BEFORE THE EXPLODE (q74 tiles lesson): the explode's
+        // implicit isnotnull filter would inline the gram-construction
+        // DAG and pushdown would drag it below the repartition onto the
+        // single-file scan; checkpoint the (doc_id, gram ARRAY) rows so
+        // the explode and both consumers read materialized arrays.
+        val gdocs = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("toks", Tokenize.toksExpr)
+          .filter(size(col("toks")) >= 8)
+          .select(
+            col("doc_id"),
+            array_distinct(expr(
+              "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"
+            )).as("grams")
+          )
+          .localCheckpoint(eager = false)
+        val grams = gdocs.select(col("doc_id"), explode(col("grams")).as("gram"))
+        val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_id"))
+        grams
+          .join(first, "gram")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("novel")
+          )
+          .select(
+            col("doc_id"),
+            col("n_grams"),
+            expr("(novel * 1000000) div n_grams").as("novel_ppm")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                   i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+               FROM t WHERE len(toks) >= 8),
+             f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
+             SELECT g.doc_id, count(*) AS n_grams,
+               CAST(1000000 * count(CASE WHEN f.first_id = g.doc_id THEN 1 END)
+                 // count(*) AS BIGINT) AS novel_ppm
+             FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""")
     )
   )
 }
