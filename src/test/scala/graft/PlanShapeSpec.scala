@@ -189,4 +189,34 @@ class PlanShapeSpec extends AnyFunSuite {
       )
     }
   }
+
+  // The explode-barrier guards: Generate(explode(arr)) plants an implicit
+  // isnotnull/size filter that INLINES the array-construction DAG, and
+  // filter pushdown drags it below the repartition onto the single-file
+  // scan — measured as ONE task grinding 39 CPU-minutes at the 10x
+  // replica before the q150/q151/q154 barriers landed. The barrier is a
+  // localCheckpoint of the (doc_id, array) projection, so the consumer
+  // plan must read a materialized RDD and contain NEITHER a file scan
+  // nor the construction expressions (nothing left for pushdown to drag).
+  private def assertExplodeBarrier(q: String, constructionMarker: String): Unit = {
+    val p = plan(q)
+    assert(p.contains("ExistingRDD"), s"$q consumer does not read the barrier RDD:\n${p.take(3000)}")
+    assert(!p.contains("FileScan"), s"$q consumer re-scans the source below the barrier:\n${p.take(3000)}")
+    assert(
+      !p.contains(constructionMarker),
+      s"$q construction DAG ($constructionMarker) leaked past the barrier into the consumer plan:\n${p.take(3000)}"
+    )
+  }
+
+  test("q151: winnow fingerprint construction is barriered before the explode") {
+    assertExplodeBarrier("q151_winnow_pairs", "md5")
+  }
+
+  test("q154: gram construction is barriered before the explode") {
+    assertExplodeBarrier("q154_ngram_novelty", "concat_ws")
+  }
+
+  test("q150: aHash construction is barriered before the band explode") {
+    assertExplodeBarrier("q150_phash_neardup", "0123456789abcdef")
+  }
 }
