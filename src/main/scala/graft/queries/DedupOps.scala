@@ -962,6 +962,96 @@ object DedupOps {
                     GROUP BY 1, 2)
              SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 15
              ORDER BY n_shared DESC, id_a, id_b""")
+    ),
+    // --------------------------------------------------------------- q155
+    // FUZZY benchmark decontamination: near-duplicate contamination
+    // between the held-out benchmark (source = 'src0', the q64
+    // convention) and the training corpus. q64 catches verbatim 5-gram
+    // overlap; paraphrased or lightly-edited benchmark leakage needs the
+    // near-dup machinery — MinHash band buckets between the two corpora
+    // (same 8-hash/4-band scheme as q52), then exact shingle-Jaccard
+    // >= 0.3 verification on candidates only. Per contaminated train doc:
+    // how many distinct benchmark docs it near-matches and the worst
+    // (max) Jaccard. Scale shape: the BENCHMARK band table is broadcast
+    // (an eval set is small by construction), so the corpus side streams
+    // through candidate generation with no shuffle; the train-side
+    // hot-bucket cap (q52's, mirrored in the oracle) bounds degenerate
+    // boilerplate buckets; the exact verify joins fetch shingles for
+    // candidates only, with the bench shingle side broadcast too.
+    QueryDef(
+      "q155_fuzzy_decontaminate",
+      (s, dir) => {
+        // one barriered shingle table feeds both corpora and the verify
+        // joins (the q52 materialization lesson)
+        val shAll = withShingles(Engine.table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("sg"))
+          .localCheckpoint(eager = false)
+        def bandsOf(df: DataFrame): DataFrame = df
+          .withColumn(
+            "sig",
+            array((0 until 8).map(i =>
+              array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
+          )
+          .select(
+            col("doc_id"),
+            explode(
+              array((0 until 4).map(b =>
+                md5(concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))
+              ): _*)
+            ).as("bucket")
+          )
+        val bench = shAll.filter(col("source") === "src0").select(col("doc_id"), col("sg"))
+        val train = shAll.filter(col("source") =!= "src0").select(col("doc_id"), col("sg"))
+        val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+        val trainBands = bandsOf(train)
+          .repartition(col("bucket"))
+          .withColumn("bc", count(lit(1)).over(wBucket))
+          .filter(col("bc") <= maxBucketSize)
+          .drop("bc")
+        val benchBands = bandsOf(bench).withColumnRenamed("doc_id", "bench_id")
+        val cand = trainBands
+          .join(broadcast(benchBands), "bucket")
+          .select(col("doc_id"), col("bench_id"))
+          .distinct()
+        cand
+          .join(train.as("x"), "doc_id")
+          .join(broadcast(bench.as("y").withColumnRenamed("doc_id", "bench_id")), "bench_id")
+          .withColumn("j", jaccard(col("x.sg"), col("y.sg")))
+          .filter(col("j") >= 0.3)
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("bench_id")).as("n_bench_dups"),
+            round(max(col("j")), 6).as("max_j")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$shinglesSql,
+             m AS (SELECT doc_id, source, sg,
+               [list_min(list_transform(sg, x -> md5('0|' || x))),
+                list_min(list_transform(sg, x -> md5('1|' || x))),
+                list_min(list_transform(sg, x -> md5('2|' || x))),
+                list_min(list_transform(sg, x -> md5('3|' || x))),
+                list_min(list_transform(sg, x -> md5('4|' || x))),
+                list_min(list_transform(sg, x -> md5('5|' || x))),
+                list_min(list_transform(sg, x -> md5('6|' || x))),
+                list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM sh),
+             bb0 AS (SELECT doc_id, source, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+               md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+             tb AS (SELECT doc_id, bucket FROM bb0 WHERE source <> 'src0'
+                    QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+             nb AS (SELECT doc_id AS bench_id, bucket FROM bb0 WHERE source = 'src0'),
+             cand AS (SELECT DISTINCT tb.doc_id, nb.bench_id
+                      FROM tb JOIN nb ON tb.bucket = nb.bucket),
+             v0 AS (SELECT c.doc_id, c.bench_id,
+                 len(list_intersect(x.sg, y.sg)) AS i, len(x.sg) AS la, len(y.sg) AS lb
+               FROM cand c JOIN sh x ON x.doc_id = c.doc_id
+                           JOIN sh y ON y.doc_id = c.bench_id),
+             v AS (SELECT doc_id, bench_id, CAST(i AS DOUBLE) / (la + lb - i) AS j FROM v0
+               WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.3)
+             SELECT doc_id, count(DISTINCT bench_id) AS n_bench_dups,
+               round(max(j), 6) AS max_j
+             FROM v GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 
