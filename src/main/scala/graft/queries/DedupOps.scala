@@ -1002,12 +1002,20 @@ object DedupOps {
           )
         val bench = shAll.filter(col("source") === "src0").select(col("doc_id"), col("sg"))
         val train = shAll.filter(col("source") =!= "src0").select(col("doc_id"), col("sg"))
-        val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-        val trainBands = bandsOf(train)
-          .repartition(col("bucket"))
-          .withColumn("bc", count(lit(1)).over(wBucket))
-          .filter(col("bc") <= maxBucketSize)
-          .drop("bc")
+        // Hot-bucket cap WITHOUT shuffling the corpus band rows (q52's
+        // window form would): bucket populations aggregate map-side
+        // (only (bucket, count) rows cross the wire), the few buckets
+        // over the cap broadcast back as an anti-join blacklist —
+        // boilerplate buckets are rare by nature, so the hot list stays
+        // broadcast-sized at any corpus scale. The band table is
+        // barriered once and feeds both the count and the anti-join.
+        val tb0 = bandsOf(train).localCheckpoint(eager = false)
+        val hot = tb0
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bc"))
+          .filter(col("bc") > maxBucketSize)
+          .select(col("bucket"))
+        val trainBands = tb0.join(broadcast(hot), Seq("bucket"), "left_anti")
         val benchBands = bandsOf(bench).withColumnRenamed("doc_id", "bench_id")
         val cand = trainBands
           .join(broadcast(benchBands), "bucket")

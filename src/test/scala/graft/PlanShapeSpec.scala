@@ -219,4 +219,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q150: aHash construction is barriered before the band explode") {
     assertExplodeBarrier("q150_phash_neardup", "0123456789abcdef")
   }
+
+  test("q155: bench bands broadcast for candidates; the hot-bucket cap never shuffles corpus rows") {
+    val p = plan("q155_fuzzy_decontaminate")
+    // candidate generation = broadcast hash join on the band bucket
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the cap is a broadcast anti-join of the aggregated hot-bucket
+    // list, with the bucket counts combined map-side — never a
+    // repartition+window over the full corpus band table
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window"), s"hot-bucket cap regressed to the window form:\n${p.take(3000)}")
+  }
 }
