@@ -72,32 +72,54 @@ object Bench {
       if (ts.isEmpty) (name, -1.0, 0.0, false)
       else (name, ts.min, ts.max / ts.min, true)
     }
-    // The driver captures only the LAST ~2000 chars of stdout, so the JSON
-    // line must stay compact: short keys (the qNN prefix — unique across the
-    // registry) and 3-decimal seconds. Full names go to a human-readable
-    // report printed BEFORE the JSON line.
+    // The driver captures only the LAST ~2000 chars of stdout. In r5 the
+    // single JSON line carried all 153 per-query entries (~2.3 KB), so the
+    // HEAD of the line — including "metric" and "value" — fell outside the
+    // retention window and the driver recorded parsed:null. Split the
+    // output: the bulky per-query map goes to its own EARLIER line (plus a
+    // file for humans), and the LAST stdout line is a compact summary
+    // (total/errors/noisy/n, plus the top-5 slowest as a stub "queries"
+    // map) that stays well under the window at any registry size.
     def short(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     results.foreach { case (k, v, spread, ok) =>
       val s = if (ok) fmt(v) + " s  (spread x" + fmt(spread) + ")" else "ERROR"
       println(s"BENCH ${k.padTo(32, ' ')} $s")
     }
-    // spread = max/min across interleaved passes; >2x means that query's
-    // samples all hit external load and its min is still suspect. The
-    // noisy list rides INSIDE the JSON line (the driver keeps only the
-    // last ~2000 chars of stdout, and r4's pre-JSON BENCH-NOISY line was
-    // truncated to an unattributable " x2.728").
-    val noisy = results.collect { case (k, _, sp, true) if sp > 2.0 =>
-      "\"" + short(k) + " x" + fmt(sp) + "\""
-    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, ok) =>
       "\"" + short(k) + "\":" + (if (ok) fmt(v) else "-1")
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, false) => "\"" + short(k) + "\"" }
-      .mkString("[", ",", "]")
+    println(s"""BENCH-QUERIES {"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_queries.json"),
+        s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+    } catch { case _: Throwable => () } // best-effort; stdout line is canonical
+    // spread = max/min across interleaved passes; >2x means that query's
+    // samples all hit external load and its min is still suspect. Both
+    // lists are bounded so the summary line cannot outgrow the retention
+    // window again (errors/noisy beyond 8 entries collapse to "+N").
+    def bounded(xs: Seq[String]): String = {
+      val shown = xs.take(8).map("\"" + _ + "\"")
+      val extra = if (xs.size > 8) Seq("\"+" + (xs.size - 8) + "\"") else Nil
+      (shown ++ extra).mkString("[", ",", "]")
+    }
+    val noisy = bounded(results.collect { case (k, _, sp, true) if sp > 2.0 =>
+      short(k) + " x" + fmt(sp)
+    })
+    val errors = bounded(results.collect { case (k, _, _, false) => short(k) })
+    val top = results
+      .collect { case (k, v, _, true) => (k, v) }
+      .sortBy(-_._2)
+      .take(5)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, true) => v }.sum
+    val n = results.size
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"queries":$top,"errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

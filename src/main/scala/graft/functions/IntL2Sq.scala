@@ -18,8 +18,13 @@ import org.apache.spark.sql.types._
   * stage. This expression is one codegen'd loop over the unsafe array
   * data. Overflow wraps in Long exactly like the composable form (the
   * micro-unit encoding keeps diffs < 2^23, so 64-dim sums stay < 2^53
-  * — far from wrapping). NULL on length mismatch, matching zip_with
-  * semantics.
+  * — far from wrapping). NULL on length mismatch, and NULL when either
+  * array contains a NULL element — matching the replaced HOF, where a
+  * null element poisons the `aggregate` accumulator to NULL. (The
+  * producing `transform(cast(...))` expressions are typed
+  * containsNull=true even though the data never holds nulls, so the
+  * check must be per-element at runtime, not a rejection in
+  * checkInputDataTypes.)
   */
 case class IntL2Sq(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,6 +53,7 @@ case class IntL2Sq(left: Expression, right: Expression) extends BinaryExpression
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       s += d * d
       i += 1
@@ -71,10 +77,11 @@ case class IntL2Sq(left: Expression, right: Expression) extends BinaryExpression
         |} else {
         |  long $s = 0L;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |    long $d = $a.getLong($i) - $b.getLong($i);
         |    $s += $d * $d;
         |  }
-        |  ${ev.value} = $s;
+        |  if (!${ev.isNull}) { ${ev.value} = $s; }
         |}
         """.stripMargin
       }

@@ -667,15 +667,22 @@ object CurationOps {
     // split (which only hits 5% in expectation; a small stratum can
     // end up with zero eval docs there, never here). Hash order, not
     // doc_id order, so the quota isn't biased by ingestion sequence.
-    // Scale shape: one count + one rank per stratum (range-partitioned
-    // sort within strata, the standard distributed quota shape); the
-    // ceil uses (n + 19) div 20 on both engines — non-negative, so
-    // truncate (Spark div) and floor (DuckDB //) agree.
+    // Scale shape: the q141/q89 distributed-rank pattern, per stratum —
+    // NEVER a window partitioned by the bare (lang, source) key, which
+    // would hash every row of a stratum to ONE task's sort (at 100 TB
+    // the (en, web-crawl) stratum is most of the corpus through one
+    // sorter). Instead: range-repartition on (lang, source, hk, doc_id)
+    // — partition boundaries respect the stratum-then-hash global order,
+    // so a big stratum SPANS many partitions — then a (pid, stratum)-
+    // keyed local row_number, and a broadcast offsets table (strata x
+    // ~32 partitions rows, aggregated) that also carries each stratum's
+    // total n. Stratum rank = local rank + partition offset; the ceil
+    // uses (n + 19) div 20 on both engines — non-negative, so truncate
+    // (Spark div) and floor (DuckDB //) agree.
     QueryDef(
       "q153_quota_split",
       (s, dir) => {
-        val wS = Window.partitionBy(col("lang"), col("source"))
-        Engine
+        val keyed = Engine
           .table(s, dir, "documents")
           .select(
             col("doc_id"),
@@ -683,8 +690,29 @@ object CurationOps {
             col("source"),
             md5(col("doc_id").cast("string").cast("binary")).as("hk")
           )
-          .withColumn("n", count(lit(1)).over(wS))
-          .withColumn("rn", row_number().over(wS.orderBy(col("hk"), col("doc_id"))))
+        val ranged = keyed
+          .repartitionByRange(32, col("lang"), col("source"), col("hk"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window
+          .partitionBy(col("pid"), col("lang"), col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        // the offset/total windows run over the tiny aggregated
+        // (stratum, pid) table only — never over data rows
+        val wOff = Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wN = Window.partitionBy(col("lang"), col("source"))
+        val offsets = local
+          .groupBy(col("lang"), col("source"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wN))
+          .select(col("lang"), col("source"), col("pid"), col("off"), col("n"))
+        local
+          .join(broadcast(offsets), Seq("pid", "lang", "source"))
+          .withColumn("rn", col("local_rn") + col("off"))
           .withColumn(
             "split",
             when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))

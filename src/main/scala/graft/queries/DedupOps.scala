@@ -827,8 +827,23 @@ object DedupOps {
     // offset note). 4 bands over Hamming radius 3 is EXACT by
     // pigeonhole (q74's argument): every pair within distance 3 shares
     // at least one untouched 16-bit band, so the bucket join misses
-    // nothing. At 100 TB: hashes are one narrow map, candidates join on
-    // tiny (band, value) keys — never all-pairs.
+    // nothing. Zero-length payloads are filtered in BOTH engines: with
+    // m = 0 Spark's sequence(0, -1) is a DESCENDING [0, -1] (default
+    // step -1 when start > stop) which would fabricate ahash = 0 and
+    // spurious hamming-0 pairs, while DuckDB's generate_series(0, -1)
+    // is empty and NULLs the doc out — a latent cross-engine mismatch
+    // AND wrong pairs, so neither engine ever sees m = 0 (an empty
+    // payload has no perceptual content to match anyway). At 100 TB:
+    // hashes are one narrow map, candidates join on tiny (band, value)
+    // keys, and degenerate buckets are capped — never all-pairs. The
+    // cap matters HERE more than anywhere: bands are 16-bit slices of a
+    // header-prefix hash, and real image corpora cluster heavily on
+    // format headers (every JPEG shares header structure; blank
+    // payloads all hash alike), so one hot (bi, bv) bucket would fan
+    // out B^2 candidate rows before the hamming filter. Same
+    // map-side-combined count + broadcast anti-join form as q155
+    // (mirrored in the oracle with QUALIFY, as q151 does) — the
+    // exploded band table itself never reshuffles for the cap.
     QueryDef(
       "q150_phash_neardup",
       (s, dir) => {
@@ -837,6 +852,7 @@ object DedupOps {
           // one-file scan -> spread the per-doc byte hashing
           .repartition(col("doc_id"))
           .select(col("doc_id"), col("text").cast("binary").as("b"))
+          .filter(octet_length(col("b")) >= 1)
           .withColumn("hx", lower(hex(col("b"))))
           .withColumn("m", least(lit(62), octet_length(col("b"))))
           .withColumn(
@@ -853,13 +869,23 @@ object DedupOps {
           )
           .select(col("doc_id"), col("ahash"))
           .localCheckpoint(eager = false)
-        val bands = ah.select(
+        val bands0 = ah.select(
           col("doc_id"),
           col("ahash"),
           explode(expr(
             "transform(sequence(0, 3), i -> named_struct('bi', i, 'bv', (ahash div shiftleft(1L, 16 * i)) % 65536))"
           )).as("bb")
         ).select(col("doc_id"), col("ahash"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+          .localCheckpoint(eager = false)
+        // hot-bucket cap, q155's form: bucket populations aggregate
+        // map-side (only (bi, bv, count) rows cross the wire), the few
+        // over-cap buckets broadcast back as an anti-join blacklist
+        val hot = bands0
+          .groupBy(col("bi"), col("bv"))
+          .agg(count(lit(1)).as("bc"))
+          .filter(col("bc") > maxBucketSize)
+          .select(col("bi"), col("bv"))
+        val bands = bands0.join(broadcast(hot), Seq("bi", "bv"), "left_anti")
         bands
           .as("a")
           .join(
@@ -876,7 +902,8 @@ object DedupOps {
           .filter(col("hamming") <= 3)
           .orderBy(col("hamming"), col("id_a"), col("id_b"))
       },
-      Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents
+                     WHERE octet_length(encode(text)) >= 1),
              h0 AS (SELECT doc_id, lower(hex(b)) AS hx,
                     least(62, octet_length(b)) AS m FROM p),
              by0 AS (SELECT doc_id, m, list_transform(generate_series(0, m - 1), j ->
@@ -887,9 +914,11 @@ object DedupOps {
              ah AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, len(bs)), j ->
                      CASE WHEN bs[j] >= mean THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END))
                      AS BIGINT) AS ahash FROM mn),
-             bb AS (SELECT doc_id, ahash, bi,
+             bb0 AS (SELECT doc_id, ahash, bi,
                      (ahash // (CAST(1 AS BIGINT) << (16 * CAST(bi AS INTEGER)))) % 65536 AS bv
                     FROM ah, UNNEST(generate_series(0, 3)) AS t(bi)),
+             bb AS (SELECT doc_id, ahash, bi, bv FROM bb0
+                    QUALIFY count(*) OVER (PARTITION BY bi, bv) <= 1000),
              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                        CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
                       FROM bb a JOIN bb b
@@ -910,7 +939,6 @@ object DedupOps {
     QueryDef(
       "q151_winnow_pairs",
       (s, dir) => {
-        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
         // BARRIER BEFORE THE EXPLODE (the q74 tiles lesson, one level
         // earlier): Generate(explode(fps)) plants an implicit
         // isnotnull/size filter that INLINES the fps expression, and
@@ -933,11 +961,23 @@ object DedupOps {
           )
           .select(col("doc_id"), col("fps"))
           .localCheckpoint(eager = false)
-        val fps = fdocs
+        // Hot-fingerprint cap in q155's broadcast anti-join form (the
+        // uniform idiom across all three banded pipelines): fingerprint
+        // populations aggregate map-side — only (fp, count) rows cross
+        // the wire and the hash-agg replaces the old window form's
+        // full sort of the exploded table inside its exchange — and the
+        // few over-cap fingerprints broadcast back as a blacklist. The
+        // exploded table is barriered once and feeds the count and both
+        // self-join sides.
+        val fps0 = fdocs
           .select(col("doc_id"), explode(col("fps")).as("fp"))
-          .withColumn("nfp", count(lit(1)).over(wFp))
-          .filter(col("nfp") <= 50)
-          .drop("nfp")
+          .localCheckpoint(eager = false)
+        val hotFp = fps0
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("nfp"))
+          .filter(col("nfp") > 50)
+          .select(col("fp"))
+        val fps = fps0.join(broadcast(hotFp), Seq("fp"), "left_anti")
         fps
           .as("a")
           .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -417,10 +417,18 @@ object SimilarityOps {
     */
   private val TargetClusterSize = 256L
 
-  private def kmeansK(s: SparkSession, dir: String): Int = {
-    val n = Engine.table(s, dir, "embeddings").count()
-    math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
-  }
+  // Memoized per sf directory: the embeddings table is immutable for the
+  // life of a run, and q147 + q148 (and every bench pass over them) would
+  // otherwise each pay the sizing count(*) job — a metadata-only read, but
+  // still a Spark job submission (~0.1 s) on the hot path. One count per
+  // dir, then a map lookup.
+  private val kMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def kmeansK(s: SparkSession, dir: String): Int =
+    kMemo.getOrElseUpdate(dir, {
+      val n = Engine.table(s, dir, "embeddings").count()
+      math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
+    })
 
   /** 2 exact-integer Lloyd rounds at k = max(16, ceil(n/256)) (init =
     * k lowest vec_ids; argmin ties to the lower cluster id; empty

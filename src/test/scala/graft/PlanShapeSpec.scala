@@ -113,6 +113,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q153: the quota split never plans a per-stratum window over the data") {
+    val p = plan("q153_quota_split")
+    // same contract as q89/q129/q141, per stratum: the data-bearing row
+    // numbering is keyed on (pid, stratum) after a range repartition;
+    // only the strata-x-partitions offset table windows by the stratum
+    // key, and it is broadcast back
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // a window whose partition spec is the BARE stratum key over the
+    // hk-ordered data (one task sorts an entire stratum) must not appear
+    assert(
+      !p.matches("(?s).*windowspecdefinition\\(lang#\\d+[^)]*hk#.*"),
+      p.take(3000)
+    )
+  }
+
   test("q138: the vocab is a top-k (never a full sort) and broadcasts onto the token stream") {
     val p = plan("q138_vocab_oov")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
@@ -230,5 +246,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(p.contains("partial_count"), p.take(3000))
     assert(!p.contains("Window"), s"hot-bucket cap regressed to the window form:\n${p.take(3000)}")
+  }
+
+  test("q150: band buckets are capped via broadcast anti-join, never a corpus window") {
+    val p = plan("q150_phash_neardup")
+    // same cap idiom as q155: map-side-combined (bi, bv) counts, the
+    // over-cap buckets broadcast back as a LeftAnti blacklist — the
+    // exploded band table never reshuffles for the cap
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window"), s"hot-bucket cap regressed to the window form:\n${p.take(3000)}")
+  }
+
+  test("q151: the hot-fingerprint cap is a broadcast anti-join, never a window sort") {
+    val p = plan("q151_winnow_pairs")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window"), s"hot-fp cap regressed to the window form:\n${p.take(3000)}")
   }
 }
