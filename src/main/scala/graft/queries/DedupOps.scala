@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Engine, QueryDef}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the core of a training-data
@@ -1100,6 +1101,92 @@ object DedupOps {
              SELECT doc_id, count(DISTINCT bench_id) AS n_bench_dups,
                round(max(j), 6) AS max_j
              FROM v GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q156
+    // EXACT repeated-substring dedup — the span-removal operator from
+    // the public "Deduplicating Training Data Makes Language Models
+    // Better" line of work (ExactSubstr): find >= 10-token substrings
+    // occurring in >= 2 DISTINCT documents and emit, per document, the
+    // MAXIMAL removal spans they cover (1-based inclusive token
+    // offsets). Complements the rest of the family: q50 removes whole
+    // duplicate docs, q100 drops fixed non-overlapping 10-token tiles,
+    // q64/q155 DETECT leakage — this finds arbitrary-alignment shared
+    // spans and says exactly which token ranges to cut. Spark-first
+    // shape instead of the paper's monolithic suffix array: positional
+    // 10-token gram hashes (every alignment, not q100's stride-10
+    // tiles), one hash-agg on the gram key for the >= 2-distinct-docs
+    // test, a join back for hit positions, then per-doc run-length
+    // merging — two fixed-length shared grams starting <= 10 tokens
+    // apart overlap or touch, so islands of hits collapse into maximal
+    // spans via lag + running sum inside a per-doc window (bounded by
+    // document length, never corpus-wide). Scale: grams are the unit of
+    // work — ONE shuffle on the gram hash + the hit join, linear in
+    // corpus token volume, no pair enumeration anywhere; md5 gram keys
+    // keep the shuffle narrow regardless of gram text width.
+    QueryDef(
+      "q156_dup_spans",
+      (s, dir) => {
+        val k = 10
+        // BARRIER BEFORE THE EXPLODE (q151/q154's lesson): checkpoint
+        // the (doc_id, gram-hash ARRAY) projection so the explode's
+        // implicit isnotnull/size filter cannot inline the md5-gram DAG
+        // and drag it below the repartition onto the single-file scan.
+        val gdocs = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("toks", Tokenize.toksExpr)
+          .filter(size(col("toks")) >= k)
+          .select(
+            col("doc_id"),
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+              s"i -> md5(concat_ws(' ', slice(toks, i, $k))))").as("ghs")
+          )
+          .localCheckpoint(eager = false)
+        val occ = gdocs
+          .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+          .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"), col("gh"))
+        // shared = grams seen in >= 2 distinct docs (within-doc repeats
+        // alone don't count — this is the cross-document operator)
+        val shared = occ
+          .groupBy(col("gh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gh"))
+        val hits = occ.join(shared, "gh").select(col("doc_id"), col("pos"))
+        val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val spans = hits
+          .withColumn(
+            "brk",
+            when(col("pos") - lag(col("pos"), 1).over(wD) <= k, 0L).otherwise(1L)
+          )
+          .withColumn("island", sum(col("brk")).over(wD))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (k - 1)).as("span_end"))
+        spans
+          .select(
+            col("doc_id"),
+            col("span_start"),
+            col("span_end"),
+            (col("span_end") - col("span_start") + 1L).as("span_toks")
+          )
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
+               FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                     FROM t WHERE len(toks) >= 10)),
+             sh2 AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             h AS (SELECT doc_id, pos FROM g JOIN sh2 USING (gh)),
+             b AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+                      THEN 0 ELSE 1 END AS brk FROM h),
+             i2 AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 9 AS BIGINT) AS span_end,
+               CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_toks
+             FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start""")
     )
   )
 

@@ -236,6 +236,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertExplodeBarrier("q150_phash_neardup", "0123456789abcdef")
   }
 
+  test("q156: gram-hash construction is barriered before the explode") {
+    assertExplodeBarrier("q156_dup_spans", "md5")
+  }
+
   test("q155: bench bands broadcast for candidates; the hot-bucket cap never shuffles corpus rows") {
     val p = plan("q155_fuzzy_decontaminate")
     // candidate generation = broadcast hash join on the band bucket
