@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, IntL2Sq, NfcNormalize, Norm2}
+import graft.functions.{CharGramMd5, DotProduct, IntL2Sq, NfcNormalize, Norm2, SlidingMinStr, TokenGramMd5}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
@@ -40,6 +40,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (args: Seq[Expression]) => NfcNormalize(args.head)
+      )
+    )
+    // the gram-hash kernels take their width as a foldable int literal
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(s"$fn expects a literal int width, got $other")
+    }
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_md5s"),
+        new ExpressionInfo(classOf[TokenGramMd5].getName, "graft_gram_md5s"),
+        (args: Seq[Expression]) => TokenGramMd5(args(0), litInt(args(1), "graft_gram_md5s"))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_chargram_md5s"),
+        new ExpressionInfo(classOf[CharGramMd5].getName, "graft_chargram_md5s"),
+        (args: Seq[Expression]) => CharGramMd5(args(0), litInt(args(1), "graft_chargram_md5s"))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_sliding_min"),
+        new ExpressionInfo(classOf[SlidingMinStr].getName, "graft_sliding_min"),
+        (args: Seq[Expression]) => SlidingMinStr(args(0), litInt(args(1), "graft_sliding_min"))
       )
     )
     e.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)

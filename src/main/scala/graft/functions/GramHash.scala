@@ -1,0 +1,231 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernels for the gram-hashing expressions ([[TokenGramMd5]],
+  * [[CharGramMd5]], [[SlidingMinStr]]) — the hot construction loops of
+  * the fingerprint pipelines (q151 winnowing, q154 novelty, q156 exact
+  * substring spans).
+  *
+  * The composable forms (`transform(sequence(...), i -> md5(...))`
+  * higher-order functions) evaluate the lambda INTERPRETED per position:
+  * every element is an `element_at`/`substr`/`concat_ws`/`md5`
+  * expression-tree walk with per-call allocations — measured as the
+  * dominant stage of all three pipelines at sf0.1. These kernels do one
+  * pass over the raw bytes per document: tokens/codepoint offsets are
+  * materialized once, each gram is hashed straight from the byte
+  * buffers through a thread-local MessageDigest, and the sliding min
+  * uses a monotonic deque (O(n) total, not O(n*w)). Outputs are
+  * BYTE-IDENTICAL to the composable forms (md5 of the same UTF-8 bytes,
+  * binary string compare for the min), so swapping them into a query
+  * cannot change oracle hashes.
+  */
+object GramHash {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HEX(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** md5 hex of every k-token gram joined by a single space — element i
+    * (0-based) equals `md5(concat_ws(' ', slice(toks, i + 1, k)))`,
+    * including concat_ws's skip-nulls semantics. Empty result when
+    * fewer than k tokens (callers filter `size(toks) >= k` first; the
+    * HOF form's descending-sequence quirk below k is never exercised).
+    */
+  def tokenGrams(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + k) {
+        if (tb(j) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(tb(j))
+          first = false
+        }
+        j += 1
+      }
+      out(i) = hex32(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5 hex of every n-codepoint substring — element i (0-based)
+    * equals `md5(substr(s, i + 1, n))` (codepoint-addressed, exactly
+    * Spark's substr). Empty result when the string is shorter than n
+    * codepoints. Codepoint byte offsets are computed once; each gram
+    * hashes a byte slice directly.
+    */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // offsets(c) = byte offset of codepoint c; UTF-8 continuation bytes
+    // are 10xxxxxx — exactly the bytes that do NOT start a codepoint
+    var chars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) chars += 1
+      b += 1
+    }
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](chars + 1)
+    var c = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { off(c) = b; c += 1 }
+      b += 1
+    }
+    off(chars) = bytes.length
+    val md = md5Local.get()
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i <= chars - n) {
+      md.reset()
+      md.update(bytes, off(i), off(i + n) - off(i))
+      out(i) = hex32(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Minimum string of every w-wide sliding window — element i
+    * (0-based) equals `array_min(slice(arr, i + 1, w))` under binary
+    * UTF8String comparison. Monotonic-deque implementation: each
+    * element enters and leaves the deque once, O(n) total. Null
+    * elements are ignored like array_min ignores them (the fingerprint
+    * pipelines never produce nulls; an all-null window yields null).
+    */
+  def slidingMin(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val vals = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](n - w + 1)
+    val dq = new Array[Int](n) // indices, increasing value order
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < n) {
+      if (vals(i) != null) {
+        while (tail > head && vals(dq(tail - 1)).compareTo(vals(i)) >= 0) tail -= 1
+        dq(tail) = i
+        tail += 1
+      }
+      if (head < tail && dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = if (head < tail) vals(dq(head)) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+private[functions] trait GramHashExpr extends UnaryExpression {
+  def width: Int
+  def kernel: String // GramHash method name, also the codegen call target
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.$kernel($c, $width)")
+}
+
+/** Column facade for the gram-hash kernels. */
+object TextHashOps {
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  import org.apache.spark.sql.Column
+
+  def gramMd5s(toks: Column, k: Int): Column = column(TokenGramMd5(expression(toks), k))
+  def charGramMd5s(s: Column, n: Int): Column = column(CharGramMd5(expression(s), n))
+  def slidingMin(arr: Column, w: Int): Column = column(SlidingMinStr(expression(arr), w))
+}
+
+/** `graft_gram_md5s(toks, k)` — see [[GramHash.tokenGrams]]. */
+case class TokenGramMd5(child: Expression, width: Int) extends GramHashExpr {
+  override def kernel: String = "tokenGrams"
+  override def prettyName: String = "graft_gram_md5s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_gram_md5s expects (array<string>, k >= 1), got ($t, $width)")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.tokenGrams(a.asInstanceOf[ArrayData], width)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGramMd5 =
+    copy(child = newChild)
+}
+
+/** `graft_chargram_md5s(s, n)` — see [[GramHash.charGrams]]. */
+case class CharGramMd5(child: Expression, width: Int) extends GramHashExpr {
+  override def kernel: String = "charGrams"
+  override def prettyName: String = "graft_chargram_md5s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_chargram_md5s expects (string, n >= 1), got ($t, $width)")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.charGrams(a.asInstanceOf[UTF8String], width)
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramMd5 =
+    copy(child = newChild)
+}
+
+/** `graft_sliding_min(arr, w)` — see [[GramHash.slidingMin]]. */
+case class SlidingMinStr(child: Expression, width: Int) extends GramHashExpr {
+  override def kernel: String = "slidingMin"
+  override def prettyName: String = "graft_sliding_min"
+
+  // windows can be all-null in principle -> element nullability on
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_sliding_min expects (array<string>, w >= 1), got ($t, $width)")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.slidingMin(a.asInstanceOf[ArrayData], width)
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMinStr =
+    copy(child = newChild)
+}

@@ -955,10 +955,13 @@ object DedupOps {
           .repartition(col("doc_id"))
           .withColumn("t", lower(col("text")))
           .filter(length(col("t")) >= 8)
-          .withColumn("h", expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))"))
+          // native single-pass kernels (GramHash): bit-identical to the
+          // transform/md5/array_min HOF forms, without the interpreted
+          // per-position lambda walks (GramHashSpec pins equality)
+          .withColumn("h", graft.functions.TextHashOps.charGramMd5s(col("t"), 5))
           .withColumn(
             "fps",
-            array_distinct(expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))"))
+            array_distinct(graft.functions.TextHashOps.slidingMin(col("h"), 4))
           )
           .select(col("doc_id"), col("fps"))
           .localCheckpoint(eager = false)
@@ -1138,8 +1141,9 @@ object DedupOps {
           .filter(size(col("toks")) >= k)
           .select(
             col("doc_id"),
-            expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
-              s"i -> md5(concat_ws(' ', slice(toks, i, $k))))").as("ghs")
+            // native single-pass kernel, bit-identical to the
+            // transform/concat_ws/md5 HOF form (GramHashSpec)
+            graft.functions.TextHashOps.gramMd5s(col("toks"), k).as("ghs")
           )
           .localCheckpoint(eager = false)
         val occ = gdocs

@@ -276,10 +276,13 @@ object TextOps {
           .table(s, dir, "documents")
           .withColumn("t", lower(col("text")))
           .filter(length(col("t")) >= 8)
-          .withColumn("h", expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))"))
+          // native single-pass kernels (GramHash): bit-identical to the
+          // transform/md5/array_min HOF forms, without the interpreted
+          // per-position lambda walks (GramHashSpec pins equality)
+          .withColumn("h", graft.functions.TextHashOps.charGramMd5s(col("t"), 5))
           .withColumn(
             "fps",
-            array_distinct(expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))"))
+            array_distinct(graft.functions.TextHashOps.slidingMin(col("h"), 4))
           )
           .select(
             col("doc_id"),
@@ -935,9 +938,11 @@ object TextOps {
           .filter(size(col("toks")) >= 8)
           .select(
             col("doc_id"),
-            array_distinct(expr(
-              "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"
-            )).as("grams")
+            // md5 gram keys (native single-pass kernel): the
+            // first-occurrence shuffle and the re-score join move
+            // 32-byte hashes instead of 8-token text — same counts,
+            // narrower exchange; the oracle md5s identically
+            array_distinct(graft.functions.TextHashOps.gramMd5s(col("toks"), 8)).as("grams")
           )
           .localCheckpoint(eager = false)
         val grams = gdocs.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -959,7 +964,7 @@ object TextOps {
       Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
              g AS (SELECT doc_id,
                  unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7),
-                   i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+                   i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS gram
                FROM t WHERE len(toks) >= 8),
              f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
              SELECT g.doc_id, count(*) AS n_grams,

@@ -225,11 +225,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q151: winnow fingerprint construction is barriered before the explode") {
-    assertExplodeBarrier("q151_winnow_pairs", "md5")
+    assertExplodeBarrier("q151_winnow_pairs", "graft_chargram_md5s")
   }
 
   test("q154: gram construction is barriered before the explode") {
-    assertExplodeBarrier("q154_ngram_novelty", "concat_ws")
+    assertExplodeBarrier("q154_ngram_novelty", "graft_gram_md5s")
   }
 
   test("q150: aHash construction is barriered before the band explode") {
@@ -237,7 +237,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q156: gram-hash construction is barriered before the explode") {
-    assertExplodeBarrier("q156_dup_spans", "md5")
+    assertExplodeBarrier("q156_dup_spans", "graft_gram_md5s")
   }
 
   test("q155: bench bands broadcast for candidates; the hot-bucket cap never shuffles corpus rows") {
