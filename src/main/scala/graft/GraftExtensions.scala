@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharGramMd5, DotProduct, IntL2Sq, NfcNormalize, Norm2, SlidingMinStr, TokenGramMd5}
+import graft.functions.{CharGramMd5, DotProduct, IntL2Sq, MinHashSig, NfcNormalize, Norm2, SimHash32, SlidingMinStr, TokenGramMd5, TokenGramText}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
@@ -59,6 +59,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_chargram_md5s"),
         new ExpressionInfo(classOf[CharGramMd5].getName, "graft_chargram_md5s"),
         (args: Seq[Expression]) => CharGramMd5(args(0), litInt(args(1), "graft_chargram_md5s"))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_simhash32"),
+        new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+        (args: Seq[Expression]) => SimHash32(args.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_text"),
+        new ExpressionInfo(classOf[TokenGramText].getName, "graft_gram_text"),
+        (args: Seq[Expression]) => TokenGramText(args(0), litInt(args(1), "graft_gram_text"))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+        (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "graft_minhash_sig"))
       )
     )
     e.injectFunction(

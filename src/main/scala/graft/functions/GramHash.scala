@@ -118,6 +118,125 @@ object GramHash {
     new GenericArrayData(out)
   }
 
+  /** Every k-token gram as TEXT joined by single spaces — element i
+    * (0-based) equals `concat(toks[i+1], ' ', ..., toks[i+k])`,
+    * including concat's null propagation (any null token nulls the
+    * gram). The shingle-construction loop of the MinHash/decontam
+    * family, without the per-position interpreted lambda.
+    */
+  def tokenGramsText(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var anyNull = false
+      var j = i
+      while (j < i + k) {
+        if (tb(j) == null) anyNull = true else len += tb(j).length
+        j += 1
+      }
+      if (!anyNull) {
+        val buf = new Array[Byte](len)
+        var p = 0
+        j = i
+        while (j < i + k) {
+          if (j > i) { buf(p) = ' '.toByte; p += 1 }
+          System.arraycopy(tb(j), 0, buf, p, tb(j).length)
+          p += tb(j).length
+          j += 1
+        }
+        out(i) = UTF8String.fromBytes(buf)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over a shingle array — element i (0-based)
+    * equals `array_min(transform(sg, x -> md5(concat('i|', x))))`: the
+    * minimum md5 hex over the shingles, under the i-th salt prefix.
+    * One pass over the shingle bytes computes ALL n families (the HOF
+    * form walks the array n times with an interpreted lambda each).
+    * Null shingles are skipped (md5(concat('i|', NULL)) is NULL and
+    * array_min ignores nulls); an empty/all-null shingle list yields
+    * null elements, exactly like array_min of an empty array.
+    */
+  def minhashSig(sg: ArrayData, n: Int): ArrayData = {
+    val m = sg.numElements()
+    val md = md5Local.get()
+    val mins = new Array[UTF8String](n)
+    var j = 0
+    while (j < m) {
+      if (!sg.isNullAt(j)) {
+        val xb = sg.getUTF8String(j).getBytes
+        var i = 0
+        while (i < n) {
+          md.reset()
+          // salt prefix: the decimal digits of i, then '|'
+          val is = Integer.toString(i)
+          var d = 0
+          while (d < is.length) { md.update(is.charAt(d).toByte); d += 1 }
+          md.update('|'.toByte)
+          md.update(xb)
+          val h = hex32(md.digest())
+          if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash over a shingle array: per-bit majority vote over
+    * `cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)` — the first 4
+    * md5 digest bytes as an unsigned 32-bit hash. Equals the composable
+    * `aggregate(sequence(0, 31), ...)` form bit-for-bit, including its
+    * tie rule (2 * ones >= total sets the bit) and its null accounting
+    * (a null shingle contributes to the total but never to the ones,
+    * exactly like transform's null element surviving into size(hs)
+    * while filter drops it). One md5 per shingle, one pass, instead of
+    * 32 interpreted filter walks over the hash array.
+    */
+  def simhash32(sg: ArrayData): Long = {
+    val m = sg.numElements()
+    val md = md5Local.get()
+    val ones = new Array[Int](32)
+    var j = 0
+    while (j < m) {
+      if (!sg.isNullAt(j)) {
+        md.reset()
+        md.update(sg.getUTF8String(j).getBytes)
+        val d = md.digest()
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((v >> b) & 1L) == 1L) ones(b) += 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * ones(b) >= m) acc += 1L << b
+      b += 1
+    }
+    acc
+  }
+
   /** Minimum string of every w-wide sliding window — element i
     * (0-based) equals `array_min(slice(arr, i + 1, w))` under binary
     * UTF8String comparison. Monotonic-deque implementation: each
@@ -174,6 +293,9 @@ object TextHashOps {
   def gramMd5s(toks: Column, k: Int): Column = column(TokenGramMd5(expression(toks), k))
   def charGramMd5s(s: Column, n: Int): Column = column(CharGramMd5(expression(s), n))
   def slidingMin(arr: Column, w: Int): Column = column(SlidingMinStr(expression(arr), w))
+  def minhashSig(sg: Column, n: Int): Column = column(MinHashSig(expression(sg), n))
+  def gramsText(toks: Column, k: Int): Column = column(TokenGramText(expression(toks), k))
+  def simhash32(sg: Column): Column = column(SimHash32(expression(sg)))
 }
 
 /** `graft_gram_md5s(toks, k)` — see [[GramHash.tokenGrams]]. */
@@ -207,6 +329,67 @@ case class CharGramMd5(child: Expression, width: Int) extends GramHashExpr {
   override def nullSafeEval(a: Any): Any = GramHash.charGrams(a.asInstanceOf[UTF8String], width)
 
   override protected def withNewChildInternal(newChild: Expression): CharGramMd5 =
+    copy(child = newChild)
+}
+
+/** `graft_simhash32(sg)` — see [[GramHash.simhash32]]. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_simhash32"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_simhash32 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.simhash32(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_gram_text(toks, k)` — see [[GramHash.tokenGramsText]]. */
+case class TokenGramText(child: Expression, width: Int) extends GramHashExpr {
+  override def kernel: String = "tokenGramsText"
+  override def prettyName: String = "graft_gram_text"
+
+  // concat semantics: a null token nulls its gram
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_gram_text expects (array<string>, k >= 1), got ($t, $width)")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.tokenGramsText(a.asInstanceOf[ArrayData], width)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenGramText =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(sg, n)` — see [[GramHash.minhashSig]]. */
+case class MinHashSig(child: Expression, width: Int) extends GramHashExpr {
+  override def kernel: String = "minhashSig"
+  override def prettyName: String = "graft_minhash_sig"
+
+  // empty/all-null shingle lists yield null min elements
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if width >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"graft_minhash_sig expects (array<string>, n >= 1), got ($t, $width)")
+  }
+
+  override def nullSafeEval(a: Any): Any = GramHash.minhashSig(a.asInstanceOf[ArrayData], width)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

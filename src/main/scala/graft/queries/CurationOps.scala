@@ -47,11 +47,10 @@ object CurationOps {
       .select(
         col("doc_id"),
         col("source"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(toks) - 4), i -> concat(" +
-            "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
-            "' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
-        ))).as("sg")
+        // native one-pass text grams, still fed to explode DIRECTLY
+        // (unnamed) so InferFiltersFromGenerate has no attribute to
+        // inline a duplicate construction into
+        explode(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 5))).as("sg")
       )
 
   private val shingles5Sql =

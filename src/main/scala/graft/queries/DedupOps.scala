@@ -54,12 +54,9 @@ object DedupOps {
       .filter(size(col("toks")) >= 3)
       .withColumn(
         "sg",
-        array_distinct(
-          expr(
-            "transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
-          )
-        )
+        // native one-pass text grams (GramHash.tokenGramsText):
+        // bit-identical to the transform/concat HOF form
+        array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3))
       )
 
   private val shinglesSql =
@@ -157,7 +154,10 @@ object DedupOps {
       .localCheckpoint(eager = false)
     val sig = sh.withColumn(
       "sig",
-      array((0 until 8).map(i => array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
+      // native one-pass signature (GramHash.minhashSig): bit-identical
+      // to array((0..7).map(i => array_min(transform(sg, md5('i|'+x)))))
+      // without walking the shingle array 8 times interpreted
+      graft.functions.TextHashOps.minhashSig(col("sg"), 8)
     )
     // Degenerate-bucket guard: a bucket of B near-identical docs yields
     // B^2 candidate pairs; buckets beyond maxBucketSize are dropped
@@ -1031,11 +1031,7 @@ object DedupOps {
           .select(col("doc_id"), col("source"), col("sg"))
           .localCheckpoint(eager = false)
         def bandsOf(df: DataFrame): DataFrame = df
-          .withColumn(
-            "sig",
-            array((0 until 8).map(i =>
-              array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
-          )
+          .withColumn("sig", graft.functions.TextHashOps.minhashSig(col("sg"), 8))
           .select(
             col("doc_id"),
             explode(
@@ -1372,15 +1368,9 @@ object DedupOps {
     */
   private def simhash(s: SparkSession, dir: String): DataFrame =
     withShingles(Engine.table(s, dir, "documents"))
-      .withColumn("hs", expr("transform(sg, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"))
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(sequence(0, 31), 0L,
-             (acc, j) -> acc + if(2 * size(filter(hs, h -> (h div shiftleft(1L, j)) % 2 = 1)) >= size(hs),
-                                  shiftleft(1L, j), 0L))"""
-        )
-      )
+      // native one-pass kernel (GramHash.simhash32): bit-identical to
+      // the conv(md5-prefix) transform + 32 aggregate/filter walks
+      .withColumn("simhash", graft.functions.TextHashOps.simhash32(col("sg")))
       .select(col("doc_id"), col("simhash"))
 
 }

@@ -63,6 +63,65 @@ class GramHashSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("tokenGramsText equals the transform/concat HOF on real documents") {
+    val d = docs
+      .withColumn("toks", graft.queries.Tokenize.toksExpr)
+      .filter(size(col("toks")) >= 3)
+    val diffs = d
+      .select(
+        TextHashOps.gramsText(col("toks"), 3).as("native"),
+        expr("transform(sequence(1, size(toks) - 2), i -> concat(" +
+          "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
+          .as("hof")
+      )
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("minhashSig equals the 8x array_min/transform/md5 HOF on real shingle sets") {
+    val d = docs
+      .withColumn("toks", graft.queries.Tokenize.toksExpr)
+      .filter(size(col("toks")) >= 3)
+      .withColumn(
+        "sg",
+        array_distinct(expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      )
+    val hof = array((0 until 8).map(i =>
+      array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
+    val diffs = d
+      .select(TextHashOps.minhashSig(col("sg"), 8).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("minhashSig of an empty shingle list is all-null elements, like array_min of empty") {
+    val r = spark
+      .sql("""SELECT graft_minhash_sig(CAST(array() AS ARRAY<STRING>), 3) AS s,
+                     array_min(CAST(array() AS ARRAY<STRING>)) AS m""")
+      .head()
+    assert(r.getSeq[String](0) == Seq(null, null, null) && r.isNullAt(1))
+  }
+
+  test("simhash32 equals the conv/md5-prefix + 32x aggregate/filter HOF on real shingles") {
+    val d = docs
+      .withColumn("toks", graft.queries.Tokenize.toksExpr)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sg", array_distinct(TextHashOps.gramsText(col("toks"), 3)))
+      .withColumn("hs", expr("transform(sg, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"))
+    val hof = expr(
+      """aggregate(sequence(0, 31), 0L,
+         (acc, j) -> acc + if(2 * size(filter(hs, h -> (h div shiftleft(1L, j)) % 2 = 1)) >= size(hs),
+                              shiftleft(1L, j), 0L))"""
+    )
+    val diffs = d
+      .select(TextHashOps.simhash32(col("sg")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("the kernels are callable from SQL with literal widths") {
     def md5of(s: String): String =
       spark.sql(s"SELECT md5('$s')").head().getString(0)
