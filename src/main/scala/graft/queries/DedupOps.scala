@@ -212,6 +212,71 @@ object DedupOps {
                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
          FROM hx)"""
 
+  /** q156/q157's shared engine side: per-doc MAXIMAL shared-substring
+    * spans (1-based inclusive token offsets) from >= 2-distinct-doc
+    * 10-token gram hashes. See q156's registry comment for the full
+    * semantics and scale argument.
+    */
+  private def dupSpanRows(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    // BARRIER BEFORE THE EXPLODE (q151/q154's lesson): checkpoint
+    // the (doc_id, gram-hash ARRAY) projection so the explode's
+    // implicit isnotnull/size filter cannot inline the md5-gram DAG
+    // and drag it below the repartition onto the single-file scan.
+    val gdocs = Engine
+      .table(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("toks", Tokenize.toksExpr)
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        // native single-pass kernel, bit-identical to the
+        // transform/concat_ws/md5 HOF form (GramHashSpec)
+        graft.functions.TextHashOps.gramMd5s(col("toks"), k).as("ghs")
+      )
+      .localCheckpoint(eager = false)
+    val occ = gdocs
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"), col("gh"))
+    // shared = grams seen in >= 2 distinct docs (within-doc repeats
+    // alone don't count — this is the cross-document operator)
+    val shared = occ
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = occ.join(shared, "gh").select(col("doc_id"), col("pos"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn(
+        "brk",
+        when(col("pos") - lag(col("pos"), 1).over(wD) <= k, 0L).otherwise(1L)
+      )
+      .withColumn("island", sum(col("brk")).over(wD))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (k - 1)).as("span_end"))
+  }
+
+  /** the span computation as DuckDB CTEs, ending in sp(doc_id,
+    * span_start, span_end) — q156 lists it, q157 aggregates coverage.
+    * (Declared before `entries`, which interpolates it eagerly.)
+    */
+  private val dupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
+               FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                     FROM t WHERE len(toks) >= 10)),
+             sh2 AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+             h AS (SELECT doc_id, pos FROM g JOIN sh2 USING (gh)),
+             b AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+                      THEN 0 ELSE 1 END AS brk FROM h),
+             i2 AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+             sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+               FROM i2 GROUP BY doc_id, island)"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q50
     // Exact dedup: one shuffle on the content hash; keep lowest doc_id.
@@ -1124,69 +1189,63 @@ object DedupOps {
     // keep the shuffle narrow regardless of gram text width.
     QueryDef(
       "q156_dup_spans",
-      (s, dir) => {
-        val k = 10
-        // BARRIER BEFORE THE EXPLODE (q151/q154's lesson): checkpoint
-        // the (doc_id, gram-hash ARRAY) projection so the explode's
-        // implicit isnotnull/size filter cannot inline the md5-gram DAG
-        // and drag it below the repartition onto the single-file scan.
-        val gdocs = Engine
-          .table(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .withColumn("toks", Tokenize.toksExpr)
-          .filter(size(col("toks")) >= k)
-          .select(
-            col("doc_id"),
-            // native single-pass kernel, bit-identical to the
-            // transform/concat_ws/md5 HOF form (GramHashSpec)
-            graft.functions.TextHashOps.gramMd5s(col("toks"), k).as("ghs")
-          )
-          .localCheckpoint(eager = false)
-        val occ = gdocs
-          .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
-          .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"), col("gh"))
-        // shared = grams seen in >= 2 distinct docs (within-doc repeats
-        // alone don't count — this is the cross-document operator)
-        val shared = occ
-          .groupBy(col("gh"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("gh"))
-        val hits = occ.join(shared, "gh").select(col("doc_id"), col("pos"))
-        val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val spans = hits
-          .withColumn(
-            "brk",
-            when(col("pos") - lag(col("pos"), 1).over(wD) <= k, 0L).otherwise(1L)
-          )
-          .withColumn("island", sum(col("brk")).over(wD))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (k - 1)).as("span_end"))
-        spans
+      (s, dir) =>
+        dupSpanRows(s, dir)
           .select(
             col("doc_id"),
             col("span_start"),
             col("span_end"),
             (col("span_end") - col("span_start") + 1L).as("span_toks")
           )
-          .orderBy(col("doc_id"), col("span_start"))
+          .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""$dupSpansSql
+             SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end AS BIGINT) AS span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_toks
+             FROM sp ORDER BY doc_id, span_start""")
+    ),
+    // --------------------------------------------------------------- q157
+    // Duplicated-token FRACTION per document — q156's span coverage
+    // turned into the filterable curation signal: what share of each
+    // doc's tokens sits inside a cross-document shared span (exact
+    // integer ppm). This is the number a quality gate thresholds on
+    // ("drop docs that are > X% duplicated text") and the per-doc
+    // decomposition of the corpus-level "fraction of data duplicated"
+    // statistic the public dedup work reports. Every document with at
+    // least one token appears — dup_ppm = 0 when nothing is shared
+    // (left join + coalesce), including docs too short to carry a
+    // 10-token gram. Scale adds nothing beyond q156: one more hash-agg
+    // over the (already bounded) span rows and a join against the
+    // narrow (doc_id, n_toks) projection.
+    QueryDef(
+      "q157_dup_fraction",
+      (s, dir) => {
+        val toksN = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), size(Tokenize.toksExpr).cast("long").as("n_toks"))
+          .filter(col("n_toks") >= 1)
+        val perDoc = dupSpanRows(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_end") - col("span_start") + 1L).as("dup"))
+        toksN
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("dup_toks", coalesce(col("dup"), lit(0L)))
+          .select(
+            col("doc_id"),
+            col("n_toks"),
+            col("dup_toks"),
+            expr("dup_toks * 1000000 div n_toks").as("dup_ppm")
+          )
+          .orderBy(col("doc_id"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
-             g AS (SELECT doc_id, i AS pos,
-                 md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh
-               FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
-                     FROM t WHERE len(toks) >= 10)),
-             sh2 AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-             h AS (SELECT doc_id, pos FROM g JOIN sh2 USING (gh)),
-             b AS (SELECT doc_id, pos,
-                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
-                      THEN 0 ELSE 1 END AS brk FROM h),
-             i2 AS (SELECT doc_id, pos,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
-             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + 9 AS BIGINT) AS span_end,
-               CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_toks
-             FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start""")
+      Some(s"""$dupSpansSql,
+             a AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup
+                   FROM sp GROUP BY doc_id),
+             d AS (SELECT doc_id, len(toks) AS n_toks FROM t WHERE len(toks) >= 1)
+             SELECT d.doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(coalesce(dup, 0) AS BIGINT) AS dup_toks,
+               CAST(coalesce(dup, 0) * 1000000 // n_toks AS BIGINT) AS dup_ppm
+             FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""")
     )
   )
 

@@ -240,6 +240,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assertExplodeBarrier("q156_dup_spans", "graft_gram_md5s")
   }
 
+  test("q157: the dup-fraction reuses q156's barriered span pipeline") {
+    // the span side must read the materialized gram arrays; the only
+    // FileScan allowed is the narrow (doc_id, n_toks) projection, which
+    // must not have the gram construction inlined into it
+    val p = plan("q157_dup_fraction")
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert(
+      !p.contains("graft_gram_md5s"),
+      s"gram construction leaked past the barrier into the consumer plan:\n${p.take(3000)}"
+    )
+  }
+
   test("q155: bench bands broadcast for candidates; the hot-bucket cap never shuffles corpus rows") {
     val p = plan("q155_fuzzy_decontaminate")
     // candidate generation = broadcast hash join on the band bucket
