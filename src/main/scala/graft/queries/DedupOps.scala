@@ -1246,6 +1246,103 @@ object DedupOps {
                CAST(coalesce(dup, 0) AS BIGINT) AS dup_toks,
                CAST(coalesce(dup, 0) * 1000000 // n_toks AS BIGINT) AS dup_ppm
              FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""")
+    ),
+    // --------------------------------------------------------------- q158
+    // Content-defined chunking (CDC) dedup — the storage-layer dedup
+    // shape: cut each document at CONTENT-ALIGNED boundaries (positions
+    // whose 8-char rolling window hashes to a '0'-prefixed md5, ~1/16
+    // of positions -> ~16-char expected chunks), hash the chunks, and
+    // count cross-document chunk sharing. Content alignment is the
+    // point: an insertion shifts every q100 fixed tile after it, but
+    // CDC boundaries re-synchronize within one window, so shared
+    // suffixes keep matching — the rsync/LBFS/backup-dedup argument,
+    // complementing q156's token-gram spans at the byte/char layer.
+    // Per doc: chunk count, chunks also present in ANOTHER doc, and
+    // the shared fraction by character mass (exact integer ppm).
+    // Scale shape: boundary detection is the native char-gram kernel
+    // (one pass per doc); the per-doc cut/chunk assembly is a HOF over
+    // the ~L/16-element cut array (bounded by doc length, never
+    // corpus-wide); cross-doc sharing is ONE hash-agg on the chunk
+    // hash + a broadcast-sized shared-hash anti... semi-join back —
+    // linear in corpus chars, the q154/q156 shuffle discipline.
+    QueryDef(
+      "q158_cdc_dedup",
+      (s, dir) => {
+        // barrier the (doc_id, L, chunk-hash array) projection before
+        // the explode (q151/q154/q156's lesson)
+        val chunked = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("t", col("text"))
+          .filter(length(col("t")) >= 1)
+          .withColumn("L", length(col("t")).cast("long"))
+          .withColumn("h", graft.functions.TextHashOps.charGramMd5s(col("t"), 8))
+          .withColumn(
+            "cuts",
+            // guard: sequence(2, x) DESCENDS when x < 2 (the q150
+            // empty-payload trap) — short docs get zero cuts explicitly
+            expr("""case when L >= 9
+                    then filter(sequence(2, cast(L as int) - 7), i -> substr(element_at(h, i), 1, 1) = '0')
+                    else array() end""")
+          )
+          .withColumn("starts", expr("concat(array(1), cuts)"))
+          .withColumn("ends", expr("concat(transform(cuts, c -> c - 1), array(cast(L as int)))"))
+          .withColumn(
+            "chs",
+            expr("""transform(sequence(1, size(starts)), j ->
+                   named_struct(
+                     'ch', md5(substr(t, element_at(starts, j), element_at(ends, j) - element_at(starts, j) + 1)),
+                     'cl', cast(element_at(ends, j) - element_at(starts, j) + 1 as bigint)))""")
+          )
+          .select(col("doc_id"), col("L"), col("chs"))
+          .localCheckpoint(eager = false)
+        val occ = chunked
+          .select(col("doc_id"), col("L"), explode(col("chs")).as("c"))
+          .select(col("doc_id"), col("L"), col("c.ch").as("ch"), col("c.cl").as("cl"))
+        val shared = occ
+          .groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("ch"))
+        occ
+          .join(shared.withColumn("is_shared", lit(1L)), Seq("ch"), "left")
+          .groupBy(col("doc_id"), col("L"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("is_shared").isNotNull, 1L).otherwise(0L)).as("n_shared_chunks"),
+            sum(when(col("is_shared").isNotNull, col("cl")).otherwise(0L)).as("sc")
+          )
+          .select(
+            col("doc_id"),
+            col("n_chunks"),
+            col("n_shared_chunks"),
+            expr("sc * 1000000 div L").as("shared_char_ppm")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, text AS t, length(text) AS L
+                FROM documents WHERE length(text) >= 1),
+             cu AS (SELECT doc_id, t, L,
+                 list_filter(generate_series(2, CAST(L AS INTEGER) - 7),
+                   i -> substr(md5(substr(t, i, 8)), 1, 1) = '0') AS cuts
+               FROM d0),
+             se AS (SELECT doc_id, t, L,
+                 list_prepend(1, cuts) AS starts,
+                 list_append(list_transform(cuts, c -> c - 1), CAST(L AS INTEGER)) AS ends
+               FROM cu),
+             ch AS (SELECT doc_id, L,
+                 unnest(list_transform(generate_series(1, len(starts)), j ->
+                   struct_pack(ch := md5(substr(t, starts[j], ends[j] - starts[j] + 1)),
+                               cl := CAST(ends[j] - starts[j] + 1 AS BIGINT)))) AS c
+               FROM se),
+             occ AS (SELECT doc_id, L, c.ch AS ch, c.cl AS cl FROM ch),
+             sh3 AS (SELECT ch FROM occ GROUP BY ch HAVING count(DISTINCT doc_id) >= 2)
+             SELECT occ.doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN sh3.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+               CAST(sum(CASE WHEN sh3.ch IS NOT NULL THEN cl ELSE 0 END) * 1000000 // occ.L AS BIGINT)
+                 AS shared_char_ppm
+             FROM occ LEFT JOIN sh3 ON occ.ch = sh3.ch
+             GROUP BY occ.doc_id, occ.L ORDER BY occ.doc_id""")
     )
   )
 
