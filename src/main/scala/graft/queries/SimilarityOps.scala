@@ -928,6 +928,46 @@ object SimilarityOps {
              FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM drops)
              ORDER BY vec_id""")
     ),
+    // --------------------------------------------------------------- q159
+    // SSL-prototype pruning — the OTHER half of the public D4 recipe
+    // (SemDeDup removes semantic near-dups, prototype pruning then
+    // drops the most PROTOTYPICAL examples: points closest to their
+    // cluster centroid carry the least marginal information, so the
+    // closest ceil(10%) per cluster are marked 'proto' and the rest
+    // 'keep'). Runs on q147's exact-integer assignment, so the
+    // prototypicality metric (squared L2 to the final centroid) is
+    // engine-exact; ranking ties break on vec_id. Scale shape: the
+    // per-cluster window is bounded BY CONSTRUCTION — kmeansK keeps
+    // cluster population ~256 as n grows — so no partition ever holds
+    // more than ~256 rows regardless of corpus size (the bounded
+    // analog of the q153 stratum problem, safe here precisely because
+    // the key cardinality scales with n).
+    QueryDef(
+      "q159_proto_prune",
+      (s, dir) => {
+        val wC = Window.partitionBy(col("cid")).orderBy(col("d"), col("vec_id"))
+        val wN = Window.partitionBy(col("cid"))
+        kmeansAssign(s, dir)
+          .withColumn("rn", row_number().over(wC).cast("long"))
+          .withColumn("n", count(lit(1)).over(wN))
+          .select(
+            col("vec_id"),
+            col("cid").as("cluster"),
+            col("d").as("dist_sq"),
+            when(col("rn") <= expr("(n + 9) div 10"), lit("proto")).otherwise(lit("keep"))
+              .as("verdict")
+          )
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$kmeansSql,
+             asg AS (SELECT vec_id, cid, dist FROM a2 WHERE rk = 1)
+             SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+               CAST(dist AS BIGINT) AS dist_sq,
+               CASE WHEN row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id)
+                      <= (count(*) OVER (PARTITION BY cid) + 9) // 10
+                    THEN 'proto' ELSE 'keep' END AS verdict
+             FROM asg ORDER BY vec_id""")
+    ),
     // ---------------------------------------------------------------- q62
     // Per-label centroid norm + dispersion: elementwise mean via
     // posexplode -> group by (label, pos) -> re-assemble.
