@@ -161,12 +161,14 @@ object DedupOps {
     )
     // Degenerate-bucket guard: a bucket of B near-identical docs yields
     // B^2 candidate pairs; buckets beyond maxBucketSize are dropped
-    // (bounded recall loss, bounded work — standard LSH practice). The
-    // window adds no shuffle: it runs on the bucket partitioning. The
-    // banded table is materialized too, so both self-join sides read
-    // rows instead of recomputing the signature expressions.
-    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val banded = sig
+    // (bounded recall loss, bounded work — standard LSH practice). Same
+    // broadcast anti-join idiom as q150/q151/q155 — bucket populations
+    // aggregate MAP-SIDE (only (bucket, count) rows cross the wire),
+    // the few over-cap buckets broadcast back as a blacklist — which
+    // replaces the old window form's full sort of the banded table
+    // inside its exchange. The banded table is materialized once and
+    // feeds the count and both self-join sides.
+    val bands0 = sig
       .select(
         col("doc_id"),
         explode(
@@ -175,11 +177,13 @@ object DedupOps {
           ): _*)
         ).as("bucket")
       )
-      .repartition(col("bucket"))
-      .withColumn("bc", count(lit(1)).over(wBucket))
-      .filter(col("bc") <= maxBucketSize)
-      .drop("bc")
       .localCheckpoint(eager = false)
+    val hot = bands0
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > maxBucketSize)
+      .select(col("bucket"))
+    val banded = bands0.join(broadcast(hot), Seq("bucket"), "left_anti")
     val cand = banded
       .as("l")
       .join(banded.as("r"), col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))

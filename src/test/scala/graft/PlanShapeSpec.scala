@@ -281,4 +281,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(3000))
     assert(!p.contains("Window"), s"hot-fp cap regressed to the window form:\n${p.take(3000)}")
   }
+
+  test("q52: the LSH bucket cap is a broadcast anti-join — all four banded pipelines share the idiom") {
+    val p = plan("q52_minhash_lsh")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("Window"), s"bucket cap regressed to the window form:\n${p.take(3000)}")
+  }
 }
