@@ -34,4 +34,29 @@ class DupSpansSpec extends AnyFunSuite {
     // doc1: shared run occupies 1-based tokens 38..62; doc2: tokens 6..30
     assert(out.toSeq == Seq((1L, 38L, 62L, 25L), (2L, 6L, 30L, 25L)), out.mkString(", "))
   }
+
+  test("q156/q157/q158 degrade cleanly on a corpus with nothing shared") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("q156solo-").toString
+    // one long doc, one short doc (below the 10-token gram floor), and
+    // nothing cross-document — spans must be empty, fractions zero,
+    // every eligible doc still listed
+    Seq(
+      (1L, (1 to 40).map(i => f"solo$i%02d").mkString(" ")),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.SparkEntry.queries("q156_dup_spans")(s, dir).collect()
+    assert(spans.isEmpty, spans.mkString(", "))
+    val frac = graft.SparkEntry
+      .queries("q157_dup_fraction")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(frac.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)), frac.mkString(", "))
+    val cdc = graft.SparkEntry
+      .queries("q158_cdc_dedup")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(cdc.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)), cdc.mkString(", "))
+  }
 }
