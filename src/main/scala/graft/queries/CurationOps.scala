@@ -725,6 +725,74 @@ object CurationOps {
                       <= (count(*) OVER (PARTITION BY lang, source) + 19) // 20
                     THEN 'val' ELSE 'train' END AS split
              FROM documents ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q160
+    // DSIR importance weights — the public "Data Selection via
+    // Importance Resampling" recipe: score every training document by
+    // how target-like its hashed-feature distribution is, weight =
+    // sum over token instances of the smoothed log-likelihood ratio
+    // ln(p_target(b) / p_raw(b)) over B = 256 md5 hash buckets
+    // (add-one smoothing on both sides). The held-out target domain is
+    // source = 'src0' (the q64/q155 convention); every other doc gets
+    // a weight — the input to importance RESAMPLING (q69's temperature
+    // machinery consumes exactly this kind of score). Cross-engine
+    // exactness: the log-ratio is rounded to INTEGER MICRO-UNITS on
+    // the 256-row bucket table (per-scalar rounding, the q81 tf-idf
+    // precedent), so the per-document aggregation is exact int64
+    // arithmetic — float summation order can never flip a hash. Scale
+    // shape: two hash-aggs to 256-row bucket stats, scalar totals via
+    // broadcast cross joins, and ONE broadcast join of the 256-row
+    // term table onto the token stream — the corpus never shuffles.
+    QueryDef(
+      "q160_dsir_weights",
+      (s, dir) => {
+        val tk = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("source"), explode(toksExpr).as("tok"))
+          .withColumn("b", expr("cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % 256"))
+        val tgt = tk.filter(col("source") === "src0")
+        val raw = tk.filter(col("source") =!= "src0")
+        val tots = tgt
+          .agg(count(lit(1)).as("t_n"))
+          .crossJoin(raw.agg(count(lit(1)).as("r_n")))
+        val stats = raw
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("cr"))
+          .join(tgt.groupBy(col("b")).agg(count(lit(1)).as("ct")), Seq("b"), "left")
+          .withColumn("ct", coalesce(col("ct"), lit(0L)))
+          .crossJoin(broadcast(tots))
+          .withColumn(
+            "tm",
+            expr("""cast(round((ln((ct + 1.0d) / (t_n + 256)) - ln((cr + 1.0d) / (r_n + 256)))
+                   * 1000000d) as bigint)""")
+          )
+          .select(col("b"), col("tm"))
+        raw
+          .join(broadcast(stats), "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("tm")).as("w_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, source, ${Tokenize.toksSql} AS toks FROM documents),
+             tk AS (SELECT doc_id, source, unnest(toks) AS tok FROM t0),
+             b0 AS (SELECT doc_id, source,
+                 CAST(list_sum(list_transform(generate_series(1, 4),
+                   k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+                        * power(16, 4 - k))) AS BIGINT) % 256 AS b
+               FROM tk),
+             ctb AS (SELECT b, count(*) AS ct FROM b0 WHERE source = 'src0' GROUP BY b),
+             crb AS (SELECT b, count(*) AS cr FROM b0 WHERE source <> 'src0' GROUP BY b),
+             tot AS (SELECT
+                 (SELECT count(*) FROM b0 WHERE source = 'src0') AS t_n,
+                 (SELECT count(*) FROM b0 WHERE source <> 'src0') AS r_n),
+             stats AS (SELECT crb.b,
+                 CAST(round((ln((coalesce(ctb.ct, 0) + 1.0) / (tot.t_n + 256))
+                           - ln((crb.cr + 1.0) / (tot.r_n + 256))) * 1000000) AS BIGINT) AS tm
+               FROM crb LEFT JOIN ctb ON crb.b = ctb.b CROSS JOIN tot)
+             SELECT doc_id, count(*) AS n_toks, CAST(sum(tm) AS BIGINT) AS w_micro
+             FROM b0 JOIN stats USING (b) WHERE source <> 'src0'
+             GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }
