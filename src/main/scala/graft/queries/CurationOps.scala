@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +67,63 @@ object CurationOps {
 
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** q160/q161's shared engine side: DSIR importance weights per raw
+    * (non-'src0') document. See q160's registry comment for the method
+    * and the integer-micro-unit exactness argument.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tk = Engine
+      .table(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), explode(toksExpr).as("tok"))
+      .withColumn("b", expr("cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % 256"))
+    val tgt = tk.filter(col("source") === "src0")
+    val raw = tk.filter(col("source") =!= "src0")
+    val tots = tgt
+      .agg(count(lit(1)).as("t_n"))
+      .crossJoin(raw.agg(count(lit(1)).as("r_n")))
+    val stats = raw
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"))
+      .join(tgt.groupBy(col("b")).agg(count(lit(1)).as("ct")), Seq("b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(tots))
+      .withColumn(
+        "tm",
+        expr("""cast(round((ln((ct + 1.0d) / (t_n + 256)) - ln((cr + 1.0d) / (r_n + 256)))
+               * 1000000d) as bigint)""")
+      )
+      .select(col("b"), col("tm"))
+    raw
+      .join(broadcast(stats), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tm")).as("w_micro"))
+  }
+
+  /** the DSIR weight computation as DuckDB CTEs ending in
+    * w(doc_id, n_toks, w_micro). (Declared before `entries`, which
+    * interpolates it eagerly.)
+    */
+  private val dsirSql: String =
+    s"""WITH t0 AS (SELECT doc_id, source, ${Tokenize.toksSql} AS toks FROM documents),
+             tk AS (SELECT doc_id, source, unnest(toks) AS tok FROM t0),
+             b0 AS (SELECT doc_id, source,
+                 CAST(list_sum(list_transform(generate_series(1, 4),
+                   k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+                        * power(16, 4 - k))) AS BIGINT) % 256 AS b
+               FROM tk),
+             ctb AS (SELECT b, count(*) AS ct FROM b0 WHERE source = 'src0' GROUP BY b),
+             crb AS (SELECT b, count(*) AS cr FROM b0 WHERE source <> 'src0' GROUP BY b),
+             tot AS (SELECT
+                 (SELECT count(*) FROM b0 WHERE source = 'src0') AS t_n,
+                 (SELECT count(*) FROM b0 WHERE source <> 'src0') AS r_n),
+             stats AS (SELECT crb.b,
+                 CAST(round((ln((coalesce(ctb.ct, 0) + 1.0) / (tot.t_n + 256))
+                           - ln((crb.cr + 1.0) / (tot.r_n + 256))) * 1000000) AS BIGINT) AS tm
+               FROM crb LEFT JOIN ctb ON crb.b = ctb.b CROSS JOIN tot),
+             w AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(tm) AS BIGINT) AS w_micro
+               FROM b0 JOIN stats USING (b) WHERE source <> 'src0' GROUP BY doc_id)"""
 
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q64
@@ -745,54 +803,71 @@ object CurationOps {
     // term table onto the token stream — the corpus never shuffles.
     QueryDef(
       "q160_dsir_weights",
+      (s, dir) => dsirWeights(s, dir).orderBy(col("doc_id")),
+      Some(s"""$dsirSql
+             SELECT doc_id, n_toks, w_micro FROM w ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q161
+    // DSIR RESAMPLING manifest — the selection step that consumes
+    // q160's weights: Gumbel-top-k importance sampling without
+    // replacement, derandomized the engine's way (no RNG state — any
+    // engine recomputes the same draw from the data alone): u_d =
+    // (parsed first 8 md5 hex of 'g|'||doc_id + 1) / (2^32 + 1) in
+    // (0, 1), gumbel_micro = round(-ln(-ln(u)) * 1e6) (per-doc SCALAR
+    // rounding, the q160/q81 exactness pattern), key = w_micro +
+    // gumbel_micro, and the top ceil(20%) by key are 'sampled'. The
+    // global rank over keys is the q141/q153 distributed-rank shape —
+    // range-repartition on (key DESC, doc_id), per-partition
+    // row_number, broadcast offsets carrying the total — NEVER a
+    // single-partition window over the corpus; the oracle's global
+    // row_number is the semantic mirror only.
+    QueryDef(
+      "q161_dsir_sample",
       (s, dir) => {
-        val tk = Engine
-          .table(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("source"), explode(toksExpr).as("tok"))
-          .withColumn("b", expr("cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % 256"))
-        val tgt = tk.filter(col("source") === "src0")
-        val raw = tk.filter(col("source") =!= "src0")
-        val tots = tgt
-          .agg(count(lit(1)).as("t_n"))
-          .crossJoin(raw.agg(count(lit(1)).as("r_n")))
-        val stats = raw
-          .groupBy(col("b"))
-          .agg(count(lit(1)).as("cr"))
-          .join(tgt.groupBy(col("b")).agg(count(lit(1)).as("ct")), Seq("b"), "left")
-          .withColumn("ct", coalesce(col("ct"), lit(0L)))
-          .crossJoin(broadcast(tots))
+        val keyed = dsirWeights(s, dir)
           .withColumn(
-            "tm",
-            expr("""cast(round((ln((ct + 1.0d) / (t_n + 256)) - ln((cr + 1.0d) / (r_n + 256)))
-                   * 1000000d) as bigint)""")
+            "gum",
+            expr("""cast(round(-ln(-ln((cast(conv(substr(md5(concat('g|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 1.0d)
+                   / 4294967297.0d)) * 1000000d) as bigint)""")
           )
-          .select(col("b"), col("tm"))
-        raw
-          .join(broadcast(stats), "b")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_toks"), sum(col("tm")).as("w_micro"))
-          .orderBy(col("doc_id"))
+          .withColumn("key", col("w_micro") + col("gum"))
+        val ranged = keyed
+          .repartitionByRange(32, col("key").desc, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("key").desc, col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("pid"), col("off"), col("n"))
+        local
+          .join(broadcast(offsets), "pid")
+          .withColumn("pos", col("local_rn") + col("off"))
+          .withColumn(
+            "pick",
+            when(col("pos") <= expr("(n + 4) div 5"), lit("sampled")).otherwise(lit("rest"))
+          )
+          .select(col("doc_id"), col("w_micro"), col("key"), col("pos"), col("pick"))
+          .orderBy(col("pos"))
       },
-      Some(s"""WITH t0 AS (SELECT doc_id, source, ${Tokenize.toksSql} AS toks FROM documents),
-             tk AS (SELECT doc_id, source, unnest(toks) AS tok FROM t0),
-             b0 AS (SELECT doc_id, source,
-                 CAST(list_sum(list_transform(generate_series(1, 4),
-                   k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
-                        * power(16, 4 - k))) AS BIGINT) % 256 AS b
-               FROM tk),
-             ctb AS (SELECT b, count(*) AS ct FROM b0 WHERE source = 'src0' GROUP BY b),
-             crb AS (SELECT b, count(*) AS cr FROM b0 WHERE source <> 'src0' GROUP BY b),
-             tot AS (SELECT
-                 (SELECT count(*) FROM b0 WHERE source = 'src0') AS t_n,
-                 (SELECT count(*) FROM b0 WHERE source <> 'src0') AS r_n),
-             stats AS (SELECT crb.b,
-                 CAST(round((ln((coalesce(ctb.ct, 0) + 1.0) / (tot.t_n + 256))
-                           - ln((crb.cr + 1.0) / (tot.r_n + 256))) * 1000000) AS BIGINT) AS tm
-               FROM crb LEFT JOIN ctb ON crb.b = ctb.b CROSS JOIN tot)
-             SELECT doc_id, count(*) AS n_toks, CAST(sum(tm) AS BIGINT) AS w_micro
-             FROM b0 JOIN stats USING (b) WHERE source <> 'src0'
-             GROUP BY doc_id ORDER BY doc_id""")
+      Some(s"""$dsirSql,
+             k AS (SELECT doc_id, w_micro,
+                 w_micro + CAST(round(-ln(-ln(
+                     (CAST(list_sum(list_transform(generate_series(1, 8),
+                        j -> (strpos('0123456789abcdef',
+                                substr(md5('g|' || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                             * power(16, 8 - j))) AS BIGINT) + 1.0)
+                     / 4294967297.0)) * 1000000) AS BIGINT) AS key
+               FROM w)
+             SELECT doc_id, w_micro, key,
+               CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS pos,
+               CASE WHEN row_number() OVER (ORDER BY key DESC, doc_id)
+                      <= (count(*) OVER () + 4) // 5
+                    THEN 'sampled' ELSE 'rest' END AS pick
+             FROM k ORDER BY pos""")
     )
   )
 }

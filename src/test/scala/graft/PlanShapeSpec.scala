@@ -129,6 +129,15 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q161: the resampling rank never plans a single-partition window over the corpus") {
+    val p = plan("q161_dsir_sample")
+    // same contract as q89/q129/q141/q153: data-bearing row numbering is
+    // keyed on pid after a range repartition; only the ~32-row offset
+    // table windows globally and it is broadcast back
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q138: the vocab is a top-k (never a full sort) and broadcasts onto the token stream") {
     val p = plan("q138_vocab_oov")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
