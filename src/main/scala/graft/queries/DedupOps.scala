@@ -1347,6 +1347,65 @@ object DedupOps {
                  AS shared_char_ppm
              FROM occ LEFT JOIN sh3 ON occ.ch = sh3.ch
              GROUP BY occ.doc_id, occ.L ORDER BY occ.doc_id""")
+    ),
+    // --------------------------------------------------------------- q162
+    // DESTRUCTIVE span scrub — the cleaned corpus q156's spans imply
+    // (the actual output of the published exact-substring dedup:
+    // remove every cross-document shared span, keep the rest), the
+    // span-based analog of q128's tile scrub. Per doc: kept token
+    // count, scrubbed token count, md5 of the cleaned text. Docs with
+    // no shared spans pass through verbatim; a fully-duplicated doc
+    // scrubs to the md5 of the empty string (q128's coalesce
+    // convention — DuckDB's array_to_string of an empty list is NULL
+    // where Spark's concat_ws is ''). Scale: the per-doc span list is
+    // bounded by doc length, so the coverage filter is a per-row
+    // lambda over (token positions x spans) — no extra shuffle beyond
+    // q156's.
+    QueryDef(
+      "q162_span_scrub",
+      (s, dir) => {
+        val sp = dupSpanRows(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(
+            col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+        val d = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 1)
+        d.join(sp, Seq("doc_id"), "left")
+          .withColumn(
+            "kept",
+            expr("""case when spans is null then toks
+                    else transform(
+                      filter(sequence(1, size(toks)),
+                             p -> NOT exists(spans, q -> p >= q.s AND p <= q.e)),
+                      p -> element_at(toks, p)) end""")
+          )
+          .select(
+            col("doc_id"),
+            size(col("kept")).cast("long").as("n_kept_toks"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_scrubbed_toks"),
+            md5(concat_ws(" ", col("kept"))).as("clean_md5")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$dupSpansSql,
+             spl AS (SELECT doc_id,
+                 list(struct_pack(s := span_start, e := span_end) ORDER BY span_start) AS spans
+               FROM sp GROUP BY doc_id),
+             d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+             r AS (SELECT d.doc_id, len(d.toks) AS nt,
+                 CASE WHEN spl.spans IS NULL THEN d.toks
+                      ELSE list_transform(
+                        list_filter(generate_series(1, len(d.toks)),
+                          p -> len(list_filter(spl.spans, q -> p >= q.s AND p <= q.e)) = 0),
+                        p -> d.toks[p]) END AS kept
+               FROM d LEFT JOIN spl USING (doc_id))
+             SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept_toks,
+               CAST(nt - len(kept) AS BIGINT) AS n_scrubbed_toks,
+               md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+             FROM r ORDER BY doc_id""")
     )
   )
 

@@ -35,6 +35,28 @@ class DupSpansSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 38L, 62L, 25L), (2L, 6L, 30L, 25L)), out.mkString(", "))
   }
 
+  test("q162 scrubs exactly the token mass q157 reports as duplicated") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val frac = graft.SparkEntry
+      .queries("q157_dup_fraction")(s, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val scrub = graft.SparkEntry
+      .queries("q162_span_scrub")(s, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(frac.keySet == scrub.keySet)
+    frac.foreach { case (id, (nToks, dup)) =>
+      val (kept, scrubbed) = scrub(id)
+      assert(scrubbed == dup, s"doc $id: scrubbed $scrubbed != q157 dup $dup")
+      assert(kept + scrubbed == nToks, s"doc $id: $kept + $scrubbed != $nToks")
+    }
+    assert(frac.values.exists(_._2 > 0), "fixture has no duplicated docs — invariant vacuous")
+  }
+
   test("q156/q157/q158 degrade cleanly on a corpus with nothing shared") {
     val s = spark
     import s.implicits._
