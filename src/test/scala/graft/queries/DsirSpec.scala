@@ -41,5 +41,16 @@ class DsirSpec extends AnyFunSuite {
     assert(w(102L) > w(101L), s"mixed ${w(102L)} !> off-domain ${w(101L)}")
     // only raw docs are scored
     assert(!w.contains(1L))
+
+    // the resampling manifest: exactly ceil(3/5) = 1 doc sampled, and
+    // the derandomized Gumbel draw is identical across runs
+    def sample() = graft.SparkEntry
+      .queries("q161_dsir_sample")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+      .toSeq
+    val run1 = sample()
+    assert(run1.count(_._3 == "sampled") == 1, run1.mkString(", "))
+    assert(sample() == run1, "the derandomized draw changed between runs")
   }
 }
