@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: sbt's default
+// LoggedOutput routes every line through the logger as "[info] {...}",
+// which defeats any consumer expecting bare JSON on stdout (BENCH has
+// never machine-parsed in 6 rounds for exactly this reason). With
+// StdoutOutput the child process inherits the real stdout/stderr.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Compile / run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
