@@ -118,8 +118,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, true) => v }.sum
     val n = results.size
+    // "queries" here is deliberately the top-5 slowest ONLY (the full
+    // 160-entry map would blow the driver's ~2000-char stdout retention
+    // window); "queries_full" points any consumer at the complete map so
+    // the truncation is self-describing rather than silent.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"queries":$top,"errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"queries":$top,"queries_full":"bench_queries.json + BENCH-QUERIES line (top-5 shown here)","errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -88,12 +88,23 @@ object Engine {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
-    // (with nanosAsLong) it arrives as bigint nanos; truncate to micros
-    // with integer division (matches DuckDB's ns -> us cast).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // events.ts arrives differently depending on how the driver
+    // materialized the parquet — both have shipped: TIMESTAMP(NANOS)
+    // (Spark has no nanos type, so with nanosAsLong it reads as bigint
+    // nanos; truncate to micros with integer division, matching DuckDB's
+    // ns -> us cast) or TIMESTAMP(MICROS) isAdjustedToUTC=false (reads
+    // as TIMESTAMP_NTZ; cast to the session TimestampType — the session
+    // is pinned UTC, so the wall-clock values are unchanged and every
+    // downstream window/interval op behaves identically). Dispatch on
+    // the OBSERVED schema, not an assumption about the writer.
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
+    } else df
   }
 }

@@ -173,6 +173,15 @@ object GramHash {
     val m = sg.numElements()
     val md = md5Local.get()
     val mins = new Array[UTF8String](n)
+    // salt prefixes ("<digits of i>|" as bytes) hoisted out of the
+    // (shingle x family) hot loop — one tiny allocation per family per
+    // CALL, not per shingle
+    val salts = new Array[Array[Byte]](n)
+    var si = 0
+    while (si < n) {
+      salts(si) = (Integer.toString(si) + "|").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      si += 1
+    }
     var j = 0
     while (j < m) {
       if (!sg.isNullAt(j)) {
@@ -180,11 +189,7 @@ object GramHash {
         var i = 0
         while (i < n) {
           md.reset()
-          // salt prefix: the decimal digits of i, then '|'
-          val is = Integer.toString(i)
-          var d = 0
-          while (d < is.length) { md.update(is.charAt(d).toByte); d += 1 }
-          md.update('|'.toByte)
+          md.update(salts(i))
           md.update(xb)
           val h = hex32(md.digest())
           if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h

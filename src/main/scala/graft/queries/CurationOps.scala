@@ -71,6 +71,24 @@ object CurationOps {
   /** q160/q161's shared engine side: DSIR importance weights per raw
     * (non-'src0') document. See q160's registry comment for the method
     * and the integer-micro-unit exactness argument.
+    *
+    * ACCEPTED ulp risk (documented, per round-6 advice): the tm term
+    * (here) and q161's per-doc Gumbel term compare Spark's Math.log /
+    * round against DuckDB's libm ln / round BEFORE the *1e6 micro-unit
+    * rounding; a 1-ulp ln divergence landing within ~5e-7 of a .5e-6
+    * rounding boundary would flip one micro-unit and change the hash.
+    * Why accepted rather than engineered away: (a) both JVM Math.log
+    * (HotSpot intrinsic) and glibc libm ln are faithfully rounded
+    * (<=1 ulp) and in practice agree to the last bit on these argument
+    * ranges — the q81 ln-based precedent has held across every gate;
+    * (b) the alternative (a fixed-point integer log table) would have
+    * to be mirrored in portable DuckDB SQL, replacing a 2-line ln with
+    * a table-driven CORDIC on both engines — more cross-engine surface,
+    * not less; (c) exposure is bounded: tm lives on a 256-row bucket
+    * table where a flip would be caught instantly by the gate, and the
+    * Gumbel term's argument u is a fixed rational grid ((h+1)/2^32+1)
+    * nowhere near ln's hard cases. If a gate ever flips, the fallback
+    * is to round tm/gum to 1e5 units (10x the margin) on both engines.
     */
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val tk = Engine

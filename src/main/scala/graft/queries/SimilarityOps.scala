@@ -420,12 +420,20 @@ object SimilarityOps {
   // Memoized per sf directory: the embeddings table is immutable for the
   // life of a run, and q147 + q148 (and every bench pass over them) would
   // otherwise each pay the sizing count(*) job — a metadata-only read, but
-  // still a Spark job submission (~0.1 s) on the hot path. One count per
-  // dir, then a map lookup.
+  // still a Spark job submission (~0.1 s) on the hot path. The memo key
+  // includes the table file's (mtime, size) so a regenerated corpus at
+  // the SAME path (fixture rewrite, sf re-materialization within one JVM)
+  // never reuses a stale k — the oracle recomputes k from the data, so a
+  // stale cache here would silently diverge q147/q148/q159.
   private val kMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  private def embeddingsKey(dir: String): String = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    s"$dir|${f.lastModified}|${f.length}"
+  }
+
   private def kmeansK(s: SparkSession, dir: String): Int =
-    kMemo.getOrElseUpdate(dir, {
+    kMemo.getOrElseUpdate(embeddingsKey(dir), {
       val n = Engine.table(s, dir, "embeddings").count()
       math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
     })

@@ -23,11 +23,19 @@ object EventStreaming {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory: stream the sf dir with a
     // glob filter selecting just the events table
-    spark.readStream
+    val raw = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same writer-dependent ts dispatch as Engine.table: bigint nanos
+    // (legacy nanosAsLong read) vs native TIMESTAMP_NTZ micros
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour

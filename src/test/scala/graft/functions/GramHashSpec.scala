@@ -25,7 +25,7 @@ class GramHashSpec extends AnyFunSuite {
         expr("transform(sequence(1, size(toks) - 9), i -> md5(concat_ws(' ', slice(toks, i, 10))))")
           .as("hof")
       )
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
@@ -43,7 +43,7 @@ class GramHashSpec extends AnyFunSuite {
         TextHashOps.charGramMd5s(col("t"), 5).as("native"),
         expr("transform(sequence(1, length(t) - 4), i -> md5(substr(t, i, 5)))").as("hof")
       )
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
@@ -58,7 +58,7 @@ class GramHashSpec extends AnyFunSuite {
         TextHashOps.slidingMin(col("h"), 4).as("native"),
         expr("transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))").as("hof")
       )
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
@@ -74,7 +74,7 @@ class GramHashSpec extends AnyFunSuite {
           "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
           .as("hof")
       )
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
@@ -91,7 +91,7 @@ class GramHashSpec extends AnyFunSuite {
       array_min(expr(s"transform(sg, x -> md5(concat('$i|', x)))"))): _*)
     val diffs = d
       .select(TextHashOps.minhashSig(col("sg"), 8).as("native"), hof.as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
@@ -117,7 +117,7 @@ class GramHashSpec extends AnyFunSuite {
     )
     val diffs = d
       .select(TextHashOps.simhash32(col("sg")).as("native"), hof.as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null-bearing mismatch must COUNT, not vanish
       .count()
     assert(diffs == 0)
   }
