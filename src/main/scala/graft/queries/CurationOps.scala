@@ -143,6 +143,96 @@ object CurationOps {
              w AS (SELECT doc_id, count(*) AS n_toks, CAST(sum(tm) AS BIGINT) AS w_micro
                FROM b0 JOIN stats USING (b) WHERE source <> 'src0' GROUP BY doc_id)"""
 
+  /** q164's cap: max documents kept per registered domain. */
+  private val DomainCap = 20L
+
+  // ------------------------------------------------------------ q163/q164
+  // Every scalar step below is a SINGLE SQL string used verbatim by both
+  // engines (Spark `expr` and DuckDB oracle interpolation) — the
+  // generator and canonicalization can't drift between the two sides.
+  // (Declared before `entries`, which interpolates them eagerly.)
+
+  /** Deterministic messy-URL generator over (doc_id, lang, source):
+    * mixed-case scheme/host, optional WWW., default AND non-default
+    * explicit ports, trailing-slash variants, tracking + unsorted query
+    * params, fragments. Dialect-shared SQL (Spark + DuckDB).
+    */
+  private val urlGenSql: String =
+    """(CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' ELSE 'Https' END)
+       || '://'
+       || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+       || lang || '.' || source || '-Press.COM'
+       || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END)
+       || '/' || lang || '/item/' || CAST(doc_id AS STRING)
+       || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+       || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS STRING)
+                WHEN 1 THEN '?id=' || CAST(doc_id % 97 AS STRING) || '&utm_campaign=x&b=2'
+                WHEN 2 THEN '?b=2&a=1' ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"""
+
+  // scalar canonicalization steps, each over previously-derived columns
+  private val nofragSql = "regexp_replace(url, '#.*$', '')"
+  private val schemeSql = "lower(regexp_extract(nofrag, '^([^:]+)://', 1))"
+  private val hpSql = "lower(regexp_extract(nofrag, '^[^:]+://([^/?#]*)', 1))"
+  private val path0Sql = "regexp_extract(nofrag, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+  // Backslash-bearing patterns CANNOT ride a shared SQL literal: Spark
+  // processes backslash escapes inside '...' (escapedStringLiterals is
+  // false) where DuckDB takes them raw. These two live as Scala vals —
+  // passed verbatim to the Spark functions API (no literal parsing) and
+  // interpolated verbatim into the DuckDB single-quoted literal.
+  private val patQuery = """\?(.*)$"""
+  private val patDomain = """([^.]+\.[^.]+)$"""
+  private val hp2Sql =
+    """CASE WHEN scheme = 'http'  AND hp LIKE '%:80'  THEN substr(hp, 1, length(hp) - 3)
+            WHEN scheme = 'https' AND hp LIKE '%:443' THEN substr(hp, 1, length(hp) - 4)
+            ELSE hp END"""
+  private val hostSql = "CASE WHEN hp2 LIKE 'www.%' THEN substr(hp2, 5) ELSE hp2 END"
+  private val cpathSql =
+    """CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+            ELSE regexp_replace(path0, '/+$', '') END"""
+  private val paramFilterSql =
+    "x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'gclid=%' AND x NOT LIKE 'ref=%'"
+  private val canonUrlSql =
+    "scheme || '://' || host || cpath || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)"
+  private val hostNpSql = "regexp_replace(host, ':[0-9]+$', '')"
+
+  /** (doc_id, url, canon_url, domain) for every document — the Spark
+    * side of q163/q164, built from the shared SQL fragments. Narrow
+    * per-row string work only.
+    */
+  private def urlParts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("url", expr(urlGenSql))
+      .withColumn("nofrag", expr(nofragSql))
+      .withColumn("scheme", expr(schemeSql))
+      .withColumn("hp", expr(hpSql))
+      .withColumn("path0", expr(path0Sql))
+      .withColumn("q0", regexp_extract(col("nofrag"), patQuery, 1))
+      .withColumn("hp2", expr(hp2Sql))
+      .withColumn("host", expr(hostSql))
+      .withColumn("cpath", expr(cpathSql))
+      .withColumn(
+        "cq",
+        expr(s"array_join(array_sort(filter(split(q0, '&'), $paramFilterSql)), '&')")
+      )
+      .withColumn("canon_url", expr(canonUrlSql))
+      .withColumn("domain", regexp_extract(expr(hostNpSql), patDomain, 1))
+
+  /** The same pipeline as DuckDB CTEs ending in
+    * canon(doc_id, url, canon_url, domain).
+    */
+  private val urlCanonSqlCtes: String =
+    s"""WITH u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+        p0 AS (SELECT doc_id, url, $nofragSql AS nofrag FROM u),
+        p1 AS (SELECT *, $schemeSql AS scheme, $hpSql AS hp, $path0Sql AS path0,
+            regexp_extract(nofrag, '$patQuery', 1) AS q0 FROM p0),
+        p2 AS (SELECT *, $hp2Sql AS hp2 FROM p1),
+        p3 AS (SELECT *, $hostSql AS host, $cpathSql AS cpath,
+            array_to_string(list_sort(list_filter(string_split(q0, '&'), $paramFilterSql)), '&') AS cq
+          FROM p2),
+        canon AS (SELECT doc_id, url, $canonUrlSql AS canon_url,
+            regexp_extract($hostNpSql, '$patDomain', 1) AS domain FROM p3)"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q64
     // Benchmark decontamination: training docs sharing a word-5-gram with
@@ -886,6 +976,89 @@ object CurationOps {
                       <= (count(*) OVER () + 4) // 5
                     THEN 'sampled' ELSE 'rest' END AS pick
              FROM k ORDER BY pos""")
+    ),
+    // --------------------------------------------------------------- q163
+    // URL canonicalization — the CCNet/RefinedWeb curation step that
+    // precedes URL dedup and per-domain caps: lowercase scheme+host,
+    // strip the scheme's DEFAULT port (a non-default port is identity-
+    // relevant and kept — the doc_id%3==2,%5==0 rows exercise that),
+    // strip a leading 'www.', drop the fragment, strip trailing path
+    // slashes (root stays '/'), drop tracking params (utm_*, fbclid,
+    // gclid, ref), sort the surviving params, and derive the registered
+    // domain (last two host labels, port excluded). The corpus has no
+    // URL column, so a deterministic messy URL is derived per document
+    // from (doc_id, lang, source) — the generator and every scalar
+    // canonicalization step are ONE shared SQL string interpolated into
+    // BOTH engines (the dialect-shared subset: ||, CASE, CAST AS
+    // STRING, regexp_extract/replace, substr, LIKE), so the two sides
+    // cannot drift; only the list pipeline for query params differs
+    // (filter/array_sort/array_join vs list_filter/list_sort/
+    // array_to_string). Scale: pure narrow per-row string work riding
+    // the scan — no shuffle, no UDF, all codegen'd string expressions.
+    QueryDef(
+      "q163_url_canonical",
+      (s, dir) =>
+        urlParts(Engine.table(s, dir, "documents"))
+          .select(col("doc_id"), col("url"), col("canon_url"), col("domain"))
+          .orderBy(col("doc_id")),
+      Some(s"""$urlCanonSqlCtes
+             SELECT doc_id, url, canon_url, domain
+             FROM canon ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q164
+    // Per-domain document cap — the anti-SEO-spam / source-balance rule
+    // (RefinedWeb caps documents per registered domain so one crawler
+    // trap or content farm cannot dominate the corpus): within each
+    // q163 domain, the first `DomainCap` docs in deterministic-hash
+    // order are 'kept', the rest 'capped'. Hash order (md5('d|'||id)),
+    // not crawl order, so the cap is unbiased by ingestion sequence.
+    // Scale shape: the q153 distributed-rank pattern with domain as the
+    // stratum — range-repartition on (domain, hk, doc_id) so a huge
+    // domain SPANS partitions, (pid, domain)-local row_number, then a
+    // broadcast (domain x ~32 partitions) offset table; NEVER a bare
+    // per-domain window (at 100 TB one viral domain would otherwise
+    // funnel through a single task's sort).
+    QueryDef(
+      "q164_domain_cap",
+      (s, dir) => {
+        val keyed = urlParts(Engine.table(s, dir, "documents"))
+          .select(
+            col("doc_id"),
+            col("domain"),
+            md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk")
+          )
+        val ranged = keyed
+          .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        val wOff = Window
+          .partitionBy(col("domain"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local
+          .groupBy(col("domain"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .select(col("domain"), col("pid"), col("off"))
+        local
+          .join(broadcast(offsets), Seq("pid", "domain"))
+          .withColumn("rnk", col("local_rn") + col("off"))
+          .withColumn(
+            "verdict",
+            when(col("rnk") <= DomainCap, lit("kept")).otherwise(lit("capped"))
+          )
+          .select(col("doc_id"), col("domain"), col("rnk"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$urlCanonSqlCtes,
+             r AS (SELECT doc_id, domain,
+                 CAST(row_number() OVER (PARTITION BY domain
+                     ORDER BY md5('d|' || CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rnk
+               FROM canon)
+             SELECT doc_id, domain, rnk,
+               CASE WHEN rnk <= $DomainCap THEN 'kept' ELSE 'capped' END AS verdict
+             FROM r ORDER BY doc_id""")
     )
   )
 }
