@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Engine, QueryDef}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table.
@@ -971,6 +972,247 @@ object TextOps {
                CAST(1000000 * count(CASE WHEN f.first_id = g.doc_id THEN 1 END)
                  // count(*) AS BIGINT) AS novel_ppm
              FROM g JOIN f USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""")
+    ),
+    // --------------------------------------------------------------- q165
+    // The Gopher quality-rule battery (Rae et al. 2021, A1.1/A1.2) as
+    // one per-document operator: every published repetition/symbol rule
+    // value plus the combined keep/drop verdict, all in exact integer
+    // ppm/micro units so the two engines agree bit-for-bit.
+    //   A1.1 scalars: word count, mean word length, symbol-to-word
+    //   ratio (# + ellipsis), bullet-start and ellipsis-end line
+    //   shares, alphabetic-word share, stop-word hits.
+    //   A1.2 repetition: duplicate-line and duplicate-line-character
+    //   fractions (paragraph rules coincide with line rules on this
+    //   corpus's newline-free docs; fixture-tested with real newlines),
+    //   top-{2,3,4}-gram character share (most frequent gram, count
+    //   desc / gram asc tie-break), duplicate-{5,10}-gram character
+    //   COVERAGE (distinct token positions inside any within-doc
+    //   repeated n-gram, counted once — the q156 span idea, per doc).
+    // Scale shape: scalars ride the scan as narrow HOFs; gram counts
+    // shuffle on (doc_id, n, gram-hash) and every window is per-doc
+    // bounded (a doc's gram table, never the corpus); the two pivot
+    // aggregations and the final joins key on doc_id. No UDFs; gram
+    // hashing uses the native TokenGramMd5 kernel.
+    QueryDef(
+      "q165_gopher_rules",
+      (s, dir) => {
+        val toksDf = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("text"), toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 1)
+          .withColumn("nchars", expr("aggregate(toks, 0L, (a, x) -> a + length(x))"))
+        val base = toksDf
+          .withColumn("lines", split(col("text"), "\n"))
+          .select(
+            col("doc_id"),
+            col("nchars"),
+            size(col("toks")).cast("long").as("n_words"),
+            expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
+              .as("mean_wlen_micro"),
+            expr("""((length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(replace(text, '...', ''))) div 3)
+                   * 1000000) div size(toks)""").as("symbol_ppm"),
+            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+              .cast("long").as("alpha_ppm"),
+            expr("""size(array_intersect(array_distinct(toks),
+                   array('the','be','to','of','and','that','have','with')))""")
+              .cast("long").as("stop_hits"),
+            expr("((size(lines) - size(array_distinct(lines))) * 1000000) div size(lines)")
+              .as("dup_line_ppm"),
+            expr("""((aggregate(lines, 0L, (a, x) -> a + length(x))
+                   - aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))) * 1000000)
+                   div greatest(aggregate(lines, 0L, (a, x) -> a + length(x)), 1L)""")
+              .as("dup_line_char_ppm"),
+            expr("(size(filter(lines, x -> x LIKE '•%' OR x LIKE '- %')) * 1000000) div size(lines)")
+              .cast("long").as("bullet_ppm"),
+            expr("(size(filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) * 1000000) div size(lines)")
+              .cast("long").as("ellipsis_ppm")
+          )
+        // top-{2,3,4}-gram char share: per (doc, n) the most frequent
+        // gram (tie: lexicographically smallest), share = occurrences x
+        // gram chars (separators excluded) / doc token chars
+        val topGrams = Seq(2, 3, 4)
+          .map { n =>
+            toksDf
+              .filter(size(col("toks")) >= n)
+              .select(
+                col("doc_id"),
+                col("nchars"),
+                lit(n).as("n"),
+                explode(expr(
+                  s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"
+                )).as("gram")
+              )
+          }
+          .reduce(_ unionAll _)
+          .groupBy(col("doc_id"), col("nchars"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn(
+            "rn",
+            row_number().over(
+              Window.partitionBy(col("doc_id"), col("n")).orderBy(col("c").desc, col("gram"))
+            )
+          )
+          .filter(col("rn") === 1)
+          .withColumn("ppm", expr("(c * length(replace(gram, ' ', '')) * 1000000) div nchars"))
+          .groupBy(col("doc_id"))
+          .agg(
+            max(when(col("n") === 2, col("ppm"))).as("top2_ppm"),
+            max(when(col("n") === 3, col("ppm"))).as("top3_ppm"),
+            max(when(col("n") === 4, col("ppm"))).as("top4_ppm")
+          )
+        // duplicate-{5,10}-gram char coverage: distinct token positions
+        // under any within-doc repeated n-gram, each position's chars
+        // counted once
+        val tokLens = toksDf.select(
+          col("doc_id"),
+          posexplode(col("toks")).as(Seq("p0", "tok"))
+        ).select(col("doc_id"), (col("p0") + 1).as("pos"), length(col("tok")).cast("long").as("l"))
+        val dupCov = Seq(5, 10)
+          .map { n =>
+            toksDf
+              .filter(size(col("toks")) >= n)
+              .select(
+                col("doc_id"),
+                lit(n).as("n"),
+                posexplode(graft.functions.TextHashOps.gramMd5s(col("toks"), n)).as(Seq("gi0", "h"))
+              )
+              .withColumn(
+                "cnt",
+                count(lit(1)).over(Window.partitionBy(col("doc_id"), col("h")))
+              )
+              .filter(col("cnt") >= 2)
+              .select(
+                col("doc_id"),
+                col("n"),
+                explode(expr(s"sequence(gi0 + 1, gi0 + $n)")).as("pos")
+              )
+              .distinct()
+          }
+          .reduce(_ unionAll _)
+          .join(tokLens, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("n") === 5, col("l"))).as("cov5"),
+            sum(when(col("n") === 10, col("l"))).as("cov10")
+          )
+        base
+          .join(topGrams, Seq("doc_id"), "left")
+          .join(dupCov, Seq("doc_id"), "left")
+          .withColumn("top2_ppm", coalesce(col("top2_ppm"), lit(0L)))
+          .withColumn("top3_ppm", coalesce(col("top3_ppm"), lit(0L)))
+          .withColumn("top4_ppm", coalesce(col("top4_ppm"), lit(0L)))
+          .withColumn("dup5_ppm", expr("(coalesce(cov5, 0L) * 1000000) div nchars"))
+          .withColumn("dup10_ppm", expr("(coalesce(cov10, 0L) * 1000000) div nchars"))
+          .withColumn(
+            "verdict",
+            expr(s"""CASE WHEN $gopherVerdictSql THEN 'keep' ELSE 'drop' END""")
+          )
+          .select(
+            col("doc_id"), col("n_words"), col("mean_wlen_micro"), col("symbol_ppm"),
+            col("alpha_ppm"), col("stop_hits"), col("dup_line_ppm"), col("dup_line_char_ppm"),
+            col("bullet_ppm"), col("ellipsis_ppm"), col("top2_ppm"), col("top3_ppm"),
+            col("top4_ppm"), col("dup5_ppm"), col("dup10_ppm"), col("verdict")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id, text, ${Tokenize.toksSql} AS toks FROM documents),
+             t1 AS (
+               SELECT doc_id, text, toks,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS nchars,
+                 str_split(text, chr(10)) AS lines
+               FROM t WHERE len(toks) >= 1),
+             base AS (
+               SELECT doc_id, nchars,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 nchars * 1000000 // len(toks) AS mean_wlen_micro,
+                 CAST((length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(replace(text, '...', ''))) // 3)
+                   * 1000000 // len(toks) AS BIGINT) AS symbol_ppm,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1000000 // len(toks) AS BIGINT) AS alpha_ppm,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+                 CAST((len(lines) - len(list_distinct(lines)))
+                   * 1000000 // len(lines) AS BIGINT) AS dup_line_ppm,
+                 CAST((list_sum(list_transform(lines, x -> length(x)))
+                     - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+                   * 1000000 // greatest(list_sum(list_transform(lines, x -> length(x))), 1)
+                   AS BIGINT) AS dup_line_char_ppm,
+                 CAST(len(list_filter(lines, x -> x LIKE chr(8226) || '%' OR x LIKE '- %'))
+                   * 1000000 // len(lines) AS BIGINT) AS bullet_ppm,
+                 CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%' || chr(8230)))
+                   * 1000000 // len(lines) AS BIGINT) AS ellipsis_ppm
+               FROM t1),
+             g AS (
+               SELECT doc_id, nchars, n, unnest(list_transform(
+                   generate_series(1, len(toks) - n + 1),
+                   i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+               FROM t1, (SELECT unnest([2, 3, 4]) AS n) ns
+               WHERE len(toks) >= n),
+             gc AS (SELECT doc_id, nchars, n, gram, count(*) AS c FROM g GROUP BY ALL),
+             topg AS (
+               SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN ppm END) AS top2_ppm,
+                 max(CASE WHEN n = 3 THEN ppm END) AS top3_ppm,
+                 max(CASE WHEN n = 4 THEN ppm END) AS top4_ppm
+               FROM (
+                 SELECT doc_id, n,
+                   c * length(replace(gram, ' ', '')) * 1000000 // nchars AS ppm
+                 FROM gc
+                 QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY c DESC, gram) = 1)
+               GROUP BY doc_id),
+             pg AS (
+               SELECT doc_id, n, i, md5(array_to_string(list_slice(toks, i, i + n - 1), ' ')) AS h
+               FROM (SELECT doc_id, toks, n,
+                       unnest(generate_series(1, len(toks) - n + 1)) AS i
+                     FROM t1, (SELECT unnest([5, 10]) AS n) ns
+                     WHERE len(toks) >= n)),
+             rep AS (SELECT doc_id, n, i FROM pg
+               QUALIFY count(*) OVER (PARTITION BY doc_id, n, h) >= 2),
+             cov AS (SELECT DISTINCT doc_id, n,
+                 unnest(generate_series(i, i + n - 1)) AS pos FROM rep),
+             tl AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos FROM t1),
+             covc AS (
+               SELECT cov.doc_id,
+                 CAST(sum(CASE WHEN cov.n = 5 THEN length(tl.tok) END) AS BIGINT) AS cov5,
+                 CAST(sum(CASE WHEN cov.n = 10 THEN length(tl.tok) END) AS BIGINT) AS cov10
+               FROM cov JOIN tl ON cov.doc_id = tl.doc_id AND cov.pos = tl.pos
+               GROUP BY cov.doc_id),
+             fin AS (
+               SELECT base.doc_id AS doc_id, n_words, mean_wlen_micro, symbol_ppm, alpha_ppm,
+                 stop_hits, dup_line_ppm, dup_line_char_ppm, bullet_ppm, ellipsis_ppm,
+                 coalesce(topg.top2_ppm, 0) AS top2_ppm,
+                 coalesce(topg.top3_ppm, 0) AS top3_ppm,
+                 coalesce(topg.top4_ppm, 0) AS top4_ppm,
+                 coalesce(covc.cov5, 0) * 1000000 // base.nchars AS dup5_ppm,
+                 coalesce(covc.cov10, 0) * 1000000 // base.nchars AS dup10_ppm
+               FROM base
+               LEFT JOIN topg ON base.doc_id = topg.doc_id
+               LEFT JOIN covc ON base.doc_id = covc.doc_id)
+             SELECT doc_id, n_words, mean_wlen_micro, symbol_ppm, alpha_ppm, stop_hits,
+               dup_line_ppm, dup_line_char_ppm, bullet_ppm, ellipsis_ppm,
+               top2_ppm, top3_ppm, top4_ppm, dup5_ppm, dup10_ppm,
+               CASE WHEN $gopherVerdictSql THEN 'keep' ELSE 'drop' END AS verdict
+             FROM fin ORDER BY doc_id""")
     )
   )
+
+  /** The combined Gopher keep condition over the rule columns —
+    * dialect-shared SQL (identical thresholds in both engines;
+    * published A1.1/A1.2 values, scaled to ppm/micro units).
+    */
+  private def gopherVerdictSql: String =
+    """n_words >= 50 AND n_words <= 100000
+       AND mean_wlen_micro >= 3000000 AND mean_wlen_micro <= 10000000
+       AND symbol_ppm <= 100000
+       AND bullet_ppm <= 100000 AND ellipsis_ppm <= 300000
+       AND alpha_ppm >= 800000 AND stop_hits >= 2
+       AND dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+       AND top2_ppm <= 200000 AND top3_ppm <= 180000 AND top4_ppm <= 160000
+       AND dup5_ppm <= 150000 AND dup10_ppm <= 100000"""
 }
