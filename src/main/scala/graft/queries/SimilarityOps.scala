@@ -996,6 +996,99 @@ object SimilarityOps {
              m AS (SELECT label, pos, avg(v) AS m FROM t GROUP BY label, pos)
              SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
              FROM m GROUP BY label ORDER BY label""")
+    ),
+    // --------------------------------------------------------------- q166
+    // Image–text alignment filter — the LAION/DataComp curation step
+    // the corpus was missing a cross-modal operator for: score each
+    // (image embedding, caption) pair by cosine between the stored
+    // vector (embeddings.vec_id = documents.doc_id) and a 64-dim
+    // hashed bag-of-words caption vector (token -> md5 bucket % 64,
+    // weight = count — the classic hashing-trick featurizer), and
+    // verdict pairs below the threshold as 'rejected'. Cross-engine
+    // exactness: each dot term is rounded to integer micro-units PER
+    // (bucket, element) pair before the sum (order-free int64 adds —
+    // the q160 pattern), the embedding norm likewise per element, and
+    // the final cosine is one per-row scalar (div + sqrt + round over
+    // identical integers: correctly-rounded IEEE ops, bit-identical in
+    // both engines). Scale shape: the caption featurizer is one
+    // map-side-combinable hash-agg of the token stream; the dot product
+    // joins (doc_id, bucket) feature rows to posexploded embedding
+    // elements on the composite key — both sides huge at 100 TB, hash
+    // co-partitioned, never a broadcast of the corpus; the norm is a
+    // narrow per-row HOF on the embeddings scan. No windows, no UDFs.
+    QueryDef(
+      "q166_caption_align",
+      (s, dir) => {
+        val feats = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(Tokenize.toksExpr).as("tok"))
+          .withColumn("b", expr("cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % 64"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val e = Engine
+          .table(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val embEl = e.select(
+          col("doc_id"),
+          posexplode(col("embedding")).as(Seq("b", "ef"))
+        ).select(col("doc_id"), col("b").cast("long").as("b"), col("ef").cast("double").as("ev"))
+        val dots = feats
+          .join(embEl, Seq("doc_id", "b"))
+          .withColumn("term", expr("cast(round(cnt * ev * 1000000d) as bigint)"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_toks"),
+            sum(col("term")).as("dot_micro"),
+            sum(col("cnt") * col("cnt")).as("nc")
+          )
+        val nes = e.select(
+          col("doc_id"),
+          expr("""aggregate(embedding, 0L,
+                 (a, x) -> a + cast(round(cast(x as double) * cast(x as double) * 1000000d) as bigint))""")
+            .as("ne_micro")
+        )
+        dots
+          .join(nes, "doc_id")
+          .withColumn(
+            "cos_milli",
+            expr("cast(round(dot_micro / sqrt(cast(nc as double) * cast(ne_micro as double))) as bigint)")
+          )
+          .withColumn(
+            "verdict",
+            when(col("cos_milli") >= 0L, lit("aligned")).otherwise(lit("rejected"))
+          )
+          .select(col("doc_id"), col("n_toks"), col("dot_micro"), col("cos_milli"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+             b0 AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(1, 4),
+                   k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+                        * power(16, 4 - k))) AS BIGINT) % 64 AS b
+               FROM tk),
+             f AS (SELECT doc_id, b, count(*) AS cnt FROM b0 GROUP BY 1, 2),
+             e AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+             el AS (SELECT doc_id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS b,
+                 CAST(unnest(embedding) AS DOUBLE) AS ev
+               FROM e),
+             d AS (SELECT f.doc_id AS doc_id,
+                 CAST(sum(f.cnt) AS BIGINT) AS n_toks,
+                 CAST(sum(CAST(round(f.cnt * el.ev * 1000000) AS BIGINT)) AS BIGINT) AS dot_micro,
+                 CAST(sum(f.cnt * f.cnt) AS BIGINT) AS nc
+               FROM f JOIN el ON f.doc_id = el.doc_id AND f.b = el.b
+               GROUP BY 1),
+             ne AS (SELECT doc_id, CAST(list_sum(list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                 AS BIGINT) AS ne_micro FROM e)
+             SELECT d.doc_id AS doc_id, n_toks, dot_micro,
+               CAST(round(dot_micro / sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE))) AS BIGINT)
+                 AS cos_milli,
+               CASE WHEN CAST(round(dot_micro / sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE)))
+                     AS BIGINT) >= 0 THEN 'aligned' ELSE 'rejected' END AS verdict
+             FROM d JOIN ne ON d.doc_id = ne.doc_id ORDER BY doc_id""")
     )
   )
 }
