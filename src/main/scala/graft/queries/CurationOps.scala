@@ -1059,6 +1059,216 @@ object CurationOps {
              SELECT doc_id, domain, rnk,
                CASE WHEN rnk <= $DomainCap THEN 'kept' ELSE 'capped' END AS verdict
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q167
+    // The END-TO-END curation pipeline as ONE oracle-gated plan — the
+    // published recipe order (boilerplate/span scrub -> quality gate ->
+    // exact dedup -> fuzzy dedup -> split -> shard manifest), proving
+    // the registry's operators COMPOSE rather than merely coexist:
+    //   1. cross-document span scrub (q162's core, the SAME shared
+    //      dupSpanRows helper — one gram shuffle);
+    //   2. quality gate on the CLEANED tokens (corpus-calibrated
+    //      subset of q165's battery: length, mean word length,
+    //      alphabetic share — thresholds documented inline);
+    //   3. exact dedup keep-lowest on the cleaned-text hash (q50
+    //      semantics, post-scrub — scrubbing creates new exact dups);
+    //   4. fuzzy dedup: 3-gram shingle MinHash (native kernel), 4
+    //      bands x 2 rows, GREEDY drop of any doc sharing a bucket
+    //      with a lower surviving id — an agg + anti-join, never pair
+    //      enumeration (q52 owns the verified-pair verdict; a
+    //      pipeline wants the cheap transitive-enough gate);
+    //   5. per-(lang, source) 5% quota split — the q153 distributed
+    //      rank, range-repartitioned so big strata span partitions;
+    //   6. shard manifest — the q141 seeded-hash global position via
+    //      range-repartition + broadcast offsets, shard = pos % 16.
+    // localCheckpoint barriers sit where a subtree feeds two consumers
+    // (exact-dedup survivors feed both the bucket-drop list and the
+    // anti-join) so the expensive scrub runs ONCE — the plan-shape spec
+    // pins scan and exchange counts. Ordering note (COVERAGE.md): span
+    // scrub runs BEFORE quality/dedup per the published pipelines —
+    // boilerplate removal changes what the later stages hash.
+    QueryDef(
+      "q167_pipeline_manifest",
+      (s, dir) => {
+        // -- 1. span scrub (shared helper; q162's exact kept-token rule)
+        val sp = graft.queries.DedupOps
+          .dupSpanRows(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(
+            col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+        val d = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"), toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 1)
+        val cleaned = d
+          .join(sp, Seq("doc_id"), "left")
+          .withColumn(
+            "kept",
+            expr("""case when spans is null then toks
+                    else transform(
+                      filter(sequence(1, size(toks)),
+                             p -> NOT exists(spans, q -> p >= q.s AND p <= q.e)),
+                      p -> element_at(toks, p)) end""")
+          )
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("kept"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(concat_ws(" ", col("kept"))).as("clean_md5"),
+            expr("aggregate(kept, 0L, (a, x) -> a + length(x))").as("nchars")
+          )
+        // -- 2. quality gate on cleaned tokens (corpus-calibrated: the
+        //       full Gopher battery is q165; a synthetic 10-99-word
+        //       corpus needs length >= 20, mean word length 3-10,
+        //       alphabetic share >= 80%)
+        val quality = cleaned
+          .filter(col("n_kept") >= 20L)
+          // greatest(n_kept, 1): ANSI div-by-zero guard — Catalyst may
+          // evaluate the combined filter conjuncts in any order, so a
+          // fully-scrubbed doc (n_kept = 0) must not reach the division
+          .filter(expr("(nchars * 1000000) div greatest(n_kept, 1L) BETWEEN 3000000 AND 10000000"))
+          .filter(expr(
+            "(size(filter(kept, x -> regexp_like(x, '[a-z]'))) * 1000000) div greatest(n_kept, 1L) >= 800000"))
+        // -- 3. exact dedup keep-lowest on the cleaned hash
+        val keepers = quality
+          .groupBy(col("clean_md5"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val exact = quality
+          .join(keepers,
+            quality("clean_md5") === keepers("clean_md5") &&
+              quality("doc_id") === keepers("keep_id"))
+          .select(quality("doc_id"), col("lang"), col("source"), col("kept"), col("n_kept"))
+          .localCheckpoint(eager = false) // feeds the drop list AND the anti-join
+        // -- 4. fuzzy dedup: minhash banding, greedy min-id per bucket
+        val bk = exact
+          .filter(size(col("kept")) >= 3)
+          .select(
+            col("doc_id"),
+            graft.functions.TextHashOps
+              .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("kept"), 3)), 8)
+              .as("sig")
+          )
+          .select(col("doc_id"), explode(expr(
+            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
+          )).as("bucket"))
+        val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
+        val dropF = bk
+          .join(bmin, "bucket")
+          .filter(col("m") < col("doc_id"))
+          .select(col("doc_id"))
+          .distinct()
+        val surv = exact.join(dropF, Seq("doc_id"), "left_anti")
+        // -- 5. per-(lang, source) quota split — q153 distributed rank
+        val keyed = surv.withColumn(
+          "hk", md5(col("doc_id").cast("string").cast("binary")))
+        val ranged = keyed
+          .repartitionByRange(32, col("lang"), col("source"), col("hk"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window
+          .partitionBy(col("pid"), col("lang"), col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        val wOff = Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wN = Window.partitionBy(col("lang"), col("source"))
+        val offsets = local
+          .groupBy(col("lang"), col("source"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wN))
+          .select(col("lang"), col("source"), col("pid"), col("off"), col("n"))
+        val split = local
+          .join(broadcast(offsets), Seq("pid", "lang", "source"))
+          .withColumn("rn", col("local_rn") + col("off"))
+          .withColumn(
+            "split",
+            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
+          )
+          .select(col("doc_id"), col("lang"), col("source"), col("n_kept"), col("split"))
+        // -- 6. shard manifest — q141 seeded-hash global position
+        val mk = split.withColumn(
+          "mh", md5(concat(lit("s42|"), col("doc_id").cast("string"))))
+        val mRanged = mk
+          .repartitionByRange(32, col("mh"), col("doc_id"))
+          .withColumn("mpid", spark_partition_id())
+        val wM = Window.partitionBy(col("mpid")).orderBy(col("mh"), col("doc_id"))
+        val mLocal = mRanged.withColumn("mrn", row_number().over(wM).cast("long"))
+        val wMOff = Window.orderBy(col("mpid")).rowsBetween(Window.unboundedPreceding, -1)
+        val mOffsets = mLocal
+          .groupBy(col("mpid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wMOff), lit(0L)))
+          .select(col("mpid"), col("off"))
+        mLocal
+          .join(broadcast(mOffsets), "mpid")
+          .withColumn("pos", col("mrn") + col("off") - 1L)
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("n_kept"), col("split"),
+            col("pos"), (col("pos") % 16).as("shard"))
+          .orderBy(col("pos"))
+      },
+      Some(s"""${graft.queries.DedupOps.dupSpansSql},
+             spl AS (SELECT doc_id,
+                 list(struct_pack(s := span_start, e := span_end) ORDER BY span_start) AS spans
+               FROM sp GROUP BY doc_id),
+             cl0 AS (SELECT t.doc_id, d2.lang, d2.source,
+                 CASE WHEN spl.spans IS NULL THEN t.toks
+                      ELSE list_transform(
+                        list_filter(generate_series(1, len(t.toks)),
+                          p -> len(list_filter(spl.spans, q -> p >= q.s AND p <= q.e)) = 0),
+                        p -> t.toks[p]) END AS kept
+               FROM t
+               JOIN documents d2 ON t.doc_id = d2.doc_id
+               LEFT JOIN spl ON t.doc_id = spl.doc_id
+               WHERE len(t.toks) >= 1),
+             cl AS (SELECT doc_id, lang, source, kept,
+                 CAST(len(kept) AS BIGINT) AS n_kept,
+                 md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+                 CAST(list_sum(list_transform(kept, x -> length(x))) AS BIGINT) AS nchars
+               FROM cl0),
+             q AS (SELECT * FROM cl
+               WHERE n_kept >= 20
+                 AND nchars * 1000000 // greatest(n_kept, 1) BETWEEN 3000000 AND 10000000
+                 AND len(list_filter(kept, x -> regexp_matches(x, '[a-z]')))
+                     * 1000000 // greatest(n_kept, 1) >= 800000),
+             ex AS (SELECT * FROM q
+               QUALIFY row_number() OVER (PARTITION BY clean_md5 ORDER BY doc_id) = 1),
+             shq AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(kept) - 2),
+                 i -> kept[i] || ' ' || kept[i+1] || ' ' || kept[i+2])) AS sg
+               FROM ex WHERE len(kept) >= 3),
+             mq AS (SELECT doc_id,
+                 [list_min(list_transform(sg, x -> md5('0|' || x))),
+                  list_min(list_transform(sg, x -> md5('1|' || x))),
+                  list_min(list_transform(sg, x -> md5('2|' || x))),
+                  list_min(list_transform(sg, x -> md5('3|' || x))),
+                  list_min(list_transform(sg, x -> md5('4|' || x))),
+                  list_min(list_transform(sg, x -> md5('5|' || x))),
+                  list_min(list_transform(sg, x -> md5('6|' || x))),
+                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM shq),
+             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             dropf AS (SELECT DISTINCT b1.doc_id
+               FROM bq b1 JOIN (SELECT bucket, min(doc_id) AS m FROM bq GROUP BY bucket) bm
+                 ON b1.bucket = bm.bucket AND bm.m < b1.doc_id),
+             sv AS (SELECT * FROM ex
+               WHERE NOT EXISTS (SELECT 1 FROM dropf WHERE dropf.doc_id = ex.doc_id)),
+             qs AS (SELECT doc_id, lang, source, n_kept,
+                 CASE WHEN row_number() OVER (PARTITION BY lang, source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        <= (count(*) OVER (PARTITION BY lang, source) + 19) // 20
+                      THEN 'val' ELSE 'train' END AS split
+               FROM sv)
+             SELECT doc_id, lang, source, n_kept, split,
+               CAST(row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                 AS BIGINT) AS pos,
+               CAST((row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                 % 16 AS BIGINT) AS shard
+             FROM qs ORDER BY pos""")
     )
   )
 }

@@ -221,7 +221,7 @@ object DedupOps {
     * 10-token gram hashes. See q156's registry comment for the full
     * semantics and scale argument.
     */
-  private def dupSpanRows(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dupSpanRows(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     // BARRIER BEFORE THE EXPLODE (q151/q154's lesson): checkpoint
     // the (doc_id, gram-hash ARRAY) projection so the explode's
@@ -265,7 +265,7 @@ object DedupOps {
     * span_start, span_end) — q156 lists it, q157 aggregates coverage.
     * (Declared before `entries`, which interpolates it eagerly.)
     */
-  private val dupSpansSql: String =
+  private[queries] val dupSpansSql: String =
     s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
              g AS (SELECT doc_id, i AS pos,
                  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS gh

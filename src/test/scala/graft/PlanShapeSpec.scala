@@ -297,4 +297,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(3000))
     assert(!p.contains("Window"), s"bucket cap regressed to the window form:\n${p.take(3000)}")
   }
+
+  test("q167: the composite pipeline composes — shared survivor subtree, distributed ranks, bounded scans") {
+    val df = SparkEntry.queries("q167_pipeline_manifest")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the exact-dedup survivor subtree feeds two consumers (fuzzy drop
+    // list + anti-join); the localCheckpoint barrier means the scrub
+    // runs once — visible as Scan ExistingRDD instead of a re-derivation
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    // fuzzy dedup is an agg + anti-join, never pair enumeration
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // both the quota split and the manifest rank are the distributed
+    // range-repartition form with broadcast offsets
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the documents table is scanned a bounded number of times: once for
+    // the span-gram pass and once for the scrub join (the oracle's two
+    // logical uses) — a regression that re-derives the corpus per stage
+    // would multiply this
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"documents scanned $scans times:\n${p.take(3000)}")
+  }
 }
