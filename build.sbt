@@ -18,7 +18,11 @@ run / fork := true
 // StdoutOutput the child process inherits the real stdout/stderr.
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Global / excludeLintKeys ++= Set(run / outputStrategy, Compile / run / outputStrategy)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Compile / run / outputStrategy, showSuccess)
+// ... and sbt must not print its own "[success] Total time: ..." AFTER
+// the program's canonical JSON line, or a last-line consumer reads the
+// sbt footer instead of the bench summary.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
