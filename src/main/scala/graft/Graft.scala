@@ -129,6 +129,15 @@ object Graft {
   /** Unicode NFC normalization (codegen'd graft_nfc). */
   def nfc(c: Column): Column = functions.StringFns.nfc(c)
 
+  /** Append `canon_url` + registered `domain` columns derived from an
+    * existing `url` column — CCNet/RefinedWeb URL canonicalization
+    * (case-fold scheme/host, strip default ports / www. / fragments /
+    * trailing slashes / tracking params, sort surviving params). The
+    * exact chain behind q163/q164, so the oracle gate covers it.
+    */
+  def canonicalizeUrls(df: DataFrame): DataFrame =
+    queries.CurationOps.canonicalizeUrls(df)
+
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame). */
   def queryRegistry: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -196,13 +196,16 @@ object CurationOps {
     "scheme || '://' || host || cpath || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)"
   private val hostNpSql = "regexp_replace(host, ':[0-9]+$', '')"
 
-  /** (doc_id, url, canon_url, domain) for every document — the Spark
-    * side of q163/q164, built from the shared SQL fragments. Narrow
-    * per-row string work only.
+  /** Append `canon_url` and `domain` to a DataFrame with a `url`
+    * column — the q163 canonicalization as a reusable library step
+    * ([[graft.Graft.canonicalizeUrls]]); q163/q164 route through this
+    * exact chain, so the oracle hash gate covers the code users call.
+    * Narrow per-row string work only. Intermediate column names
+    * (nofrag, scheme, hp, path0, q0, hp2, host, cpath, cq) are
+    * reserved and dropped on return.
     */
-  private def urlParts(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("url", expr(urlGenSql))
+  def canonicalizeUrls(df: DataFrame): DataFrame =
+    df
       .withColumn("nofrag", expr(nofragSql))
       .withColumn("scheme", expr(schemeSql))
       .withColumn("hp", expr(hpSql))
@@ -217,6 +220,13 @@ object CurationOps {
       )
       .withColumn("canon_url", expr(canonUrlSql))
       .withColumn("domain", regexp_extract(expr(hostNpSql), patDomain, 1))
+      .drop("nofrag", "scheme", "hp", "path0", "q0", "hp2", "host", "cpath", "cq")
+
+  /** (doc_id, url, canon_url, domain) for every document — q163/q164's
+    * input: the deterministic generator + the reusable canonicalizer.
+    */
+  private def urlParts(docs: DataFrame): DataFrame =
+    canonicalizeUrls(docs.withColumn("url", expr(urlGenSql)))
 
   /** The same pipeline as DuckDB CTEs ending in
     * canon(doc_id, url, canon_url, domain).

@@ -41,6 +41,17 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(got(3L) == (("https://zh.srce-press.com/zh/item/3", "srce-press.com")))
   }
 
+  test("Graft.canonicalizeUrls: the library API canonicalizes a caller-supplied url column") {
+    val s = spark
+    import s.implicits._
+    val got = graft.Graft
+      .canonicalizeUrls(Seq("HTTP://WWW.Ex.COM:80/a/?utm_x=1&b=2&a=1#frag").toDF("url"))
+      .select("canon_url", "domain")
+      .head()
+    assert(got.getString(0) == "http://ex.com/a?a=1&b=2")
+    assert(got.getString(1) == "ex.com")
+  }
+
   test("q164: a 30-doc domain keeps exactly the cap; a 3-doc domain keeps all") {
     val s = spark
     // same (lang, source) -> same registered domain; ids 3,7,11.. avoid
