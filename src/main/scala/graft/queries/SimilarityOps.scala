@@ -1089,6 +1089,55 @@ object SimilarityOps {
                CASE WHEN CAST(round(dot_micro / sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE)))
                      AS BIGINT) >= 0 THEN 'aligned' ELSE 'rejected' END AS verdict
              FROM d JOIN ne ON d.doc_id = ne.doc_id ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q168
+    // Cluster-balanced selection — the diversity-resampling step the
+    // D4/DCLM recipes run after semantic clustering: within each
+    // k-means cluster keep a quota of ceil(sqrt(n_c)) members in
+    // deterministic hash order, so over-represented semantic regions
+    // (big clusters) are down-sampled relative to rare ones (sqrt
+    // concavity: a 100x bigger cluster contributes only 10x the
+    // members). Completes the q147 -> q148 -> q159 semantic family:
+    // q148 drops near-dups inside clusters, q159 drops prototypes,
+    // q168 rebalances what remains. Scale shape: quotas are a k-row
+    // broadcast; the per-cluster rank window is bounded ~256 BY
+    // CONSTRUCTION (kmeansK grows with n), the q159 argument.
+    QueryDef(
+      "q168_cluster_balance",
+      (s, dir) => {
+        val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+        val quota = asg
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("quota", expr("cast(ceil(sqrt(cast(n as double))) as bigint)"))
+        val wC = Window
+          .partitionBy(col("cid"))
+          .orderBy(md5(concat(lit("cb|"), col("vec_id").cast("string"))), col("vec_id"))
+        asg
+          .withColumn("rnk", row_number().over(wC).cast("long"))
+          .join(broadcast(quota), "cid")
+          .withColumn(
+            "pick",
+            when(col("rnk") <= col("quota"), lit("sampled")).otherwise(lit("rest"))
+          )
+          .select(
+            col("vec_id"), col("cid").cast("long").as("cluster"),
+            col("n"), col("quota"), col("rnk"), col("pick"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$kmeansSql,
+             asg AS (SELECT vec_id, cid FROM a2 WHERE rk = 1),
+             qn AS (SELECT cid, count(*) AS n,
+                 CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota
+               FROM asg GROUP BY cid),
+             r AS (SELECT asg.vec_id, asg.cid, qn.n, qn.quota,
+                 CAST(row_number() OVER (PARTITION BY asg.cid
+                     ORDER BY md5('cb|' || CAST(asg.vec_id AS VARCHAR)), asg.vec_id)
+                   AS BIGINT) AS rnk
+               FROM asg JOIN qn ON asg.cid = qn.cid)
+             SELECT vec_id, CAST(cid AS BIGINT) AS cluster, n, quota, rnk,
+               CASE WHEN rnk <= quota THEN 'sampled' ELSE 'rest' END AS pick
+             FROM r ORDER BY vec_id""")
     )
   )
 }

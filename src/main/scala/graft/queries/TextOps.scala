@@ -1199,8 +1199,81 @@ object TextOps {
                top2_ppm, top3_ppm, top4_ppm, dup5_ppm, dup10_ppm,
                CASE WHEN $gopherVerdictSql THEN 'keep' ELSE 'drop' END AS verdict
              FROM fin ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q169
+    // Classifier-based quality filtering — the model-scored stage the
+    // DCLM/FineWeb recipes run AFTER rule-based gating (q165 is the
+    // rules; this is the scored ranking): extract interpretable
+    // features per doc (mean word length, alphabetic share,
+    // type-token ratio, stop-word hits, capped length), apply a FIXED
+    // linear weight vector (a documented stand-in for trained
+    // coefficients — see qualityLogitSql), and emit the exact integer
+    // logit plus the keep verdict. Everything is one narrow pass over
+    // the scan (the features are per-row HOFs; no joins, no windows,
+    // no shuffle at all before the output sort) — at 100 TB this is
+    // the cheapest possible operator shape: scoring rides the read.
+    QueryDef(
+      "q169_quality_logit",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 1)
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
+              .as("mean_wlen_micro"),
+            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+              .cast("long").as("alpha_ppm"),
+            expr("(size(array_distinct(toks)) * 1000000) div size(toks)")
+              .cast("long").as("ttr_ppm"),
+            expr("""size(array_intersect(array_distinct(toks),
+                   array('the','be','to','of','and','that','have','with')))""")
+              .cast("long").as("stop_hits")
+          )
+          .withColumn("logit_micro", expr(qualityLogitSql))
+          .withColumn(
+            "verdict",
+            when(col("logit_micro") >= 0L, lit("keep")).otherwise(lit("drop"))
+          )
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+               SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             f AS (
+               SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                   * 1000000 // len(toks) AS BIGINT) AS mean_wlen_micro,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1000000 // len(toks) AS BIGINT) AS alpha_ppm,
+                 CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+               FROM t WHERE len(toks) >= 1)
+             SELECT doc_id, n_words, mean_wlen_micro, alpha_ppm, ttr_ppm, stop_hits,
+               CAST($qualityLogitSql AS BIGINT) AS logit_micro,
+               CASE WHEN $qualityLogitSql >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+             FROM f ORDER BY doc_id""")
     )
   )
+
+  /** q169's fixed linear weights — a STAND-IN for a trained quality
+    * classifier's coefficients (DCLM/FineWeb run a learned model here;
+    * no model runtime ships in this container). The operator is the
+    * scoring PLUMBING: narrow feature extraction, literal weight
+    * application, thresholding — swap these constants for trained
+    * weights and nothing else changes. Magnitudes chosen so each
+    * feature contributes comparably at corpus-typical values.
+    * Dialect-shared SQL over the feature columns.
+    */
+  private def qualityLogitSql: String =
+    """(-15000000
+       + mean_wlen_micro
+       + 5 * alpha_ppm
+       + 10 * ttr_ppm
+       + 3000000 * stop_hits
+       + 20000 * least(n_words, 500))"""
 
   /** The combined Gopher keep condition over the rule columns —
     * dialect-shared SQL (identical thresholds in both engines;
