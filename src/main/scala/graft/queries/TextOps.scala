@@ -1214,31 +1214,17 @@ object TextOps {
     // the cheapest possible operator shape: scoring rides the read.
     QueryDef(
       "q169_quality_logit",
-      (s, dir) =>
-        Engine
-          .table(s, dir, "documents")
-          .select(col("doc_id"), toksExpr.as("toks"))
-          .filter(size(col("toks")) >= 1)
-          .select(
-            col("doc_id"),
-            size(col("toks")).cast("long").as("n_words"),
-            expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
-              .as("mean_wlen_micro"),
-            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
-              .cast("long").as("alpha_ppm"),
-            expr("(size(array_distinct(toks)) * 1000000) div size(toks)")
-              .cast("long").as("ttr_ppm"),
-            expr("""size(array_intersect(array_distinct(toks),
-                   array('the','be','to','of','and','that','have','with')))""")
-              .cast("long").as("stop_hits")
-          )
-          .withColumn("logit_micro", expr(qualityLogitSql))
-          .withColumn(
-            "verdict",
-            when(col("logit_micro") >= 0L, lit("keep")).otherwise(lit("drop"))
-          )
-          .orderBy(col("doc_id")),
-      Some(s"""WITH t AS (
+      (s, dir) => qualityScore(Engine.table(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(qualityScoreOracle)
+    )
+  )
+
+  /** q169's DuckDB oracle — shared verbatim by q170's streaming replay
+    * (same transform, streaming source), so the two gates can never
+    * drift. (A def: `entries` vals interpolate eagerly.)
+    */
+  private[graft] def qualityScoreOracle: String =
+    s"""WITH t AS (
                SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
              f AS (
                SELECT doc_id,
@@ -1254,9 +1240,36 @@ object TextOps {
              SELECT doc_id, n_words, mean_wlen_micro, alpha_ppm, ttr_ppm, stop_hits,
                CAST($qualityLogitSql AS BIGINT) AS logit_micro,
                CASE WHEN $qualityLogitSql >= 0 THEN 'keep' ELSE 'drop' END AS verdict
-             FROM f ORDER BY doc_id""")
-    )
-  )
+             FROM f ORDER BY doc_id"""
+
+  /** q169's body — per-doc quality features + fixed-weight logit +
+    * verdict. STATELESS narrow ops only, so the identical plan runs
+    * over a batch scan (q169) or an unbounded stream (q170) with no
+    * state store at all — the Structured Streaming form of "curation
+    * logic is just a transform".
+    */
+  private[graft] def qualityScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), toksExpr.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
+          .as("mean_wlen_micro"),
+        expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+          .cast("long").as("alpha_ppm"),
+        expr("(size(array_distinct(toks)) * 1000000) div size(toks)")
+          .cast("long").as("ttr_ppm"),
+        expr("""size(array_intersect(array_distinct(toks),
+               array('the','be','to','of','and','that','have','with')))""")
+          .cast("long").as("stop_hits")
+      )
+      .withColumn("logit_micro", expr(qualityLogitSql))
+      .withColumn(
+        "verdict",
+        when(col("logit_micro") >= 0L, lit("keep")).otherwise(lit("drop"))
+      )
 
   /** q169's fixed linear weights — a STAND-IN for a trained quality
     * classifier's coefficients (DCLM/FineWeb run a learned model here;

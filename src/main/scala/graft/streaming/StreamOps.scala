@@ -430,6 +430,36 @@ object StreamOps {
                           ('large', 60.0, 1e9)) AS t(tier, lo, hi)
                ON value >= lo AND value < hi
              GROUP BY tier, event_type ORDER BY tier, event_type""")
+    ),
+    // --------------------------------------------------------------- q170
+    // Streaming curation: q169's quality scorer applied UNCHANGED to a
+    // documents file-stream — the "ingest-time curation" shape where
+    // each arriving crawl shard is scored as it lands instead of in a
+    // nightly batch. The scorer is stateless narrow ops only, so the
+    // streaming query needs NO state store, no watermark, and Append
+    // mode: per-micro-batch cost is exactly the batch per-row cost,
+    // state is zero regardless of stream length — the strongest
+    // possible unbounded-stream guarantee. Gate: the materialized
+    // stream output must hash-equal q169's batch oracle (the shared
+    // qualityScoreOracle — same SQL string object, zero drift).
+    QueryDef(
+      "q170_stream_quality",
+      (s, dir) => {
+        val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docsStream = s.readStream
+          .schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        EventStreaming
+          .runToMemory(
+            s,
+            graft.queries.TextOps.qualityScore(docsStream),
+            sinkName("q170"),
+            OutputMode.Append()
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.queries.TextOps.qualityScoreOracle)
     )
   )
 }
