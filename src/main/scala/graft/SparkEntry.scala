@@ -30,11 +30,13 @@ object SparkEntry {
       streaming.StreamOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * q99: the end-to-end corpus curation pipeline (quality gate + exact
-    * dedup + MinHash-LSH near-dedup + embedding near-dedup in one plan).
+    * q167: the end-to-end curation pipeline composite — span scrub ->
+    * cleaned-token quality gate -> exact dedup -> fuzzy MinHash-band
+    * dedup -> per-stratum quota split -> shard manifest, in ONE plan
+    * (the round-7 successor to q99's quality+dedup chain).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q99_curate")(spark, "/root/testdata/sf0.001")
+    queries("q167_pipeline_manifest")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
