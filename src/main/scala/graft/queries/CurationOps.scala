@@ -190,8 +190,10 @@ object CurationOps {
   private val cpathSql =
     """CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
             ELSE regexp_replace(path0, '/+$', '') END"""
+  // utm_* tested via substr, not LIKE 'utm_%': '_' is a single-char
+  // LIKE wildcard so the pattern would also strip utmX= params.
   private val paramFilterSql =
-    "x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'gclid=%' AND x NOT LIKE 'ref=%'"
+    "x -> x <> '' AND substr(x, 1, 4) <> 'utm_' AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'gclid=%' AND x NOT LIKE 'ref=%'"
   private val canonUrlSql =
     "scheme || '://' || host || cpath || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)"
   private val hostNpSql = "regexp_replace(host, ':[0-9]+$', '')"
@@ -202,9 +204,20 @@ object CurationOps {
     * exact chain, so the oracle hash gate covers the code users call.
     * Narrow per-row string work only. Intermediate column names
     * (nofrag, scheme, hp, path0, q0, hp2, host, cpath, cq) are
-    * reserved and dropped on return.
+    * reserved: the call FAILS FAST if the input already has one (or
+    * canon_url/domain), rather than silently overwriting and dropping
+    * a caller column. The names are pinned by the shared Spark/DuckDB
+    * SQL snippets, so they cannot be uniquified per call.
     */
-  def canonicalizeUrls(df: DataFrame): DataFrame =
+  def canonicalizeUrls(df: DataFrame): DataFrame = {
+    val reserved =
+      Seq("nofrag", "scheme", "hp", "path0", "q0", "hp2", "host", "cpath", "cq", "canon_url", "domain")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(
+      clash.isEmpty,
+      s"canonicalizeUrls: input columns ${clash.toSeq.sorted.mkString(", ")} collide with reserved " +
+        s"intermediate/output names (${reserved.mkString(", ")}); rename them before calling"
+    )
     df
       .withColumn("nofrag", expr(nofragSql))
       .withColumn("scheme", expr(schemeSql))
@@ -221,6 +234,7 @@ object CurationOps {
       .withColumn("canon_url", expr(canonUrlSql))
       .withColumn("domain", regexp_extract(expr(hostNpSql), patDomain, 1))
       .drop("nofrag", "scheme", "hp", "path0", "q0", "hp2", "host", "cpath", "cq")
+  }
 
   /** (doc_id, url, canon_url, domain) for every document — q163/q164's
     * input: the deterministic generator + the reusable canonicalizer.

@@ -425,18 +425,33 @@ object SimilarityOps {
   // the SAME path (fixture rewrite, sf re-materialization within one JVM)
   // never reuses a stale k — the oracle recomputes k from the data, so a
   // stale cache here would silently diverge q147/q148/q159.
-  private val kMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+  // One entry per dir (old fingerprints evicted on change, so the memo
+  // cannot grow across regenerations), keyed by a fingerprint that
+  // recurses into part files when embeddings.parquet is a DIRECTORY —
+  // a Spark-written dataset's top-level mtime/size (length 4096) would
+  // otherwise miss a same-tick rewrite of the parts.
+  private val kMemo = scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
 
   private def embeddingsKey(dir: String): String = {
     val f = new java.io.File(dir, "embeddings.parquet")
-    s"$dir|${f.lastModified}|${f.length}"
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(p => s"${p.getName}:${p.lastModified}:${p.length}").mkString(",")
+      else s"${f.lastModified}:${f.length}"
+    s"$parts"
   }
 
-  private def kmeansK(s: SparkSession, dir: String): Int =
-    kMemo.getOrElseUpdate(embeddingsKey(dir), {
-      val n = Engine.table(s, dir, "embeddings").count()
-      math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
-    })
+  private def kmeansK(s: SparkSession, dir: String): Int = {
+    val fp = embeddingsKey(dir)
+    kMemo.get(dir) match {
+      case Some((`fp`, k)) => k
+      case _ =>
+        val n = Engine.table(s, dir, "embeddings").count()
+        val k = math.max(16L, (n + TargetClusterSize - 1) / TargetClusterSize).toInt
+        kMemo.put(dir, (fp, k))
+        k
+    }
+  }
 
   /** 2 exact-integer Lloyd rounds at k = max(16, ceil(n/256)) (init =
     * k lowest vec_ids; argmin ties to the lower cluster id; empty
@@ -1052,7 +1067,10 @@ object SimilarityOps {
           .join(nes, "doc_id")
           .withColumn(
             "cos_milli",
-            expr("cast(round(dot_micro / sqrt(cast(nc as double) * cast(ne_micro as double))) as bigint)")
+            // greatest(.., 1e-9) guards a zero-norm embedding (ne_micro=0):
+            // without it Spark's 0/0.0 is NaN -> cast 0 ('aligned') while
+            // DuckDB yields NULL — a cross-engine gate divergence.
+            expr("cast(round(dot_micro / greatest(sqrt(cast(nc as double) * cast(ne_micro as double)), 1e-9d)) as bigint)")
           )
           .withColumn(
             "verdict",
@@ -1084,9 +1102,9 @@ object SimilarityOps {
                  x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
                  AS BIGINT) AS ne_micro FROM e)
              SELECT d.doc_id AS doc_id, n_toks, dot_micro,
-               CAST(round(dot_micro / sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE))) AS BIGINT)
+               CAST(round(dot_micro / greatest(sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE)), 1e-9)) AS BIGINT)
                  AS cos_milli,
-               CASE WHEN CAST(round(dot_micro / sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE)))
+               CASE WHEN CAST(round(dot_micro / greatest(sqrt(CAST(nc AS DOUBLE) * CAST(ne_micro AS DOUBLE)), 1e-9))
                      AS BIGINT) >= 0 THEN 'aligned' ELSE 'rejected' END AS verdict
              FROM d JOIN ne ON d.doc_id = ne.doc_id ORDER BY doc_id""")
     ),
