@@ -23,6 +23,7 @@ object SparkEntry {
       _root_.graft.queries.EventOps.entries ++
       _root_.graft.queries.DedupOps.entries ++
       _root_.graft.queries.CurationOps.entries ++
+      _root_.graft.queries.PiiOps.entries ++
       _root_.graft.queries.GraphOps.entries ++
       _root_.graft.queries.EtlOps.entries ++
       _root_.graft.queries.SimilarityOps.entries ++
