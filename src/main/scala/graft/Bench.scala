@@ -51,7 +51,12 @@ object Bench {
     // min-across-passes converges on plan cost, not box weather. Cleanup
     // stays outside the timers — checkpoint blocks accumulating across the
     // run was the r2 contamination (4-12x on late queries).
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(3)
+    // Default 4 passes (r7 ran 3): the min-across-passes converges and the
+    // >2x-spread "noisy" list shrinks with each extra interleaved sample —
+    // r7 flagged 17 sub-second queries on box weather alone. One more pass
+    // costs ~30 s at sf0.1 and buys each query a 4th sample separated by
+    // the full list duration.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(4)
     val samples = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     (0 until passes).foreach { _ =>
@@ -78,7 +83,7 @@ object Bench {
     // retention window and the driver recorded parsed:null. Split the
     // output: the bulky per-query map goes to its own EARLIER line (plus a
     // file for humans), and the LAST stdout line is a compact summary
-    // (total/errors/noisy/n, plus the top-5 slowest as a stub "queries"
+    // (total/errors/noisy/n, plus the top-5 slowest as a "top5" stub
     // map) that stays well under the window at any registry size.
     def short(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -118,16 +123,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, true) => v }.sum
     val n = results.size
-    // "queries" here is deliberately the top-5 slowest ONLY (the full
-    // 160-entry map would blow the driver's ~2000-char stdout retention
-    // window). The field name is pinned by the driver's parse contract,
-    // so instead of renaming it the truncation is declared in-band:
-    // "queries_is":"top5" plus "queries_full" pointing at the complete
-    // map. queries_full deliberately does NOT contain the exact
+    // "top5" is deliberately the top-5 slowest ONLY (the full 170-entry
+    // map would blow the driver's ~2000-char stdout retention window).
+    // Named top5 — NOT "queries" — so a consumer expecting the full
+    // per-query map fails loudly on the missing key instead of silently
+    // reading a 5-entry stub; "queries_full" points at the complete map.
+    // queries_full deliberately does NOT contain the exact
     // "BENCH-QUERIES" marker string — a consumer grepping for the full
     // map without the ^ anchor must not match this summary line.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"queries":$top,"queries_is":"top5","queries_full":"bench_queries.json (full per-query map; also on the earlier BENCH QUERIES stdout line)","errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"top5":$top,"queries_full":"bench_queries.json (full per-query map; also on the earlier BENCH QUERIES stdout line)","errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

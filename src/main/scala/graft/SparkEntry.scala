@@ -31,13 +31,14 @@ object SparkEntry {
       streaming.StreamOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * q167: the end-to-end curation pipeline composite — span scrub ->
-    * cleaned-token quality gate -> exact dedup -> fuzzy MinHash-band
-    * dedup -> per-stratum quota split -> shard manifest, in ONE plan
-    * (the round-7 successor to q99's quality+dedup chain).
+    * q173: the complete published-recipe composite — URL canonicalize ->
+    * per-domain cap -> PII scrub + density drop -> rule gate + classifier
+    * logit -> exact dedup -> fuzzy MinHash-band dedup -> per-stratum
+    * quota split -> shard manifest, in ONE plan over ONE documents scan
+    * (the round-8 successor to q167, folding in q163/q164/q169/q172).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q167_pipeline_manifest")(spark, "/root/testdata/sf0.001")
+    queries("q173_recipe_manifest")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -144,7 +144,7 @@ object CurationOps {
                FROM b0 JOIN stats USING (b) WHERE source <> 'src0' GROUP BY doc_id)"""
 
   /** q164's cap: max documents kept per registered domain. */
-  private val DomainCap = 20L
+  private[queries] val DomainCap = 20L
 
   // ------------------------------------------------------------ q163/q164
   // Every scalar step below is a SINGLE SQL string used verbatim by both
@@ -245,7 +245,7 @@ object CurationOps {
   /** The same pipeline as DuckDB CTEs ending in
     * canon(doc_id, url, canon_url, domain).
     */
-  private val urlCanonSqlCtes: String =
+  private[queries] val urlCanonSqlCtes: String =
     s"""WITH u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
         p0 AS (SELECT doc_id, url, $nofragSql AS nofrag FROM u),
         p1 AS (SELECT *, $schemeSql AS scheme, $hpSql AS hp, $path0Sql AS path0,
@@ -1288,6 +1288,241 @@ object CurationOps {
                       THEN 'val' ELSE 'train' END AS split
                FROM sv)
              SELECT doc_id, lang, source, n_kept, split,
+               CAST(row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                 AS BIGINT) AS pos,
+               CAST((row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                 % 16 AS BIGINT) AS shard
+             FROM qs ORDER BY pos""")
+    ),
+    // --------------------------------------------------------------- q173
+    // The COMPLETE published-recipe composite — q167 extended with the
+    // round-7/8 stages so the full pipeline order is ONE oracle-gated
+    // plan (CCNet/RefinedWeb/FineWeb/Dolma ordering):
+    //   1. URL canonicalization (q163's reusable canonicalizeUrls —
+    //      narrow string work riding the single documents scan);
+    //   2. per-domain cap (q164's distributed rank over `domain`:
+    //      range-repartition so a viral domain spans partitions,
+    //      (pid, domain)-local row_number + broadcast offsets — text
+    //      rides the ONE range exchange instead of re-joining, so no
+    //      second scan and no checkpoint);
+    //   3. PII scrub + density drop on CAP SURVIVORS only (q172's
+    //      piiClean — the composed code path, so the oracle gate
+    //      covers exactly what a pipeline user calls; cheap metadata
+    //      stages run before expensive text stages);
+    //   4. rule gate on the SCRUBBED tokens (q167's corpus-calibrated
+    //      subset: length >= 20, mean word length 3-10, alpha >= 80%)
+    //      plus q169's fixed-weight classifier logit >= 0 — the
+    //      rules-then-model order DCLM/FineWeb publish;
+    //   5. exact dedup keep-lowest on the clean-token hash;
+    //   6. fuzzy dedup: 3-gram MinHash, 4 bands x 2 rows, greedy
+    //      min-id bucket drop (agg + anti-join, never pairs);
+    //   7. per-(lang, source) 5% quota split (distributed rank);
+    //   8. shard manifest (seeded-hash global position, shard = pos%16).
+    // ONE parquet scan total (pinned in PlanShapeSpec): every stage
+    // before dedup is narrow or rides the cap exchange; only the dedup
+    // aggs, the split, and the manifest shuffle — all on keys.
+    QueryDef(
+      "q173_recipe_manifest",
+      (s, dir) => {
+        // -- 1. canonicalize (narrow) — domain is all the composite
+        //       keeps; text flows on for the later stages
+        val base = urlParts(Engine.table(s, dir, "documents"))
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("text"), col("domain"),
+            md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk"))
+        // -- 2. domain cap — q164's distributed rank, wide rows ride
+        //       the single range exchange
+        val ranged = base
+          .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wCap = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wCap).cast("long"))
+        val wCapOff = Window
+          .partitionBy(col("domain"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val capOffsets = local
+          .groupBy(col("domain"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wCapOff), lit(0L)))
+          .select(col("domain"), col("pid"), col("off"))
+        val capped = local
+          .join(broadcast(capOffsets), Seq("pid", "domain"))
+          .filter(col("local_rn") + col("off") <= DomainCap)
+        // -- 3. PII scrub + density drop on survivors (q172's stage)
+        val aug = capped.select(
+          col("doc_id"), col("lang"), col("source"), col("domain"),
+          expr(PiiOps.piiGenSql).as("aug"))
+        val scrubbed = PiiOps
+          .piiClean(aug)
+          .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("domain"), col("pii_ppm"),
+            Tokenize.toksExprOf("clean_text").as("toks"))
+          .filter(size(col("toks")) >= 1)
+        // -- 4. rules + classifier logit on the scrubbed tokens
+        val feat = scrubbed
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn(
+            "mean_wlen_micro",
+            expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)"))
+          .withColumn(
+            "alpha_ppm",
+            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+              .cast("long"))
+          .withColumn(
+            "ttr_ppm",
+            expr("(size(array_distinct(toks)) * 1000000) div size(toks)").cast("long"))
+          .withColumn(
+            "stop_hits",
+            expr("""size(array_intersect(array_distinct(toks),
+                   array('the','be','to','of','and','that','have','with')))""").cast("long"))
+          .withColumn("logit_micro", expr(TextOps.qualityLogitSql))
+          .filter(
+            col("n_words") >= 20L &&
+              col("mean_wlen_micro").between(3000000L, 10000000L) &&
+              col("alpha_ppm") >= 800000L &&
+              col("logit_micro") >= 0L)
+        // -- 5. exact dedup keep-lowest on the clean-token hash
+        val withH = feat.withColumn("cm", md5(concat_ws(" ", col("toks"))))
+        val keepers = withH.groupBy(col("cm")).agg(min(col("doc_id")).as("keep_id"))
+        val exact = withH
+          .join(keepers,
+            withH("cm") === keepers("cm") && withH("doc_id") === keepers("keep_id"))
+          .select(
+            withH("doc_id"), col("lang"), col("source"), col("domain"),
+            col("pii_ppm"), col("n_words"), col("logit_micro"), col("toks"))
+          .localCheckpoint(eager = false) // feeds the drop list AND the anti-join
+        // -- 6. fuzzy dedup (q167's banding)
+        val bk = exact
+          .filter(size(col("toks")) >= 3)
+          .select(
+            col("doc_id"),
+            graft.functions.TextHashOps
+              .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
+              .as("sig"))
+          .select(col("doc_id"), explode(expr(
+            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
+          )).as("bucket"))
+        val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
+        val dropF = bk
+          .join(bmin, "bucket")
+          .filter(col("m") < col("doc_id"))
+          .select(col("doc_id"))
+          .distinct()
+        val surv = exact.join(dropF, Seq("doc_id"), "left_anti")
+        // -- 7. per-(lang, source) quota split — q153 distributed rank
+        val keyed = surv.withColumn(
+          "shk", md5(col("doc_id").cast("string").cast("binary")))
+        val sRanged = keyed
+          .repartitionByRange(32, col("lang"), col("source"), col("shk"), col("doc_id"))
+          .withColumn("spid", spark_partition_id())
+        val wSp = Window
+          .partitionBy(col("spid"), col("lang"), col("source"))
+          .orderBy(col("shk"), col("doc_id"))
+        val sLocal = sRanged.withColumn("s_rn", row_number().over(wSp).cast("long"))
+        val wSpOff = Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("spid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wSpN = Window.partitionBy(col("lang"), col("source"))
+        val sOffsets = sLocal
+          .groupBy(col("lang"), col("source"), col("spid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wSpOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wSpN))
+          .select(col("lang"), col("source"), col("spid"), col("off"), col("n"))
+        val split = sLocal
+          .join(broadcast(sOffsets), Seq("spid", "lang", "source"))
+          .withColumn("rn", col("s_rn") + col("off"))
+          .withColumn(
+            "split",
+            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train")))
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("domain"),
+            col("n_words"), col("pii_ppm"), col("logit_micro"), col("split"))
+        // -- 8. shard manifest — q141 seeded-hash global position
+        val mk = split.withColumn(
+          "mh", md5(concat(lit("s42|"), col("doc_id").cast("string"))))
+        val mRanged = mk
+          .repartitionByRange(32, col("mh"), col("doc_id"))
+          .withColumn("mpid", spark_partition_id())
+        val wM = Window.partitionBy(col("mpid")).orderBy(col("mh"), col("doc_id"))
+        val mLocal = mRanged.withColumn("mrn", row_number().over(wM).cast("long"))
+        val wMOff = Window.orderBy(col("mpid")).rowsBetween(Window.unboundedPreceding, -1)
+        val mOffsets = mLocal
+          .groupBy(col("mpid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wMOff), lit(0L)))
+          .select(col("mpid"), col("off"))
+        mLocal
+          .join(broadcast(mOffsets), "mpid")
+          .withColumn("pos", col("mrn") + col("off") - 1L)
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("domain"), col("n_words"),
+            col("pii_ppm"), col("logit_micro"), col("split"),
+            col("pos"), (col("pos") % 16).as("shard"))
+          .orderBy(col("pos"))
+      },
+      Some(s"""$urlCanonSqlCtes,
+             r AS (SELECT doc_id, domain,
+                 CAST(row_number() OVER (PARTITION BY domain
+                     ORDER BY md5('d|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+               FROM canon),
+             capk AS (SELECT doc_id AS cap_id, domain FROM r WHERE rnk <= ${DomainCap}),
+             a AS (SELECT d.doc_id, d.lang, d.source, capk.domain, ${PiiOps.piiGenSql} AS aug
+               FROM documents d JOIN capk ON d.doc_id = capk.cap_id),
+             p AS (SELECT doc_id, lang, source, domain,
+                 ${PiiOps.cleanTextSql} AS clean_text, ${PiiOps.piiPpmSql} AS pii_ppm FROM a),
+             tk AS (SELECT doc_id, lang, source, domain, pii_ppm,
+                 ${Tokenize.toksSqlOf("clean_text")} AS toks
+               FROM p WHERE pii_ppm < ${PiiOps.PpmDropThreshold}),
+             ft AS (SELECT *, CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                   * 1000000 // len(toks) AS BIGINT) AS mean_wlen_micro,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1000000 // len(toks) AS BIGINT) AS alpha_ppm,
+                 CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+               FROM tk WHERE len(toks) >= 1),
+             q AS (SELECT *, CAST(${TextOps.qualityLogitSql} AS BIGINT) AS logit_micro FROM ft
+               WHERE n_words >= 20
+                 AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+                 AND alpha_ppm >= 800000
+                 AND ${TextOps.qualityLogitSql} >= 0),
+             ex AS (SELECT * FROM q
+               QUALIFY row_number() OVER (PARTITION BY md5(array_to_string(toks, ' '))
+                 ORDER BY doc_id) = 1),
+             shq AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+               FROM ex WHERE len(toks) >= 3),
+             mq AS (SELECT doc_id,
+                 [list_min(list_transform(sg, x -> md5('0|' || x))),
+                  list_min(list_transform(sg, x -> md5('1|' || x))),
+                  list_min(list_transform(sg, x -> md5('2|' || x))),
+                  list_min(list_transform(sg, x -> md5('3|' || x))),
+                  list_min(list_transform(sg, x -> md5('4|' || x))),
+                  list_min(list_transform(sg, x -> md5('5|' || x))),
+                  list_min(list_transform(sg, x -> md5('6|' || x))),
+                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM shq),
+             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             dropf AS (SELECT DISTINCT b1.doc_id
+               FROM bq b1 JOIN (SELECT bucket, min(doc_id) AS m FROM bq GROUP BY bucket) bm
+                 ON b1.bucket = bm.bucket AND bm.m < b1.doc_id),
+             sv AS (SELECT * FROM ex
+               WHERE NOT EXISTS (SELECT 1 FROM dropf WHERE dropf.doc_id = ex.doc_id)),
+             qs AS (SELECT doc_id, lang, source, domain, n_words, pii_ppm, logit_micro,
+                 CASE WHEN row_number() OVER (PARTITION BY lang, source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        <= (count(*) OVER (PARTITION BY lang, source) + 19) // 20
+                      THEN 'val' ELSE 'train' END AS split
+               FROM sv)
+             SELECT doc_id, lang, source, domain, n_words, pii_ppm, logit_micro, split,
                CAST(row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
                  AS BIGINT) AS pos,
                CAST((row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)

@@ -62,13 +62,13 @@ object PiiOps {
     * dropped rather than masked — the FineWeb rule for
     * contact-page-like docs that are mostly PII.
     */
-  private val PpmDropThreshold = 60000L
+  private[queries] val PpmDropThreshold = 60000L
 
   /** Deterministic PII suffix over (doc_id, lang, source): one branch
     * per class, a two-email branch, a mixed email+IP branch, and the
     * all-decoy negative-control branch. Dialect-shared SQL.
     */
-  private val piiGenSql: String =
+  private[queries] val piiGenSql: String =
     """text || ' [contact] ' || (CASE doc_id % 5
          WHEN 0 THEN 'mail user' || CAST(doc_id AS STRING) || '@' || source || '.example.com'
            || (CASE WHEN doc_id % 10 = 0 THEN ' cc admin@' || lang || '-mail.org' ELSE '' END)
@@ -151,12 +151,25 @@ object PiiOps {
       .withColumn("kept", col("pii_ppm") < lit(PpmDropThreshold))
   }
 
+  /** DuckDB masked-chars length sum for one pattern over `aug`. */
+  private def lenSum(p: String): String =
+    s"coalesce(list_sum(list_transform(regexp_extract_all(aug, '$p', 0), x -> length(x))), 0)"
+
+  /** DuckDB mirror of [[piiClean]]'s clean_text column alone — the
+    * subset the q173 recipe composite's oracle needs.
+    */
+  private[queries] val cleanTextSql: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(aug,
+          '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'), '$ipPat', '<IP>', 'g')"""
+
+  /** DuckDB mirror of [[piiClean]]'s pii_ppm column alone (q173). */
+  private[queries] val piiPpmSql: String =
+    s"CAST(round((${lenSum(emailPat)} + ${lenSum(phonePat)} + ${lenSum(ipPat)}) * 1000000.0 / length(aug)) AS BIGINT)"
+
   /** DuckDB mirror of [[piiClean]]'s added columns, as a SELECT body
     * over CTE `a(doc_id, aug, ...)`.
     */
   private val cleanSqlCols: String = {
-    def lenSum(p: String) =
-      s"coalesce(list_sum(list_transform(regexp_extract_all(aug, '$p', 0), x -> length(x))), 0)"
     s"""regexp_replace(regexp_replace(regexp_replace(aug,
           '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'), '$ipPat', '<IP>', 'g') AS clean_text,
         CAST(len(regexp_extract_all(aug, '$emailPat', 0)) AS BIGINT) AS n_email,

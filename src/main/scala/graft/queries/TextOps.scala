@@ -1280,7 +1280,7 @@ object TextOps {
     * feature contributes comparably at corpus-typical values.
     * Dialect-shared SQL over the feature columns.
     */
-  private def qualityLogitSql: String =
+  private[queries] def qualityLogitSql: String =
     """(-15000000
        + mean_wlen_micro
        + 5 * alpha_ppm

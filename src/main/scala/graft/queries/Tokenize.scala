@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions.expr
   */
 object Tokenize {
 
+  /** tokens of an arbitrary string column (Spark side) — q173 tokenizes
+    * the PII-scrubbed `clean_text`, not the raw `text`.
+    */
+  def toksExprOf(colName: String): Column =
+    expr(s"filter(split(lower($colName), '[^a-z0-9]+'), x -> length(x) > 0)")
+
+  /** the DuckDB mirror over an arbitrary column, for oracle SQL. */
+  def toksSqlOf(colName: String): String =
+    s"list_filter(string_split_regex(lower($colName), '[^a-z0-9]+'), x -> length(x) > 0)"
+
   /** tokens of the `text` column (Spark side). */
-  def toksExpr: Column =
-    expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)")
+  def toksExpr: Column = toksExprOf("text")
 
   /** the DuckDB mirror, for interpolation into oracle SQL. */
-  val toksSql: String =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+  val toksSql: String = toksSqlOf("text")
 }

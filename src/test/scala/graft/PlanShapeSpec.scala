@@ -319,4 +319,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans <= 2, s"documents scanned $scans times:\n${p.take(3000)}")
   }
+
+  test("q173: the full recipe composite — ONE documents scan, distributed ranks, no pair enumeration") {
+    val df = SparkEntry.queries("q173_recipe_manifest")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // every pre-dedup stage (canonicalize, cap, PII scrub, rules+logit)
+    // is narrow or rides the cap's range exchange — the corpus is read
+    // exactly ONCE; the checkpointed exact-dedup survivors appear as
+    // ExistingRDD, not a re-derivation
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"documents scanned $scans times:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    // fuzzy dedup is an agg + anti-join, never pair enumeration
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // domain cap, quota split, and manifest rank are all the
+    // range-repartition + broadcast-offsets distributed-rank form
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
