@@ -698,14 +698,7 @@ object DedupOps {
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
-             hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
-             b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
-             f AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
-             SELECT b.doc_id, b.lang, b.source FROM b
-             WHERE b.doc_id IN (SELECT doc_id FROM f)
-               AND b.h NOT IN (SELECT h FROM hist)
-             ORDER BY b.doc_id""")
+      Some(incrementalOracleSql)
     ),
     // --------------------------------------------------------------- q136
     // Persisted-index incremental dedup — q126's missing production
@@ -734,14 +727,7 @@ object DedupOps {
         survivors.select(col("h")).distinct().write.mode("append").parquet(indexDir)
         survivors.select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
       },
-      Some("""WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
-             hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
-             b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
-             f AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
-             SELECT b.doc_id, b.lang, b.source FROM b
-             WHERE b.doc_id IN (SELECT doc_id FROM f)
-               AND b.h NOT IN (SELECT h FROM hist)
-             ORDER BY b.doc_id""")
+      Some(incrementalOracleSql)
     ),
     // --------------------------------------------------------------- q127
     // Curation drop-reasons report — the explainability side of q99:
@@ -1530,6 +1516,24 @@ object DedupOps {
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
   }
+
+  /** THE incremental-dedup contract, shared by q126 (recompute-world),
+    * q136 (persisted index), and q174 (streaming foreachBatch ingest):
+    * batch docs (doc_id % 5 = 0) that are first-of-hash within the
+    * batch AND absent from the standing corpus's hash history. One SQL
+    * string object for all three gates — the three execution shapes
+    * cannot drift from each other. (A def: `entries` vals interpolate
+    * eagerly, and this is declared after them.)
+    */
+  private[graft] def incrementalOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents),
+             hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+             b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             f AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
+             SELECT b.doc_id, b.lang, b.source FROM b
+             WHERE b.doc_id IN (SELECT doc_id FROM f)
+               AND b.h NOT IN (SELECT h FROM hist)
+             ORDER BY b.doc_id"""
 
   /** Day-0 step of persisted-index dedup (q136): hash the standing
     * corpus (doc_id % 5 != 0 — "everything before today") ONCE and store

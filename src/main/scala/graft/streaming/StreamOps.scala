@@ -460,6 +460,90 @@ object StreamOps {
           .orderBy(col("doc_id"))
       },
       Some(graft.queries.TextOps.qualityScoreOracle)
+    ),
+    // --------------------------------------------------------------- q174
+    // STREAMING incremental dedup — the ingest-time shape q126/q136 run
+    // nightly, moved to the moment of arrival: today's crawl slice
+    // (doc_id % 5 = 0) arrives as a file stream, one file per
+    // micro-batch (maxFilesPerTrigger=1), and each micro-batch is
+    // foreachBatch-anti-joined against the PERSISTED hash index that
+    // q136's day-0 builder wrote, then appends its own new hashes — so
+    // micro-batch k+1 dedups against everything up to and including
+    // micro-batch k. The index is the only state: no state store, no
+    // watermark, and the index grows by exactly the survivors' hashes
+    // (the cumulative property StreamIncrementalSpec pins). At 100 TB
+    // this is the sustainable shape: per-arrival cost is
+    // O(batch + matching index partitions), never a corpus re-hash.
+    //
+    // Determinism: the incoming slice is staged as range-partitioned
+    // files (file k = k-th doc_id range) with strictly increasing
+    // mtimes, so the file source replays them oldest-first in doc_id
+    // order and a cross-batch duplicate's FIRST arrival is its lowest
+    // doc_id — making "first arrival wins" coincide with the batch
+    // oracle's min(doc_id) rule. Gate: the SAME oracle SQL string as
+    // q126/q136 (DedupOps.incrementalOracleSql) — three execution
+    // shapes, one contract.
+    QueryDef(
+      "q174_stream_incremental_dedup",
+      (s, dir) => {
+        val work = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(work) // idempotent: survivors/checkpoint/index from a prior run
+        // day-0: the standing corpus's hash index, range-clustered on h
+        // (q136's builder — the composed code path)
+        val indexDir = graft.queries.DedupOps.buildHashIndex(s, dir, work.toString)
+        // stage today's arrivals: 4 doc_id-range files, mtimes spaced
+        // 60 s so the source's oldest-first order IS doc_id order
+        val incoming = s"$work/incoming"
+        graft.Engine
+          .table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .repartitionByRange(4, col("doc_id"))
+          .write
+          .parquet(incoming)
+        val parts = new java.io.File(incoming)
+          .listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName) // part-00000 = lowest doc_id range
+        val base = parts.map(_.lastModified()).max
+        parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L): Unit }
+        val survDir = s"$work/survivors"
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            // hash the arrivals ONCE (first-of-hash agg + survivors
+            // join both consume this — q136's checkpoint rationale)
+            val keyed = batch
+              .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+              .localCheckpoint(eager = false)
+            val first = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+            val surv = keyed
+              .join(first.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .join(ss.read.parquet(indexDir), Seq("h"), "left_anti")
+              // materialize BEFORE the index append: appending first
+              // would make the lazy anti-join see this batch's own
+              // hashes and drop everything
+              .localCheckpoint()
+            surv
+              .select(col("doc_id"), col("lang"), col("source"))
+              .write.mode("append").parquet(survDir)
+            surv.select(col("h")).distinct().write.mode("append").parquet(indexDir)
+          }
+          .start()
+        query.awaitTermination()
+        s.read.parquet(survDir).orderBy(col("doc_id"))
+      },
+      Some(graft.queries.DedupOps.incrementalOracleSql)
     )
   )
 }

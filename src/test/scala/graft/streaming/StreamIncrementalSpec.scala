@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q174 — streaming incremental dedup: beyond the oracle gate (which
+  * pins the survivor SET), this pins the three properties that make it
+  * the ingest-time shape rather than a replayed batch job:
+  *   1. the replay really is incremental — multiple micro-batches ran
+  *     (one per staged range file), visible as checkpoint offsets;
+  *   2. the index is CUMULATIVE — after the run it holds exactly the
+  *     day-0 history hashes plus the survivors' new hashes (each
+  *     micro-batch appended its own delta);
+  *   3. the three execution shapes agree — the stream's survivors
+  *     equal q126's recompute-the-world batch form row for row.
+  */
+class StreamIncrementalSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = graft.Engine.session("test")
+
+  test("q174: multi-batch replay, cumulative index, batch-equal survivors") {
+    val survivors =
+      graft.SparkEntry.queries("q174_stream_incremental_dedup")(spark, dir).collect()
+
+    val work = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
+
+    // 1. incremental: one committed offset file per micro-batch
+    val batches = new java.io.File(s"$work/ckpt/commits")
+      .listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected a multi-batch replay, saw $batches micro-batch(es)")
+
+    // 2. cumulative index = day-0 history hashes + survivors' hashes
+    val docs = graft.Engine.table(spark, dir, "documents").withColumn("h", md5(col("text")))
+    val histHashes =
+      docs.filter(col("doc_id") % 5 =!= 0).select(col("h")).distinct().collect().map(_.getString(0)).toSet
+    val survIds = survivors.map(_.getLong(0)).toSet
+    val survHashes = docs
+      .filter(col("doc_id").isin(survIds.toSeq: _*))
+      .select(col("h")).distinct().collect().map(_.getString(0)).toSet
+    val indexed =
+      spark.read.parquet(s"$work/hash_index").collect().map(_.getString(0)).toSet
+    assert(indexed == histHashes ++ survHashes,
+      s"index drifted: ${indexed.size} entries vs ${(histHashes ++ survHashes).size} expected")
+    // every survivor's hash was genuinely NEW to the index at arrival
+    assert(survHashes.intersect(histHashes).isEmpty)
+
+    // 3. stream == batch: same survivors as q126's recompute form
+    val batch = graft.SparkEntry.queries("q126_incremental_dedup")(spark, dir).collect()
+    assert(survivors.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+}
