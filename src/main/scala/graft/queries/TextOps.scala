@@ -1216,8 +1216,111 @@ object TextOps {
       "q169_quality_logit",
       (s, dir) => qualityScore(Engine.table(s, dir, "documents")).orderBy(col("doc_id")),
       Some(qualityScoreOracle)
+    ),
+    // --------------------------------------------------------------- q175
+    // Character-n-gram language ID with PROFILE TABLES — the
+    // Cavnar-Trenkle / CLD-style mechanism behind every public langid
+    // stage (fastText/CLD2 score char-n-gram profiles; q45 is the
+    // cruder whole-stopword argmax). Per language: a fixed literal
+    // profile of 10 character trigrams; a document's score for
+    // language L = total characters matched by L's trigrams
+    // (length-minus-replace counting — narrow codegen'd string ops,
+    // no regex); prediction = argmax with a fixed alphabetical
+    // tiebreak. The synthetic corpus's text carries no language
+    // signal (every lang draws from the same vocabulary), so — as
+    // with q163's URLs and q171's PII — a deterministic generator
+    // injects it: each doc is suffixed with its language's function
+    // words repeated 3 + doc_id % 3 times, and the classifier must
+    // RECOVER the label from the augmented characters alone. The
+    // profile trigrams are chosen collision-free against the corpus
+    // vocabulary and each other's tails (e.g. no 'que' — 'query' is
+    // corpus vocabulary; no ' ta' — ' table'; LangIdSpec pins decoy
+    // immunity). Output: the (lang, pred_lang) confusion matrix with
+    // exact integer share_ppm — the gated accuracy statement
+    // (diagonal = 1000000 at every SF tested). Scale: one narrow
+    // pass riding the scan + a 25-row aggregate; swap the literal
+    // profiles for trained ones and nothing else changes (q169's
+    // stand-in pattern).
+    QueryDef(
+      "q175_langid_profile",
+      (s, dir) => {
+        val scored = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), expr(langAugSql).as("aug"))
+          .select(
+            col("doc_id") +: col("lang") +:
+              langProfiles.map { case (l, _, grams) =>
+                expr(langScoreSql(grams)).as(s"s_$l")
+              }: _*)
+          .withColumn("pred_lang", expr(langPredSql))
+        val w = Window.partitionBy(col("lang"))
+        scored
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total", sum(col("n")).over(w))
+          .withColumn("share_ppm", expr("(n * 1000000) div total"))
+          .select(col("lang"), col("pred_lang"), col("n"), col("share_ppm"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, lang, $langAugSql AS aug FROM documents),
+             sc AS (SELECT doc_id, lang, ${langProfiles
+        .map { case (l, _, g) => s"(${langScoreSql(g)}) AS s_$l" }
+        .mkString(", ")} FROM a),
+             pr AS (SELECT doc_id, lang, $langPredSql AS pred_lang FROM sc),
+             cf AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2)
+             SELECT lang, pred_lang, n,
+               CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+             FROM cf ORDER BY lang, pred_lang""")
     )
   )
+
+  /** q175's language profiles: (lang, generator tail of that
+    * language's function words, 10 literal character trigrams that
+    * score it). A STAND-IN for trained n-gram profile tables (public
+    * langid classifiers learn thousands of weighted grams; no model
+    * runtime ships in this container) — the operator is the profile
+    * SCORING plumbing. Trigrams are collision-audited against the
+    * corpus vocabulary and the other languages' tails.
+    */
+  private[queries] def langProfiles: Seq[(String, String, Seq[String])] = Seq(
+    ("de", "der die und das nicht von ist mit sich auf",
+      Seq("der", "die", "und", "das", "nic", "von", "ist", "mit", "sic", "auf")),
+    ("en", "the of and to in that it is was for",
+      Seq("the", " of", "and", " to", " in", "tha", " it", " is", "was", "for")),
+    ("es", "el los las para por con una mas esta cada",
+      Seq("el ", "los", "las", "ara", "por", "con", "una", "mas", "sta", "cad")),
+    ("fr", "le les des une est avec pour dans sur cette",
+      Seq(" le", "les", "des", "une", "ave", "pou", "dan", "sur", "ett", "ans")),
+    ("zh", "shi bu zai ren you ta zhe zhong wei dao",
+      Seq("shi", "zai", "ren", "you", "zhe", "zho", "wei", "dao", "ong", "hi "))
+  )
+
+  /** q175's generator: the doc's text suffixed with its language's
+    * function-word tail repeated 3 + doc_id % 3 times. Dialect-shared
+    * SQL (CASE/repeat/|| behave identically in both engines).
+    */
+  private[queries] def langAugSql: String = {
+    val cases = langProfiles.map { case (l, t, _) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"text || ' ' || repeat((CASE lang $cases END) || ' ', 3 + doc_id % 3)"
+  }
+
+  /** Characters of `aug` covered by a profile's trigrams —
+    * length-minus-replace counting, dialect-shared (no division, so
+    * no Spark-div-vs-DuckDB-floor concern; all grams are length 3,
+    * making this 3x the occurrence count).
+    */
+  private[queries] def langScoreSql(grams: Seq[String]): String =
+    grams.map(g => s"(length(aug) - length(replace(aug, '$g', '')))").mkString(" + ")
+
+  /** Argmax over the five score columns with a fixed alphabetical
+    * tiebreak — dialect-shared SQL.
+    */
+  private[queries] def langPredSql: String =
+    """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END"""
 
   /** q169's DuckDB oracle — shared verbatim by q170's streaming replay
     * (same transform, streaming source), so the two gates can never
