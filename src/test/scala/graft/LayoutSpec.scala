@@ -121,6 +121,11 @@ class LayoutSpec extends AnyFunSuite {
     assert(got8 == want)
     // assignment is a function of the key: no doc lands in two shards
     assert(back.select("doc_id").distinct().count() == docs.count())
+    // re-read CONTENT equality, not just counts: shards hold exactly
+    // the input rows (the WriteBench write-path contract)
+    val origRows = docs.select("doc_id", "lang", "source").collect().map(_.toSeq).toSet
+    val shardRows = back.select("doc_id", "lang", "source").collect().map(_.toSeq).toSet
+    assert(shardRows == origRows)
   }
 
   test("pctBucket is near-uniform: a 90/5/5 split lands within 2pp of stated") {
