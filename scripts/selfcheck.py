@@ -26,11 +26,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_missing = 0
+    results = {}
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result written")
+            results[name] = {"hash_match": False}
+            n_missing += 1
             n_fail += 1
             continue
         try:
@@ -38,6 +41,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            results[name] = {"hash_match": False}
             n_fail += 1
             continue
         ok = list(got.columns) == list(want.columns) and len(got) == len(want)
@@ -62,6 +66,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 detail = str(e).split("\n")[0]
         else:
             detail = f"cols {list(got.columns)} vs {list(want.columns)}; rows {len(got)} vs {len(want)}"
+        results[name] = {"hash_match": ok}
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
@@ -86,6 +91,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail")
+    # Machine-readable mirror of the driver gate's per-query shape, so
+    # RegistryDoc can label queries added SINCE the last driver gate
+    # from local evidence instead of leaving them "pending". Written
+    # only for a FULL run (a SPARK_GRAFT_ONLY-filtered Verify leaves
+    # most queries unwritten, which must not read as evidence).
+    if n_missing == 0 and len(results) == len(oracle):
+        json.dump(
+            {"sf_dir": sf_dir, "queries": results},
+            open("SELFCHECK.json", "w"),
+            indent=1,
+        )
     return 1 if n_fail else 0
 
 

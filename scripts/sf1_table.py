@@ -12,11 +12,29 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept either the legacy single line (queries + value together) or
+    the round-7+ split output: a BENCH-QUERIES per-query line (full map)
+    and a final summary line whose stub is named top5. The full map plus
+    the summary total are merged into one dict.
+    """
+    merged = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith('{"metric"'):
-                return json.loads(line)
+            if line.startswith("BENCH-QUERIES "):
+                line = line[len("BENCH-QUERIES "):]
+            if not line.startswith('{"metric"'):
+                continue
+            d = json.loads(line)
+            if d.get("metric") == "per_query":
+                merged["queries"] = d["queries"]
+            elif d.get("metric") == "total":
+                merged["value"] = d["value"]
+            elif "queries" in d and "value" in d:  # legacy combined line
+                merged.update(d)
+    if "queries" in merged:
+        merged.setdefault("value", round(sum(v for v in merged["queries"].values() if v > 0), 3))
+        return merged
     raise SystemExit(f"no bench JSON line in {path}")
 
 

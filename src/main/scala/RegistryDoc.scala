@@ -32,6 +32,22 @@ object RegistryDoc {
           .toMap
       }
       .getOrElse(Map.empty)
+    // Local-evidence overlay for queries ADDED since the last driver
+    // gate: scripts/selfcheck.py writes SELFCHECK.json after a FULL
+    // local gate run; those verdicts label post-gate queries instead of
+    // a bare "pending" (the driver gate stays canonical — overlay
+    // applies ONLY where the driver file has no verdict).
+    val self: Map[String, Boolean] = {
+      val f = new java.io.File("SELFCHECK.json")
+      if (!f.exists) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        """"(q\w+)":\s*\{\s*"hash_match":\s*(true|false)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2) == "true"))
+          .toMap
+      }
+    }
     var nRed = 0
     var nPending = 0
     val rows = graft.SparkEntry.allDefs
@@ -45,7 +61,14 @@ object RegistryDoc {
               case Some(false) =>
                 nRed += 1; s"**ORACLE MISMATCH** in $gateName"
               case None =>
-                nPending += 1; "DuckDB hash-match oracle (added since last gate — pending)"
+                self.get(d.name) match {
+                  case Some(true) =>
+                    "DuckDB hash-match (local selfcheck; added since last driver gate)"
+                  case Some(false) =>
+                    nRed += 1; "**ORACLE MISMATCH** in local selfcheck"
+                  case None =>
+                    nPending += 1; "DuckDB hash-match oracle (added since last gate — pending)"
+                }
             }
         s"| `${d.name}` | $check |"
       }
