@@ -17,6 +17,36 @@ object StreamOps {
   private val seq = new AtomicInteger(0)
   private def sinkName(prefix: String): String = s"${prefix}_${seq.incrementAndGet()}"
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Stage "today's arrivals" (doc_id % 5 = 0) for the incremental-dedup
+    * streams (q174/q176): 4 doc_id-range parquet files under
+    * `work/incoming`, mtimes spaced 60 s so the file source's
+    * oldest-first replay order IS doc_id order — which makes
+    * "first arrival wins" coincide with the batch oracles' min(doc_id)
+    * / lowest-id-earlier rules (range k's ids all precede range k+1's).
+    */
+  private def stageIncoming(
+      s: org.apache.spark.sql.SparkSession, dir: String, work: String): String = {
+    val incoming = s"$work/incoming"
+    graft.Engine
+      .table(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .repartitionByRange(4, col("doc_id"))
+      .write
+      .parquet(incoming)
+    val parts = new java.io.File(incoming)
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName) // part-00000 = lowest doc_id range
+    val base = parts.map(_.lastModified()).max
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L): Unit }
+    incoming
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q90
     QueryDef(
@@ -488,29 +518,11 @@ object StreamOps {
       (s, dir) => {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(work) // idempotent: survivors/checkpoint/index from a prior run
+        rmTree(work) // idempotent: survivors/checkpoint/index from a prior run
         // day-0: the standing corpus's hash index, range-clustered on h
         // (q136's builder — the composed code path)
         val indexDir = graft.queries.DedupOps.buildHashIndex(s, dir, work.toString)
-        // stage today's arrivals: 4 doc_id-range files, mtimes spaced
-        // 60 s so the source's oldest-first order IS doc_id order
-        val incoming = s"$work/incoming"
-        graft.Engine
-          .table(s, dir, "documents")
-          .filter(col("doc_id") % 5 === 0)
-          .repartitionByRange(4, col("doc_id"))
-          .write
-          .parquet(incoming)
-        val parts = new java.io.File(incoming)
-          .listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .sortBy(_.getName) // part-00000 = lowest doc_id range
-        val base = parts.map(_.lastModified()).max
-        parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L): Unit }
+        val incoming = stageIncoming(s, dir, work.toString)
         val survDir = s"$work/survivors"
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
@@ -544,6 +556,118 @@ object StreamOps {
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.DedupOps.incrementalOracleSql)
+    ),
+    // --------------------------------------------------------------- q176
+    // Streaming incremental FUZZY dedup — q174's exact-hash shape with
+    // the near-dup contract: the persisted index holds MinHash BAND
+    // BUCKETS (q52/q167's banding: 8-sig over distinct 3-gram
+    // shingles, 4 bands x 2 rows), and an arriving doc is dropped when
+    // any of its buckets was seen before — in the day-0 history OR in
+    // any earlier arrival. Each micro-batch appends ALL its buckets
+    // (dropped docs' too), which is what makes the semantics
+    // SQL-expressible: "shares a bucket with any earlier doc" (history,
+    // or lower doc_id — arrival order IS id order, see stageIncoming)
+    // rather than the non-monotone "earlier surviving doc". Docs too
+    // short to shingle (< 3 tokens) have no buckets and pass through,
+    // identically in the oracle. At 100 TB: per-arrival cost is
+    // O(batch buckets + matching index partitions) — the banded
+    // candidate-generation economics of q52, made cumulative; no
+    // pair enumeration anywhere, no state store, the bucket index is
+    // the only state and grows by the batch's distinct buckets.
+    QueryDef(
+      "q176_stream_fuzzy_dedup",
+      (s, dir) => {
+        val work = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
+        rmTree(work)
+        val bandsExpr = expr(
+          """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                   md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")
+        def buckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          docs
+            .select(col("doc_id"), graft.queries.Tokenize.toksExpr.as("toks"))
+            .filter(size(col("toks")) >= 3)
+            .select(
+              col("doc_id"),
+              graft.functions.TextHashOps
+                .minhashSig(
+                  array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
+                .as("sig"))
+            .select(col("doc_id"), explode(bandsExpr).as("bucket"))
+        // day-0: the standing corpus's band buckets, range-clustered so
+        // the per-batch semi-join reads sorted stats-pruned files
+        val indexDir = s"$work/bucket_index"
+        graft.operators.Layout.compact(
+          s,
+          buckets(graft.Engine.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
+            .select(col("bucket"))
+            .distinct(),
+          indexDir,
+          4,
+          col("bucket"))
+        val incoming = stageIncoming(s, dir, work.toString)
+        val survDir = s"$work/survivors"
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            val rows = batch
+              .select(col("doc_id"), col("lang"), col("source"), col("text"))
+              .localCheckpoint(eager = false)
+            // shingle+sign the arrivals ONCE: three consumers (external
+            // drop, within-batch min, index append)
+            val bk = buckets(rows).localCheckpoint(eager = false)
+            val dropExt = bk
+              .join(ss.read.parquet(indexDir), Seq("bucket"), "left_semi")
+              .select(col("doc_id"))
+            val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
+            val dropIn = bk
+              .join(bmin, "bucket")
+              .filter(col("m") < col("doc_id"))
+              .select(col("doc_id"))
+            val dropped = dropExt.union(dropIn).distinct()
+            val surv = rows
+              .join(dropped, Seq("doc_id"), "left_anti")
+              // materialize BEFORE the index append (q174's rationale)
+              .localCheckpoint()
+            surv.select(col("doc_id"), col("lang"), col("source")).write.mode("append").parquet(survDir)
+            bk.select(col("bucket")).distinct().write.mode("append").parquet(indexDir)
+          }
+          .start()
+        query.awaitTermination()
+        s.read.parquet(survDir).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, source, ${graft.queries.Tokenize.toksSql} AS toks
+               FROM documents),
+             shq AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+               FROM t WHERE len(toks) >= 3),
+             mq AS (SELECT doc_id,
+                 [list_min(list_transform(sg, x -> md5('0|' || x))),
+                  list_min(list_transform(sg, x -> md5('1|' || x))),
+                  list_min(list_transform(sg, x -> md5('2|' || x))),
+                  list_min(list_transform(sg, x -> md5('3|' || x))),
+                  list_min(list_transform(sg, x -> md5('4|' || x))),
+                  list_min(list_transform(sg, x -> md5('5|' || x))),
+                  list_min(list_transform(sg, x -> md5('6|' || x))),
+                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM shq),
+             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             dropd AS (SELECT DISTINCT m.doc_id FROM bq m JOIN bq e
+                 ON m.bucket = e.bucket
+                 AND (e.doc_id % 5 <> 0 OR e.doc_id < m.doc_id)
+               WHERE m.doc_id % 5 = 0)
+             SELECT doc_id, lang, source FROM t
+             WHERE doc_id % 5 = 0
+               AND doc_id NOT IN (SELECT doc_id FROM dropd)
+             ORDER BY doc_id""")
     )
   )
 }

@@ -50,4 +50,41 @@ class StreamIncrementalSpec extends AnyFunSuite {
     val batch = graft.SparkEntry.queries("q126_incremental_dedup")(spark, dir).collect()
     assert(survivors.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
+
+  test("q176: fuzzy tier is load-bearing and its bucket index is cumulative") {
+    val fuzzy =
+      graft.SparkEntry.queries("q176_stream_fuzzy_dedup")(spark, dir).collect()
+    val exact =
+      graft.SparkEntry.queries("q174_stream_incremental_dedup")(spark, dir).collect()
+    // near-dup banding can only drop MORE than exact-hash dedup, and on
+    // this corpus (replica-dense by construction) it genuinely does
+    val fuzzyIds = fuzzy.map(_.getLong(0)).toSet
+    val exactIds = exact.map(_.getLong(0)).toSet
+    assert(fuzzyIds.subsetOf(exactIds), "fuzzy kept a doc exact-dedup dropped")
+    assert(fuzzyIds.size < exactIds.size, "fuzzy tier dropped nothing — vacuous")
+
+    val work = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
+    // multi-batch replay
+    val batches = new java.io.File(s"$work/ckpt/commits")
+      .listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected a multi-batch replay, saw $batches micro-batch(es)")
+    // cumulative index: after the run it holds every distinct band
+    // bucket of the WHOLE corpus (history + all arrivals, dropped docs
+    // included — the "any earlier doc" contract)
+    val idx = spark.read.parquet(s"$work/bucket_index").collect().map(_.getString(0)).toSet
+    val sig = graft.Engine
+      .table(spark, dir, "documents")
+      .select(col("doc_id"), graft.queries.Tokenize.toksExpr.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(graft.functions.TextHashOps
+        .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
+        .as("sig"))
+      .select(explode(expr(
+        """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                 md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")).as("bucket"))
+      .collect().map(_.getString(0)).toSet
+    assert(idx == sig, s"index ${idx.size} buckets vs ${sig.size} expected")
+  }
 }
