@@ -179,6 +179,38 @@ object PiiOps {
         CAST(round((${lenSum(emailPat)} + ${lenSum(phonePat)} + ${lenSum(ipPat)}) * 1000000.0 / length(aug)) AS BIGINT) AS pii_ppm"""
   }
 
+  /** q172's transform as a reusable DataFrame function — the scrub's
+    * projection over any `documents`-shaped input (batch scan or
+    * unbounded stream): stateless narrow ops only, so q177 runs it
+    * UNCHANGED over a file stream with no state store and Append mode
+    * (the q169/q170 pattern).
+    */
+  def redact(docs: DataFrame): DataFrame =
+    piiClean(docs.select(col("doc_id"), expr(piiGenSql).as("aug")))
+      .select(
+        col("doc_id"),
+        col("clean_text"),
+        col("n_email"),
+        col("n_phone"),
+        col("n_ipv4"),
+        col("masked_chars"),
+        col("pii_ppm"),
+        col("kept")
+      )
+
+  /** q172's oracle — shared verbatim by q177's streaming replay (same
+    * transform, streaming source), so the two gates can never drift.
+    * (A def: `entries` vals interpolate eagerly.)
+    */
+  private[graft] def redactOracleSql: String =
+    s"""WITH a AS (SELECT doc_id, $piiGenSql AS aug FROM documents)
+             SELECT doc_id, $cleanSqlCols,
+               (CAST(round((coalesce(list_sum(list_transform(regexp_extract_all(aug, '$emailPat', 0), x -> length(x))), 0)
+                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$phonePat', 0), x -> length(x))), 0)
+                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$ipPat', 0), x -> length(x))), 0)) * 1000000.0 / length(aug)) AS BIGINT)
+                  < $PpmDropThreshold) AS kept
+             FROM a ORDER BY doc_id"""
+
   val entries: Seq[QueryDef] = Seq(
     // -------------------------------------------------------------- q171
     QueryDef(
@@ -199,30 +231,8 @@ object PiiOps {
     // -------------------------------------------------------------- q172
     QueryDef(
       "q172_pii_redact",
-      (s, dir) => {
-        val aug = Engine
-          .table(s, dir, "documents")
-          .select(col("doc_id"), expr(piiGenSql).as("aug"))
-        piiClean(aug)
-          .select(
-            col("doc_id"),
-            col("clean_text"),
-            col("n_email"),
-            col("n_phone"),
-            col("n_ipv4"),
-            col("masked_chars"),
-            col("pii_ppm"),
-            col("kept")
-          )
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH a AS (SELECT doc_id, $piiGenSql AS aug FROM documents)
-             SELECT doc_id, $cleanSqlCols,
-               (CAST(round((coalesce(list_sum(list_transform(regexp_extract_all(aug, '$emailPat', 0), x -> length(x))), 0)
-                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$phonePat', 0), x -> length(x))), 0)
-                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$ipPat', 0), x -> length(x))), 0)) * 1000000.0 / length(aug)) AS BIGINT)
-                  < $PpmDropThreshold) AS kept
-             FROM a ORDER BY doc_id""")
+      (s, dir) => redact(Engine.table(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(redactOracleSql)
     )
   )
 }

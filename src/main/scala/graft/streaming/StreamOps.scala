@@ -668,6 +668,37 @@ object StreamOps {
              WHERE doc_id % 5 = 0
                AND doc_id NOT IN (SELECT doc_id FROM dropd)
              ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q177
+    // Streaming PII scrub — q172's redaction transform applied
+    // UNCHANGED to a documents file-stream (the q170 pattern, now for
+    // the scrub stage): real pipelines mask PII at ingest so raw
+    // contact data never lands in the lake. The transform is stateless
+    // narrow ops only (regex scan/replace + arithmetic riding the
+    // read), so the streaming query needs NO state store, no
+    // watermark, Append mode — zero state regardless of stream length,
+    // and per-micro-batch cost is exactly the batch per-row cost.
+    // Gate: the materialized stream output hash-equals q172's batch
+    // oracle (the shared redactOracleSql — same SQL string object,
+    // zero drift).
+    QueryDef(
+      "q177_stream_pii_redact",
+      (s, dir) => {
+        val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docsStream = s.readStream
+          .schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        EventStreaming
+          .runToMemory(
+            s,
+            graft.queries.PiiOps.redact(docsStream),
+            sinkName("q177"),
+            OutputMode.Append()
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.queries.PiiOps.redactOracleSql)
     )
   )
 }
