@@ -30,8 +30,8 @@ def load(path: str) -> dict:
                 merged["queries"] = d["queries"]
             elif d.get("metric") == "total":
                 merged["value"] = d["value"]
-            elif "queries" in d and "value" in d:  # legacy combined line
-                merged.update(d)
+                if "queries" in d:  # legacy combined line carried the full map
+                    merged["queries"] = d["queries"]
     if "queries" in merged:
         merged.setdefault("value", round(sum(v for v in merged["queries"].values() if v > 0), 3))
         return merged

@@ -49,6 +49,7 @@ object RegistryDoc {
       }
     }
     var nRed = 0
+    var nRedLocal = 0
     var nPending = 0
     val rows = graft.SparkEntry.allDefs
       .sortBy(_.name)
@@ -65,7 +66,7 @@ object RegistryDoc {
                   case Some(true) =>
                     "DuckDB hash-match (local selfcheck; added since last driver gate)"
                   case Some(false) =>
-                    nRed += 1; "**ORACLE MISMATCH** in local selfcheck"
+                    nRedLocal += 1; "**ORACLE MISMATCH** in local selfcheck"
                   case None =>
                     nPending += 1; "DuckDB hash-match oracle (added since last gate — pending)"
                 }
@@ -78,7 +79,8 @@ object RegistryDoc {
          |${graft.SparkEntry.queries.size} queries; ${oracles.size} oracle-gated,
          |${graft.SparkEntry.queries.size - oracles.size} rows-only (approximate by
          |design, accuracy-tested in specs). Gate status read from `$gateName`
-         |($nRed mismatch, $nPending pending); a red row fixed after that gate
+         |($nRed mismatch, $nPending pending, $nRedLocal local-selfcheck
+         |mismatch among post-gate queries); a red row fixed after that gate
          |stays red here until the next driver gate regenerates this file.
          |See COVERAGE.md for the operator narrative and SURVEY.md §2 for the
          |reference inventory.
@@ -88,6 +90,8 @@ object RegistryDoc {
          |${rows.mkString("\n         |")}
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("REGISTRY.md"), md)
-    println(s"REGISTRY.md written: ${rows.size} rows ($nRed mismatch, $nPending pending vs $gateName)")
+    println(
+      s"REGISTRY.md written: ${rows.size} rows ($nRed mismatch vs $gateName, " +
+        s"$nRedLocal local-selfcheck mismatch, $nPending pending)")
   }
 }

@@ -15,6 +15,15 @@ object Engine {
   /** Number of local cores to use; the driver exports SPARK_GRAFT_CPUS. */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** rm -rf — the ONE shared recursive delete for scratch dirs
+    * (q174/q176 stream work dirs, WriteBench output): null-safe on
+    * unreadable directories, no-op on missing paths.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

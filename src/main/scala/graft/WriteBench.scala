@@ -21,11 +21,7 @@ object WriteBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("writebench")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_writebench"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(out))
+    Engine.deleteRecursively(new java.io.File(out))
 
     val docs = Engine.table(spark, sfDir, "documents")
     val rows = docs.count() // untimed warmup: scan + footers + codegen

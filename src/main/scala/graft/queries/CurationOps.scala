@@ -1152,7 +1152,7 @@ object CurationOps {
           // fully-scrubbed doc (n_kept = 0) must not reach the division
           .filter(expr("(nchars * 1000000) div greatest(n_kept, 1L) BETWEEN 3000000 AND 10000000"))
           .filter(expr(
-            "(size(filter(kept, x -> regexp_like(x, '[a-z]'))) * 1000000) div greatest(n_kept, 1L) >= 800000"))
+            "(cast(size(filter(kept, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div greatest(n_kept, 1L) >= 800000"))
         // -- 3. exact dedup keep-lowest on the cleaned hash
         val keepers = quality
           .groupBy(col("clean_md5"))
@@ -1324,74 +1324,7 @@ object CurationOps {
     QueryDef(
       "q173_recipe_manifest",
       (s, dir) => {
-        // -- 1. canonicalize (narrow) — domain is all the composite
-        //       keeps; text flows on for the later stages
-        val base = urlParts(Engine.table(s, dir, "documents"))
-          .select(
-            col("doc_id"), col("lang"), col("source"), col("text"), col("domain"),
-            md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk"))
-        // -- 2. domain cap — q164's distributed rank, wide rows ride
-        //       the single range exchange
-        val ranged = base
-          .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wCap = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wCap).cast("long"))
-        val wCapOff = Window
-          .partitionBy(col("domain"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val capOffsets = local
-          .groupBy(col("domain"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wCapOff), lit(0L)))
-          .select(col("domain"), col("pid"), col("off"))
-        val capped = local
-          .join(broadcast(capOffsets), Seq("pid", "domain"))
-          .filter(col("local_rn") + col("off") <= DomainCap)
-        // -- 3. PII scrub + density drop on survivors (q172's stage)
-        val aug = capped.select(
-          col("doc_id"), col("lang"), col("source"), col("domain"),
-          expr(PiiOps.piiGenSql).as("aug"))
-        val scrubbed = PiiOps
-          .piiClean(aug)
-          .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
-          .select(
-            col("doc_id"), col("lang"), col("source"), col("domain"), col("pii_ppm"),
-            Tokenize.toksExprOf("clean_text").as("toks"))
-          .filter(size(col("toks")) >= 1)
-        // -- 4. rules + classifier logit on the scrubbed tokens
-        val feat = scrubbed
-          .withColumn("n_words", size(col("toks")).cast("long"))
-          .withColumn(
-            "mean_wlen_micro",
-            expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)"))
-          .withColumn(
-            "alpha_ppm",
-            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
-              .cast("long"))
-          .withColumn(
-            "ttr_ppm",
-            expr("(size(array_distinct(toks)) * 1000000) div size(toks)").cast("long"))
-          .withColumn(
-            "stop_hits",
-            expr("""size(array_intersect(array_distinct(toks),
-                   array('the','be','to','of','and','that','have','with')))""").cast("long"))
-          .withColumn("logit_micro", expr(TextOps.qualityLogitSql))
-          .filter(
-            col("n_words") >= 20L &&
-              col("mean_wlen_micro").between(3000000L, 10000000L) &&
-              col("alpha_ppm") >= 800000L &&
-              col("logit_micro") >= 0L)
-        // -- 5. exact dedup keep-lowest on the clean-token hash
-        val withH = feat.withColumn("cm", md5(concat_ws(" ", col("toks"))))
-        val keepers = withH.groupBy(col("cm")).agg(min(col("doc_id")).as("keep_id"))
-        val exact = withH
-          .join(keepers,
-            withH("cm") === keepers("cm") && withH("doc_id") === keepers("keep_id"))
-          .select(
-            withH("doc_id"), col("lang"), col("source"), col("domain"),
-            col("pii_ppm"), col("n_words"), col("logit_micro"), col("toks"))
+        val exact = recipeSurvivors(s, dir)
           .localCheckpoint(eager = false) // feeds the drop list AND the anti-join
         // -- 6. fuzzy dedup (q167's banding)
         val bk = exact
@@ -1530,4 +1463,96 @@ object CurationOps {
              FROM qs ORDER BY pos""")
     )
   )
+
+  /** q173 stages 1-5 — canonicalize -> domain cap -> PII scrub ->
+    * rules + logit gate -> exact dedup — WITHOUT the checkpoint, so
+    * the plan is inspectable end to end. Two parquet scans by DESIGN:
+    * the wide data path (with text) and the cap-offsets side, which
+    * Catalyst column-prunes to a narrow (doc_id, lang, source)
+    * re-scan — at 100 TB re-reading 3 columns of a columnar format is
+    * far cheaper than materializing the wide rows to force exchange
+    * reuse (PlanShapeSpec pins <= 2 scans with <= 1 carrying text, on
+    * this real pre-checkpoint subtree; asserting on the final query
+    * would be vacuous, since the localCheckpoint hides everything
+    * upstream behind an ExistingRDD).
+    * Exact dedup is a single min_by hash-aggregate — keep the
+    * lowest-doc_id row per clean-token hash in ONE shuffle, with no
+    * keepers self-join (doc_id is unique, so min_by is
+    * deterministic).
+    */
+  private[graft] def recipeSurvivors(s: SparkSession, dir: String): DataFrame = {
+    // -- 1. canonicalize (narrow) — domain is all the composite
+    //       keeps; text flows on for the later stages
+    val base = urlParts(Engine.table(s, dir, "documents"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("text"), col("domain"),
+        md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk"))
+    // -- 2. domain cap — q164's distributed rank, wide rows ride
+    //       the single range exchange
+    val ranged = base
+      .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wCap = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
+    val local = ranged.withColumn("local_rn", row_number().over(wCap).cast("long"))
+    val wCapOff = Window
+      .partitionBy(col("domain"))
+      .orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val capOffsets = local
+      .groupBy(col("domain"), col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(wCapOff), lit(0L)))
+      .select(col("domain"), col("pid"), col("off"))
+    val capped = local
+      .join(broadcast(capOffsets), Seq("pid", "domain"))
+      .filter(col("local_rn") + col("off") <= DomainCap)
+    // -- 3. PII scrub + density drop on survivors (q172's stage)
+    val aug = capped.select(
+      col("doc_id"), col("lang"), col("source"), col("domain"),
+      expr(PiiOps.piiGenSql).as("aug"))
+    val scrubbed = PiiOps
+      .piiClean(aug)
+      .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("domain"), col("pii_ppm"),
+        Tokenize.toksExprOf("clean_text").as("toks"))
+      .filter(size(col("toks")) >= 1)
+    // -- 4. rules + classifier logit on the scrubbed tokens
+    val feat = scrubbed
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn(
+        "mean_wlen_micro",
+        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)"))
+      .withColumn(
+        "alpha_ppm",
+        expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
+          .cast("long"))
+      .withColumn(
+        "ttr_ppm",
+        expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)").cast("long"))
+      .withColumn(
+        "stop_hits",
+        expr("""size(array_intersect(array_distinct(toks),
+               array('the','be','to','of','and','that','have','with')))""").cast("long"))
+      .withColumn("logit_micro", expr(TextOps.qualityLogitSql))
+      .filter(
+        col("n_words") >= 20L &&
+          col("mean_wlen_micro").between(3000000L, 10000000L) &&
+          col("alpha_ppm") >= 800000L &&
+          col("logit_micro") >= 0L)
+    // -- 5. exact dedup keep-lowest: ONE min_by hash-aggregate
+    feat
+      .withColumn("cm", md5(concat_ws(" ", col("toks"))))
+      .groupBy(col("cm"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min_by(
+          struct(
+            col("lang"), col("source"), col("domain"), col("pii_ppm"),
+            col("n_words"), col("logit_micro"), col("toks")),
+          col("doc_id")).as("p"))
+      .select(
+        col("doc_id"), col("p.lang"), col("p.source"), col("p.domain"),
+        col("p.pii_ppm"), col("p.n_words"), col("p.logit_micro"), col("p.toks"))
+  }
 }

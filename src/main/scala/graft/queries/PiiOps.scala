@@ -124,60 +124,70 @@ object PiiOps {
     * here, so the oracle gate covers the composed code path).
     * Output adds: clean_text, n_email, n_phone, n_ipv4, masked_chars,
     * pii_ppm, kept.
+    *
+    * Counts are SEQUENTIAL — n_email over the raw text, n_phone over
+    * the email-masked text, n_ipv4 over the email+phone-masked text —
+    * matching the replacement chain exactly, so a class is counted
+    * only when its mask actually lands in clean_text (an IP embedded
+    * inside an email address, e.g. 'x.1.2.3.4@b.co', is consumed by
+    * the email mask and is NOT also counted as an IP). masked_chars
+    * is derived from the real length delta plus the inserted mask
+    * lengths, so overlapping matches can never double-count density
+    * and trip the drop rule spuriously.
     */
-  def piiClean(aug: DataFrame): DataFrame = {
-    val masked = piiTypes
-      .map { case (t, p) =>
-        s"aggregate(regexp_extract_all(aug, '$p', 0), cast(0 as bigint), (a, x) -> a + length(x))"
-      }
-      .mkString(" + ")
+  def piiClean(aug: DataFrame): DataFrame =
     aug
-      .withColumn(
-        "clean_text",
-        regexp_replace(
-          regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"),
-          ipPat,
-          "<IP>"
-        )
-      )
+      .withColumn("t1", regexp_replace(col("aug"), emailPat, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), phonePat, "<PHONE>"))
+      .withColumn("clean_text", regexp_replace(col("t2"), ipPat, "<IP>"))
       .withColumn("n_email", expr(s"cast(size(regexp_extract_all(aug, '$emailPat', 0)) as bigint)"))
-      .withColumn("n_phone", expr(s"cast(size(regexp_extract_all(aug, '$phonePat', 0)) as bigint)"))
-      .withColumn("n_ipv4", expr(s"cast(size(regexp_extract_all(aug, '$ipPat', 0)) as bigint)"))
-      .withColumn("masked_chars", expr(s"cast($masked as bigint)"))
+      .withColumn("n_phone", expr(s"cast(size(regexp_extract_all(t1, '$phonePat', 0)) as bigint)"))
+      .withColumn("n_ipv4", expr(s"cast(size(regexp_extract_all(t2, '$ipPat', 0)) as bigint)"))
+      .withColumn(
+        "masked_chars",
+        expr("""cast(length(aug) - length(clean_text)
+               + 7 * n_email + 7 * n_phone + 4 * n_ipv4 as bigint)""")
+      )
       .withColumn(
         "pii_ppm",
         expr("cast(round(masked_chars * 1000000.0 / length(aug)) as bigint)")
       )
       .withColumn("kept", col("pii_ppm") < lit(PpmDropThreshold))
-  }
+      .drop("t1", "t2")
 
-  /** DuckDB masked-chars length sum for one pattern over `aug`. */
-  private def lenSum(p: String): String =
-    s"coalesce(list_sum(list_transform(regexp_extract_all(aug, '$p', 0), x -> length(x))), 0)"
+  // DuckDB mirrors of the sequential chain, as nested expressions over
+  // CTE column `aug` (kept as snippets so q172/q177's oracle and
+  // q173's composite oracle interpolate the SAME strings).
+  private def t1Sql: String = s"regexp_replace(aug, '$emailPat', '<EMAIL>', 'g')"
+  private def t2Sql: String = s"regexp_replace($t1Sql, '$phonePat', '<PHONE>', 'g')"
 
   /** DuckDB mirror of [[piiClean]]'s clean_text column alone — the
     * subset the q173 recipe composite's oracle needs.
     */
-  private[queries] val cleanTextSql: String =
-    s"""regexp_replace(regexp_replace(regexp_replace(aug,
-          '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'), '$ipPat', '<IP>', 'g')"""
+  private[queries] def cleanTextSql: String =
+    s"regexp_replace($t2Sql, '$ipPat', '<IP>', 'g')"
+
+  private def nEmailSql: String = s"len(regexp_extract_all(aug, '$emailPat', 0))"
+  private def nPhoneSql: String = s"len(regexp_extract_all($t1Sql, '$phonePat', 0))"
+  private def nIpSql: String = s"len(regexp_extract_all($t2Sql, '$ipPat', 0))"
+  private def maskedSql: String =
+    s"""(length(aug) - length($cleanTextSql)
+        + 7 * ($nEmailSql) + 7 * ($nPhoneSql) + 4 * ($nIpSql))"""
 
   /** DuckDB mirror of [[piiClean]]'s pii_ppm column alone (q173). */
-  private[queries] val piiPpmSql: String =
-    s"CAST(round((${lenSum(emailPat)} + ${lenSum(phonePat)} + ${lenSum(ipPat)}) * 1000000.0 / length(aug)) AS BIGINT)"
+  private[queries] def piiPpmSql: String =
+    s"CAST(round($maskedSql * 1000000.0 / length(aug)) AS BIGINT)"
 
   /** DuckDB mirror of [[piiClean]]'s added columns, as a SELECT body
     * over CTE `a(doc_id, aug, ...)`.
     */
-  private val cleanSqlCols: String = {
-    s"""regexp_replace(regexp_replace(regexp_replace(aug,
-          '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'), '$ipPat', '<IP>', 'g') AS clean_text,
-        CAST(len(regexp_extract_all(aug, '$emailPat', 0)) AS BIGINT) AS n_email,
-        CAST(len(regexp_extract_all(aug, '$phonePat', 0)) AS BIGINT) AS n_phone,
-        CAST(len(regexp_extract_all(aug, '$ipPat', 0)) AS BIGINT) AS n_ipv4,
-        CAST(${lenSum(emailPat)} + ${lenSum(phonePat)} + ${lenSum(ipPat)} AS BIGINT) AS masked_chars,
-        CAST(round((${lenSum(emailPat)} + ${lenSum(phonePat)} + ${lenSum(ipPat)}) * 1000000.0 / length(aug)) AS BIGINT) AS pii_ppm"""
-  }
+  private def cleanSqlCols: String =
+    s"""$cleanTextSql AS clean_text,
+        CAST($nEmailSql AS BIGINT) AS n_email,
+        CAST($nPhoneSql AS BIGINT) AS n_phone,
+        CAST($nIpSql AS BIGINT) AS n_ipv4,
+        CAST($maskedSql AS BIGINT) AS masked_chars,
+        $piiPpmSql AS pii_ppm"""
 
   /** q172's transform as a reusable DataFrame function — the scrub's
     * projection over any `documents`-shaped input (batch scan or
@@ -205,10 +215,7 @@ object PiiOps {
   private[graft] def redactOracleSql: String =
     s"""WITH a AS (SELECT doc_id, $piiGenSql AS aug FROM documents)
              SELECT doc_id, $cleanSqlCols,
-               (CAST(round((coalesce(list_sum(list_transform(regexp_extract_all(aug, '$emailPat', 0), x -> length(x))), 0)
-                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$phonePat', 0), x -> length(x))), 0)
-                  + coalesce(list_sum(list_transform(regexp_extract_all(aug, '$ipPat', 0), x -> length(x))), 0)) * 1000000.0 / length(aug)) AS BIGINT)
-                  < $PpmDropThreshold) AS kept
+               ($piiPpmSql < $PpmDropThreshold) AS kept
              FROM a ORDER BY doc_id"""
 
   val entries: Seq[QueryDef] = Seq(

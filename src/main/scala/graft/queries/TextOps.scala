@@ -1010,23 +1010,23 @@ object TextOps {
             size(col("toks")).cast("long").as("n_words"),
             expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
               .as("mean_wlen_micro"),
-            expr("""((length(text) - length(replace(text, '#', ''))
-                   + (length(text) - length(replace(text, '...', ''))) div 3)
+            expr("""(cast(length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(replace(text, '...', ''))) div 3 as bigint)
                    * 1000000) div size(toks)""").as("symbol_ppm"),
-            expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+            expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
               .cast("long").as("alpha_ppm"),
             expr("""size(array_intersect(array_distinct(toks),
                    array('the','be','to','of','and','that','have','with')))""")
               .cast("long").as("stop_hits"),
-            expr("((size(lines) - size(array_distinct(lines))) * 1000000) div size(lines)")
+            expr("(cast(size(lines) - size(array_distinct(lines)) as bigint) * 1000000) div size(lines)")
               .as("dup_line_ppm"),
             expr("""((aggregate(lines, 0L, (a, x) -> a + length(x))
                    - aggregate(array_distinct(lines), 0L, (a, x) -> a + length(x))) * 1000000)
                    div greatest(aggregate(lines, 0L, (a, x) -> a + length(x)), 1L)""")
               .as("dup_line_char_ppm"),
-            expr("(size(filter(lines, x -> x LIKE '•%' OR x LIKE '- %')) * 1000000) div size(lines)")
+            expr("(cast(size(filter(lines, x -> x LIKE '•%' OR x LIKE '- %')) as bigint) * 1000000) div size(lines)")
               .cast("long").as("bullet_ppm"),
-            expr("(size(filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) * 1000000) div size(lines)")
+            expr("(cast(size(filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) as bigint) * 1000000) div size(lines)")
               .cast("long").as("ellipsis_ppm")
           )
         // top-{2,3,4}-gram char share: per (doc, n) the most frequent
@@ -1360,9 +1360,9 @@ object TextOps {
         size(col("toks")).cast("long").as("n_words"),
         expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
           .as("mean_wlen_micro"),
-        expr("(size(filter(toks, x -> regexp_like(x, '[a-z]'))) * 1000000) div size(toks)")
+        expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
           .cast("long").as("alpha_ppm"),
-        expr("(size(array_distinct(toks)) * 1000000) div size(toks)")
+        expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)")
           .cast("long").as("ttr_ppm"),
         expr("""size(array_intersect(array_distinct(toks),
                array('the','be','to','of','and','that','have','with')))""")

@@ -17,11 +17,6 @@ object StreamOps {
   private val seq = new AtomicInteger(0)
   private def sinkName(prefix: String): String = s"${prefix}_${seq.incrementAndGet()}"
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(rmTree)
-    f.delete(): Unit
-  }
-
   /** Stage "today's arrivals" (doc_id % 5 = 0) for the incremental-dedup
     * streams (q174/q176): 4 doc_id-range parquet files under
     * `work/incoming`, mtimes spaced 60 s so the file source's
@@ -518,7 +513,7 @@ object StreamOps {
       (s, dir) => {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
-        rmTree(work) // idempotent: survivors/checkpoint/index from a prior run
+        graft.Engine.deleteRecursively(work) // idempotent: survivors/checkpoint/index from a prior run
         // day-0: the standing corpus's hash index, range-clustered on h
         // (q136's builder — the composed code path)
         val indexDir = graft.queries.DedupOps.buildHashIndex(s, dir, work.toString)
@@ -579,7 +574,7 @@ object StreamOps {
       (s, dir) => {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
-        rmTree(work)
+        graft.Engine.deleteRecursively(work)
         val bandsExpr = expr(
           """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
                    md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")

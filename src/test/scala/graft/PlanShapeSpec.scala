@@ -321,15 +321,37 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q173: the full recipe composite — ONE documents scan, distributed ranks, no pair enumeration") {
+    // The scan-count claim must be asserted on the PRE-checkpoint
+    // subtree: the composite's localCheckpoint replaces everything
+    // upstream with an ExistingRDD in the final plan, so counting
+    // scans there would pass vacuously at 0 no matter how many times
+    // the stages re-read the corpus. recipeSurvivors is stages 1-5
+    // without the checkpoint. Real count: TWO scans, and that is the
+    // designed shape — the wide data path (with text) plus the
+    // cap-offsets side, which Catalyst column-prunes to a narrow
+    // (doc_id, lang, source) re-scan; at 100 TB re-reading 3 columns
+    // of a columnar format is far cheaper than materializing the wide
+    // rows to force exchange reuse. The pin: at most 2 scans, at most
+    // ONE of which reads `text`.
+    val stage = graft.queries.CurationOps.recipeSurvivors(spark, dir)
+    val ps = stage.queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(ps).toList
+    assert(scanSchemas.size <= 2, s"documents scanned ${scanSchemas.size} times pre-checkpoint:\n${ps.take(3000)}")
+    assert(scanSchemas.count(_.contains("text:string")) <= 1,
+      s"more than one WIDE (text-carrying) scan: $scanSchemas")
+    assert(!ps.contains("ExistingRDD"), "pre-checkpoint stage must not hide behind an RDD")
+    // the exact-dedup stage is a single min_by aggregate, not a
+    // keepers self-join
+    assert(ps.contains("min_by"), ps.take(3000))
+
     val df = SparkEntry.queries("q173_recipe_manifest")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // every pre-dedup stage (canonicalize, cap, PII scrub, rules+logit)
-    // is narrow or rides the cap's range exchange — the corpus is read
-    // exactly ONCE; the checkpointed exact-dedup survivors appear as
-    // ExistingRDD, not a re-derivation
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 1, s"documents scanned $scans times:\n${p.take(3000)}")
+    // the checkpointed survivor subtree feeds two consumers and
+    // appears as ExistingRDD — materialized once
     assert(p.contains("ExistingRDD"), p.take(3000))
+    // downstream adds NO further parquet scans (everything derives
+    // from the one materialized survivor set)
+    assert(!p.contains("Scan parquet"), p.take(3000))
     // fuzzy dedup is an agg + anti-join, never pair enumeration
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -47,21 +47,11 @@ class PiiSpec extends AnyFunSuite {
     assert(spans.count(r => r.getLong(0) == 9L && r.getString(1) == "ipv4") == 1)
     assert(spans.count(r => r.getLong(0) == 6L && r.getString(1) == "phone") == 1)
     assert(spans.count(r => r.getLong(0) == 11L && r.getString(1) == "phone") == 1)
-    // offsets: slice the augmented text and compare to `matched`
+    // offsets: slice the augmented text and compare to `matched` — the
+    // generator is referenced, not copied, so it cannot drift
     import org.apache.spark.sql.functions._
     val aug = graft.Engine.table(s, dir, "documents")
-      .select(col("doc_id"), expr(
-        """text || ' [contact] ' || (CASE doc_id % 5
-             WHEN 0 THEN 'mail user' || CAST(doc_id AS STRING) || '@' || source || '.example.com'
-               || (CASE WHEN doc_id % 10 = 0 THEN ' cc admin@' || lang || '-mail.org' ELSE '' END)
-             WHEN 1 THEN 'call ' || (CASE doc_id % 2 WHEN 0
-                 THEN '(555) ' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
-                 ELSE '555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') END)
-             WHEN 2 THEN 'from ' || CAST(10 + doc_id % 90 AS STRING) || '.' || CAST(doc_id % 256 AS STRING)
-               || '.' || CAST((doc_id * 7) % 256 AS STRING) || '.' || CAST(doc_id % 250 AS STRING)
-             WHEN 3 THEN 'decoy 999.999.999.999 user at example dot com 555-12 v1.2.3'
-             ELSE 'mixed u' || CAST(doc_id % 89 AS STRING) || '@' || lang || '.net via 172.16.' || CAST(doc_id % 254 AS STRING) || '.1'
-           END) || ' [eot]'""").as("aug"))
+      .select(col("doc_id"), expr(PiiOps.piiGenSql).as("aug"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     spans.foreach { r =>
       val (id, start, end, m) = (r.getLong(0), r.getLong(3).toInt, r.getLong(4).toInt, r.getString(5))
@@ -81,6 +71,24 @@ class PiiSpec extends AnyFunSuite {
     assert(decoy.getString(1).contains("999.999.999.999") && decoy.getLong(5) == 0L,
       "decoy must survive unmasked with zero masked chars")
     assert(rows(9L).getString(1).contains("<EMAIL>") && rows(9L).getString(1).contains("<IP>"))
+  }
+
+  test("piiClean: overlapping matches count sequentially, never double") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // an IPv4 embedded INSIDE an email address: the email mask consumes
+    // the whole thing, so n_ipv4 must be 0 and masked_chars must equal
+    // the real delta — per-pattern counting over the raw text would
+    // report n_ipv4 = 1 and inflate the density
+    val aug = Seq((1L, "reach x.1.2.3.4@b.co or 10.0.0.1 now")).toDF("doc_id", "aug")
+    val r = PiiOps.piiClean(aug).collect().head
+    val clean = r.getAs[String]("clean_text")
+    assert(clean == "reach <EMAIL> or <IP> now", clean)
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_ipv4") == 1L, "only the standalone IP counts")
+    // masked chars = the two real match lengths: 'x.1.2.3.4@b.co' (14) + '10.0.0.1' (8)
+    assert(r.getAs[Long]("masked_chars") == 22L, r.getAs[Long]("masked_chars").toString)
   }
 
   test("q172: density rule drops a short all-PII doc, keeps a long doc") {
