@@ -65,6 +65,19 @@ object CurationOps {
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sg
       FROM t WHERE len(toks) >= 5)"""
 
+  /** q64's oracle, shared VERBATIM by q178's bloom-prefiltered replay
+    * (same semantics, different physical plan), so the two gates can
+    * never drift. The bloom prefilter has no false negatives, so
+    * `prefilter + exact join` is value-identical to the exact join the
+    * oracle expresses.
+    */
+  private[queries] val decontamOracleSql: String =
+    s"""$shingles5Sql,
+       bench AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE source = 'src0'),
+       train AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE source <> 'src0')
+       SELECT doc_id, count(DISTINCT s) AS n_hits
+       FROM train JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id"""
+
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+1-555-[0-9]{4}"
 
@@ -286,11 +299,7 @@ object CurationOps {
           .agg(countDistinct(col("sg")).as("n_hits"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""$shingles5Sql,
-             bench AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE source = 'src0'),
-             train AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE source <> 'src0')
-             SELECT doc_id, count(DISTINCT s) AS n_hits
-             FROM train JOIN bench USING (s) GROUP BY doc_id ORDER BY doc_id""")
+      Some(decontamOracleSql)
     ),
     // ---------------------------------------------------------------- q69
     // Temperature-style source re-sampling: keep ceil(sqrt(n)) docs per
@@ -1461,8 +1470,170 @@ object CurationOps {
                CAST((row_number() OVER (ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
                  % 16 AS BIGINT) AS shard
              FROM qs ORDER BY pos""")
+    ),
+    // --------------------------------------------------------------- q178
+    // Bloom-prefiltered decontamination — q64's semantics through the
+    // join-pruning physical plan a 100 TB corpus needs when the
+    // benchmark side outgrows the broadcast threshold (a full eval
+    // suite at 13-grams is GBs of distinct shingles; Dolma's dedup ran
+    // exactly this shape with a persisted bloom). Build a bloom filter
+    // over the benchmark shingle hashes in one pass (`stat.bloomFilter`
+    // — mergeable partial sketches, never a driver-side key list), then
+    // drop corpus shingles AT THE SCAN with the codegen'd
+    // graft_bloom_contains probe BEFORE they pay the shuffle of the
+    // exact join. No false negatives, so prefilter + exact join is
+    // value-identical to q64 — the two queries share ONE oracle string
+    // (decontamOracleSql) and BloomDecontamSpec pins result equality
+    // plus pruning effectiveness. The exact join here is deliberately a
+    // shuffle hash join (no broadcast hint): the bloom carries the
+    // small side's selectivity to the scan instead, at O(bits) memory —
+    // the fallback that still works when the build side is too big to
+    // broadcast but its FILTER still fits (1.2 GB per 10^9 keys at 1%
+    // fpp).
+    QueryDef(
+      "q178_bloom_decontam",
+      (s, dir) => {
+        val docs = Engine.table(s, dir, "documents")
+        // consumed twice (size + filter build, then the exact join) —
+        // persisted so the shingling runs once; Engine.releaseScratch
+        // drops it once the result is consumed
+        val benchSh = shingleRows5(docs.filter(col("source") === "src0"))
+          .select(col("sg"))
+          .distinct()
+          .persist()
+        val nKeys = benchSh.count().max(1L)
+        val bloom = benchSh
+          .select(xxhash64(col("sg")).as("h"))
+          .stat
+          .bloomFilter("h", nKeys, 0.01)
+        val bytes = graft.functions.BloomOps.serialize(bloom)
+        shingleRows5(docs.filter(col("source") =!= "src0"))
+          .select(col("doc_id"), col("sg"))
+          .filter(graft.functions.BloomOps.mightContain(bytes, xxhash64(col("sg"))))
+          .join(benchSh.hint("shuffle_hash"), "sg")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sg")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(decontamOracleSql)
+    ),
+    // --------------------------------------------------------------- q179
+    // Blocklist (badwords) filtering — the C4 rule every public corpus
+    // recipe applies (C4 drops any page containing a term from the
+    // public "dirty/naughty/obscene" wordlist; RefinedWeb and Dolma
+    // keep URL- and word-level blocklists too): per doc, the total
+    // blocklisted-token occurrences, the distinct terms present, and
+    // the any-hit keep/drop verdict, token-exact on the engine-wide
+    // tokenizer (substring hits like 'dup' inside 'dedup' do NOT
+    // count — that's C4's word-boundary semantics). The three-term
+    // list is a documented STAND-IN chosen against the synthetic
+    // vocabulary ('dup' is rare-but-present, the others absent, so
+    // both verdicts and the zero-hit path are exercised); a real
+    // ~400-term list is still a literal IN — codegen compiles it to a
+    // static hash set — and a list too big for that flips to q64's
+    // broadcast-semi-join shape with no other change. Scale: pure
+    // narrow per-row work riding the scan; no shuffle, no UDF.
+    QueryDef(
+      "q179_blocklist",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), toksExpr.as("toks"))
+          .select(
+            col("doc_id"),
+            expr(s"cast(size(filter(toks, x -> x IN ($BlocklistSql))) as bigint)").as("hits"),
+            expr(s"cast(size(array_intersect(array_distinct(toks), array($BlocklistSql))) as bigint)")
+              .as("terms")
+          )
+          .withColumn("verdict", when(col("hits") >= 1L, lit("drop")).otherwise(lit("keep")))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents)
+             SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) AS BIGINT) AS hits,
+               CAST(len(list_intersect(list_distinct(toks), [$BlocklistSql])) AS BIGINT) AS terms,
+               CASE WHEN len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) >= 1
+                    THEN 'drop' ELSE 'keep' END AS verdict
+             FROM t ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q180
+    // Language-balanced mixture selection — the multilingual-corpus
+    // stage that CONSUMES a classifier verdict (q175's char-n-gram
+    // langid) instead of trusting a metadata column: per doc, predict
+    // the language from the text alone, then temperature-flatten the
+    // PREDICTED-language distribution (alpha=0.5: quota_L =
+    // ceil(sqrt(n_L)), q69's rule keyed on the classifier output) and
+    // select deterministically by keyed hash. Composition is the
+    // point: label column -> classifier -> selection is the published
+    // multilingual recipe order (CCNet/mC4 bucket by fastText verdict,
+    // never by source metadata). Scale shape: pred_lang has ~5 values,
+    // so a bare per-language window would funnel the corpus through 5
+    // tasks — this uses the q164/q153 distributed rank (range exchange
+    // on (pred_lang, hash), partition-local row_number, broadcast
+    // offsets-and-totals table), the shape that survives 100 TB.
+    QueryDef(
+      "q180_lang_mixture",
+      (s, dir) => {
+        val scored = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), expr(TextOps.langAugSql).as("aug"))
+          .select(
+            col("doc_id") +:
+              TextOps.langProfiles.map { case (l, _, grams) =>
+                expr(TextOps.langScoreSql(grams)).as(s"s_$l")
+              }: _*)
+          .select(col("doc_id"), expr(TextOps.langPredSql).as("pred_lang"))
+          .withColumn("hk", md5(concat(lit("lm|"), col("doc_id").cast("string"))))
+        val ranged = scored
+          .repartitionByRange(32, col("pred_lang"), col("hk"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLoc = Window.partitionBy(col("pid"), col("pred_lang")).orderBy(col("hk"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
+        val wOff = Window
+          .partitionBy(col("pred_lang"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wN = Window.partitionBy(col("pred_lang"))
+        val offsets = local
+          .groupBy(col("pred_lang"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wN))
+          .select(col("pred_lang"), col("pid"), col("off"), col("n"))
+        local
+          .join(broadcast(offsets), Seq("pid", "pred_lang"))
+          .withColumn("rnk", col("local_rn") + col("off"))
+          .withColumn(
+            "verdict",
+            when(col("rnk") <= ceil(sqrt(col("n").cast("double"))), lit("sampled"))
+              .otherwise(lit("rest")))
+          .select(col("doc_id"), col("pred_lang"), col("rnk"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, ${TextOps.langAugSql} AS aug FROM documents),
+             sc AS (SELECT doc_id, ${TextOps.langProfiles
+        .map { case (l, _, g) => s"(${TextOps.langScoreSql(g)}) AS s_$l" }
+        .mkString(", ")} FROM a),
+             pr AS (SELECT doc_id, ${TextOps.langPredSql} AS pred_lang FROM sc),
+             r AS (SELECT doc_id, pred_lang,
+                 CAST(row_number() OVER (PARTITION BY pred_lang
+                     ORDER BY md5('lm|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+                 count(*) OVER (PARTITION BY pred_lang) AS n
+               FROM pr)
+             SELECT doc_id, pred_lang, rnk,
+               CASE WHEN rnk <= ceil(sqrt(CAST(n AS DOUBLE))) THEN 'sampled' ELSE 'rest' END AS verdict
+             FROM r ORDER BY doc_id""")
     )
   )
+
+  /** q179's blocklist as a SQL literal list body — a documented
+    * stand-in for the public C4 badwords list (~400 terms), chosen
+    * against the synthetic vocabulary so hit, multi-hit, and zero-hit
+    * paths all occur: 'dup' appears in a small minority of docs;
+    * 'leak'/'spam' never.
+    */
+  // a def: `entries` oracle strings interpolate eagerly at object init,
+  // and this is declared after them (same rule as qualityScoreOracle)
+  private def BlocklistSql: String = Seq("dup", "leak", "spam").map(w => s"'$w'").mkString(", ")
 
   /** q173 stages 1-5 — canonicalize -> domain cap -> PII scrub ->
     * rules + logit gate -> exact dedup — WITHOUT the checkpoint, so

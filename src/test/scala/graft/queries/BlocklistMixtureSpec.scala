@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-side invariants for q179 (blocklist filter) and q180
+  * (language-balanced mixture) — the DuckDB hash gate is the oracle;
+  * here we pin the semantics that gate can't express: word-boundary
+  * matching on fixtures, verdict/count consistency, and the
+  * sqrt-quota arithmetic against the actual group sizes.
+  */
+class BlocklistMixtureSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val spark = graft.Engine.session("test")
+
+  test("q179: verdict is exactly hits >= 1, and drops occur at sf0.01") {
+    val df = graft.SparkEntry.queries("q179_blocklist")(spark, dir)
+    val bad = df.filter(
+      (col("hits") >= 1 && col("verdict") =!= "drop") ||
+        (col("hits") === 0 && col("verdict") =!= "keep") ||
+        col("terms") > col("hits")).count()
+    assert(bad == 0)
+    val drops = df.filter(col("verdict") === "drop").count()
+    assert(drops > 0 && drops < df.count(), s"degenerate verdict split: $drops")
+  }
+
+  test("q179: token-exact — substrings and punctuation boundaries behave like C4") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "dedup is not a hit"),        // 'dup' inside a word: keep
+      (2L, "a dup appears here"),        // exact token: drop
+      (3L, "DUP, uppercase+punct"),      // tokenizer lowercases, splits punct: drop
+      (4L, "spam and dup and spam"),     // multi-term, multi-hit: 3 hits, 2 terms
+      (5L, "clean text only")
+    ).toDF("doc_id", "text")
+    val toks = Tokenize.toksExpr
+    val out = fix
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(filter(toks, x -> x IN ('dup', 'leak', 'spam'))) as bigint)").as("hits"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("q180: per-language sampled count is exactly ceil(sqrt(n))") {
+    val df = graft.SparkEntry.queries("q180_lang_mixture")(spark, dir)
+    val agg = df
+      .groupBy(col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("verdict") === "sampled", 1L).otherwise(0L)).as("sampled"),
+        max(col("rnk")).as("max_rnk"))
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val sampled = r.getAs[Long]("sampled")
+      val expected = math.ceil(math.sqrt(n.toDouble)).toLong
+      assert(sampled == expected, s"${r.getString(0)}: $sampled != ceil(sqrt($n))")
+      // the distributed rank is a permutation of 1..n per language
+      assert(r.getAs[Long]("max_rnk") == n)
+    }
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q180 predictions agree with q175's confusion diagonal") {
+    // q175 proves pred==lang everywhere at this SF; q180's per-language
+    // totals must therefore match the lang column's distribution
+    val mix = graft.SparkEntry.queries("q180_lang_mixture")(spark, dir)
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+    val truth = graft.Engine.table(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val diff = mix
+      .join(truth, mix("pred_lang") === truth("lang"))
+      .filter(mix("n") =!= truth("n"))
+      .count()
+    assert(diff == 0)
+    graft.Engine.releaseScratch(spark)
+  }
+}
