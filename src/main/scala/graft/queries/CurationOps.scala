@@ -1635,6 +1635,95 @@ object CurationOps {
   // and this is declared after them (same rule as qualityScoreOracle)
   private def BlocklistSql: String = Seq("dup", "leak", "spam").map(w => s"'$w'").mkString(", ")
 
+  /** The per-document INGEST gate — q173's document-local stages
+    * (PII scrub + density drop -> C4 blocklist -> rule + classifier
+    * quality gate -> clean-token hash), factored out so the nightly
+    * batch recipe and the streaming ingest path (q181) run the SAME
+    * code. Deliberately excludes the corpus-GLOBAL stages (domain cap,
+    * fuzzy banding, split/shard): those need global counts and run in
+    * compaction, not at ingest — this function is everything that can
+    * be decided from one document alone, which is exactly what a
+    * micro-batch can apply. Output: (doc_id, lang, source, pii_ppm,
+    * n_words, logit_micro, cm) for gate survivors.
+    */
+  private[graft] def ingestGate(docs: DataFrame): DataFrame = {
+    val aug = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      expr(PiiOps.piiGenSql).as("aug"))
+    PiiOps
+      .piiClean(aug)
+      .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
+        Tokenize.toksExprOf("clean_text").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .filter(expr(s"size(filter(toks, x -> x IN ($BlocklistSql))) = 0"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn(
+        "mean_wlen_micro",
+        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)"))
+      .withColumn(
+        "alpha_ppm",
+        expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
+          .cast("long"))
+      .withColumn(
+        "ttr_ppm",
+        expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)").cast("long"))
+      .withColumn(
+        "stop_hits",
+        expr("""size(array_intersect(array_distinct(toks),
+               array('the','be','to','of','and','that','have','with')))""").cast("long"))
+      .withColumn("logit_micro", expr(TextOps.qualityLogitSql))
+      .filter(
+        col("n_words") >= 20L &&
+          col("mean_wlen_micro").between(3000000L, 10000000L) &&
+          col("alpha_ppm") >= 800000L &&
+          col("logit_micro") >= 0L)
+      .withColumn("cm", md5(concat_ws(" ", col("toks"))))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
+        col("n_words"), col("logit_micro"), col("cm"))
+  }
+
+  /** q181's oracle: [[ingestGate]] over ALL documents as DuckDB CTEs
+    * (ending in h(doc_id, lang, source, pii_ppm, n_words, logit_micro,
+    * cm)), then the q174/q176 monotone first-arrival dedup rule for the
+    * arriving slice — history (doc_id % 5 <> 0) or any lower-id arrival
+    * with the same clean-token hash drops a doc. A def: declared after
+    * `entries`.
+    */
+  private[graft] def ingestRecipeOracleSql: String =
+    s"""WITH a AS (SELECT doc_id, lang, source, ${PiiOps.piiGenSql} AS aug FROM documents),
+       p AS (SELECT doc_id, lang, source,
+           ${PiiOps.cleanTextSql} AS clean_text, ${PiiOps.piiPpmSql} AS pii_ppm FROM a),
+       tk AS (SELECT doc_id, lang, source, pii_ppm,
+           ${Tokenize.toksSqlOf("clean_text")} AS toks
+         FROM p WHERE pii_ppm < ${PiiOps.PpmDropThreshold}),
+       bl AS (SELECT * FROM tk WHERE len(toks) >= 1
+         AND len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) = 0),
+       ft AS (SELECT *, CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> length(x)))
+             * 1000000 // len(toks) AS BIGINT) AS mean_wlen_micro,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             * 1000000 // len(toks) AS BIGINT) AS alpha_ppm,
+           CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         FROM bl),
+       g AS (SELECT *, CAST(${TextOps.qualityLogitSql} AS BIGINT) AS logit_micro FROM ft
+         WHERE n_words >= 20
+           AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+           AND alpha_ppm >= 800000
+           AND ${TextOps.qualityLogitSql} >= 0),
+       h AS (SELECT doc_id, lang, source, pii_ppm, n_words, logit_micro,
+           md5(array_to_string(toks, ' ')) AS cm FROM g),
+       dropd AS (SELECT DISTINCT m.doc_id FROM h m JOIN h e
+           ON m.cm = e.cm AND (e.doc_id % 5 <> 0 OR e.doc_id < m.doc_id)
+         WHERE m.doc_id % 5 = 0)
+       SELECT doc_id, lang, source, pii_ppm, n_words, logit_micro FROM h
+       WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropd)
+       ORDER BY doc_id"""
+
   /** q173 stages 1-5 — canonicalize -> domain cap -> PII scrub ->
     * rules + logit gate -> exact dedup — WITHOUT the checkpoint, so
     * the plan is inspectable end to end. Two parquet scans by DESIGN:

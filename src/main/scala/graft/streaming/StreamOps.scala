@@ -664,6 +664,77 @@ object StreamOps {
                AND doc_id NOT IN (SELECT doc_id FROM dropd)
              ORDER BY doc_id""")
     ),
+    // --------------------------------------------------------------- q181
+    // The INGEST-TIME recipe — q173's document-local stages (PII scrub
+    // + density drop -> C4 blocklist -> rule + classifier quality gate
+    // -> exact dedup on the clean-token hash) running per micro-batch
+    // at the moment of arrival, via the ONE shared stage function
+    // (CurationOps.ingestGate: batch recipe and stream run the same
+    // code object, so the two paths cannot drift). Day-0 processes the
+    // standing corpus through the same gate and persists its
+    // survivors' clean-token hashes range-clustered; each arriving
+    // micro-batch gates its docs, keeps first-of-hash within the
+    // batch, anti-joins the index, appends its survivors — q174's
+    // cumulative-index contract, now carrying the FULL curation
+    // pipeline rather than raw-text hashes. The corpus-GLOBAL stages
+    // (domain caps, fuzzy banding, split/shard) stay in nightly
+    // compaction by design: they need global counts a micro-batch
+    // cannot know (the ingestGate scaladoc states the split). At
+    // 100 TB: per-arrival cost is O(batch + matching index
+    // partitions); no state store; the hash index is the only state.
+    QueryDef(
+      "q181_stream_ingest_recipe",
+      (s, dir) => {
+        val work = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q181_${math.abs(dir.hashCode)}")
+        graft.Engine.deleteRecursively(work)
+        // day-0: the standing corpus through the SAME gate; index =
+        // its survivors' distinct clean-token hashes, range-clustered
+        val indexDir = s"$work/clean_hash_index"
+        graft.operators.Layout.compact(
+          s,
+          graft.queries.CurationOps
+            .ingestGate(graft.Engine.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
+            .select(col("cm"))
+            .distinct(),
+          indexDir,
+          4,
+          col("cm"))
+        val incoming = stageIncoming(s, dir, work.toString)
+        val survDir = s"$work/survivors"
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            // gate the arrivals ONCE (within-batch first-of-hash and
+            // the survivors join both consume this)
+            val gated = graft.queries.CurationOps
+              .ingestGate(batch)
+              .localCheckpoint(eager = false)
+            val first = gated.groupBy(col("cm")).agg(min(col("doc_id")).as("doc_id"))
+            val surv = gated
+              .join(first.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .join(ss.read.parquet(indexDir), Seq("cm"), "left_anti")
+              // materialize BEFORE the index append (q174's rationale)
+              .localCheckpoint()
+            surv
+              .select(
+                col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
+                col("n_words"), col("logit_micro"))
+              .write.mode("append").parquet(survDir)
+            surv.select(col("cm")).distinct().write.mode("append").parquet(indexDir)
+          }
+          .start()
+        query.awaitTermination()
+        s.read.parquet(survDir).orderBy(col("doc_id"))
+      },
+      Some(graft.queries.CurationOps.ingestRecipeOracleSql)
+    ),
     // --------------------------------------------------------------- q177
     // Streaming PII scrub — q172's redaction transform applied
     // UNCHANGED to a documents file-stream (the q170 pattern, now for

@@ -96,4 +96,48 @@ class StreamIncrementalSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(idx == sig, s"index ${idx.size} buckets vs ${sig.size} expected")
   }
+
+  test("q181: ingest recipe — multi-batch, gate-consistent, cumulative clean-hash index") {
+    val survivors =
+      graft.SparkEntry.queries("q181_stream_ingest_recipe")(spark, dir).collect()
+    assert(survivors.nonEmpty)
+
+    val work = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q181_${math.abs(dir.hashCode)}")
+    // multi-batch replay
+    val batches = new java.io.File(s"$work/ckpt/commits")
+      .listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected a multi-batch replay, saw $batches micro-batch(es)")
+
+    // survivors are exactly gated arrivals minus clean-hash collisions:
+    // every survivor must appear in ingestGate's output for the arriving
+    // slice, with identical gate metrics (the stream runs the SAME code)
+    val gated = graft.queries.CurationOps
+      .ingestGate(graft.Engine.table(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+      .collect()
+      .map(r => r.getLong(0) -> r.toSeq.init) // drop cm for the compare
+      .toMap
+    survivors.foreach { r =>
+      val id = r.getLong(0)
+      assert(gated.contains(id), s"survivor $id not in the batch gate output")
+      assert(gated(id) == r.toSeq, s"gate metrics drifted for $id")
+    }
+
+    // cumulative index = day-0 gate-survivor hashes + arrival survivors'
+    val histCm = graft.queries.CurationOps
+      .ingestGate(graft.Engine.table(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0))
+      .select(col("cm")).distinct().collect().map(_.getString(0)).toSet
+    val survIds = survivors.map(_.getLong(0)).toSet
+    val survCm = graft.queries.CurationOps
+      .ingestGate(graft.Engine.table(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+      .filter(col("doc_id").isin(survIds.toSeq: _*))
+      .select(col("cm")).distinct().collect().map(_.getString(0)).toSet
+    val idx =
+      spark.read.parquet(s"$work/clean_hash_index").collect().map(_.getString(0)).toSet
+    assert(idx == histCm ++ survCm,
+      s"index drifted: ${idx.size} entries vs ${(histCm ++ survCm).size} expected")
+    assert(survCm.intersect(histCm).isEmpty)
+    graft.Engine.releaseScratch(spark)
+  }
 }
