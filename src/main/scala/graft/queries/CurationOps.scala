@@ -1420,6 +1420,8 @@ object CurationOps {
              tk AS (SELECT doc_id, lang, source, domain, pii_ppm,
                  ${Tokenize.toksSqlOf("clean_text")} AS toks
                FROM p WHERE pii_ppm < ${PiiOps.PpmDropThreshold}),
+             blq AS (SELECT * FROM tk
+               WHERE len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) = 0),
              ft AS (SELECT *, CAST(len(toks) AS BIGINT) AS n_words,
                  CAST(list_sum(list_transform(toks, x -> length(x)))
                    * 1000000 // len(toks) AS BIGINT) AS mean_wlen_micro,
@@ -1428,7 +1430,7 @@ object CurationOps {
                  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
                  CAST(len(list_intersect(list_distinct(toks),
                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-               FROM tk WHERE len(toks) >= 1),
+               FROM blq WHERE len(toks) >= 1),
              q AS (SELECT *, CAST(${TextOps.qualityLogitSql} AS BIGINT) AS logit_micro FROM ft
                WHERE n_words >= 20
                  AND mean_wlen_micro BETWEEN 3000000 AND 10000000
@@ -1622,6 +1624,72 @@ object CurationOps {
              SELECT doc_id, pred_lang, rnk,
                CASE WHEN rnk <= ceil(sqrt(CAST(n AS DOUBLE))) THEN 'sampled' ELSE 'rest' END AS verdict
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q182
+    // Top-fraction-by-score selection — the FineWeb-Edu rule (keep the
+    // documents a quality classifier ranks highest, per source, rather
+    // than thresholding at a fixed score): rank each source by q169's
+    // logit DESC (doc_id tiebreak) and keep the top ceil(n/10), an
+    // exact integer quota. This is SCORE-ordered selection, distinct
+    // from the hash-ordered quotas (q69/q153/q164/q180) — the ordering
+    // column is a computed ranking, which is why the distributed rank
+    // ranges on (source, -logit, doc_id): a score-sorted global window
+    // per source would funnel each source through one task at 100 TB.
+    // The negated-logit range key gives ascending range order =
+    // descending score order with no sort-direction special case.
+    QueryDef(
+      "q182_quality_topfrac",
+      (s, dir) => {
+        val scored = TextOps
+          .qualityScore(Engine.table(s, dir, "documents"), Seq("source"))
+          .select(col("doc_id"), col("source"), col("logit_micro"))
+          .withColumn("negl", -col("logit_micro"))
+        val ranged = scored
+          .repartitionByRange(32, col("source"), col("negl"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLoc = Window.partitionBy(col("pid"), col("source")).orderBy(col("negl"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
+        val wOff = Window
+          .partitionBy(col("source"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wN = Window.partitionBy(col("source"))
+        val offsets = local
+          .groupBy(col("source"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wN))
+          .select(col("source"), col("pid"), col("off"), col("n"))
+        local
+          .join(broadcast(offsets), Seq("pid", "source"))
+          .withColumn("rnk", col("local_rn") + col("off"))
+          .withColumn(
+            "verdict",
+            when(col("rnk") <= expr("(n + 9) div 10"), lit("kept")).otherwise(lit("rest")))
+          .select(col("doc_id"), col("source"), col("logit_micro"), col("rnk"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, ${Tokenize.toksSql} AS toks FROM documents),
+             f AS (SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                   * 1000000 // len(toks) AS BIGINT) AS mean_wlen_micro,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1000000 // len(toks) AS BIGINT) AS alpha_ppm,
+                 CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+               FROM t WHERE len(toks) >= 1),
+             sc AS (SELECT doc_id, source,
+                 CAST(${TextOps.qualityLogitSql} AS BIGINT) AS logit_micro FROM f),
+             r AS (SELECT doc_id, source, logit_micro,
+                 CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY logit_micro DESC, doc_id) AS BIGINT) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS n
+               FROM sc)
+             SELECT doc_id, source, logit_micro, rnk,
+               CASE WHEN rnk <= (n + 9) // 10 THEN 'kept' ELSE 'rest' END AS verdict
+             FROM r ORDER BY doc_id""")
     )
   )
 
@@ -1777,6 +1845,10 @@ object CurationOps {
         col("doc_id"), col("lang"), col("source"), col("domain"), col("pii_ppm"),
         Tokenize.toksExprOf("clean_text").as("toks"))
       .filter(size(col("toks")) >= 1)
+      // -- 3.5. C4 blocklist on the cleaned tokens (round-8 addition:
+      //         keeps the batch composite stage-identical to the
+      //         ingest-time gate — same BlocklistSql literal)
+      .filter(expr(s"size(filter(toks, x -> x IN ($BlocklistSql))) = 0"))
     // -- 4. rules + classifier logit on the scrubbed tokens
     val feat = scrubbed
       .withColumn("n_words", size(col("toks")).cast("long"))

@@ -1351,22 +1351,25 @@ object TextOps {
     * state store at all — the Structured Streaming form of "curation
     * logic is just a transform".
     */
-  private[graft] def qualityScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def qualityScore(
+      docs: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     docs
-      .select(col("doc_id"), toksExpr.as("toks"))
+      .select(col("doc_id") +: extra.map(col) :+ toksExpr.as("toks"): _*)
       .filter(size(col("toks")) >= 1)
       .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_words"),
-        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
-          .as("mean_wlen_micro"),
-        expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
-          .cast("long").as("alpha_ppm"),
-        expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)")
-          .cast("long").as("ttr_ppm"),
-        expr("""size(array_intersect(array_distinct(toks),
-               array('the','be','to','of','and','that','have','with')))""")
-          .cast("long").as("stop_hits")
+        (col("doc_id") +: extra.map(col)) ++ Seq(
+          size(col("toks")).cast("long").as("n_words"),
+          expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)")
+            .as("mean_wlen_micro"),
+          expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
+            .cast("long").as("alpha_ppm"),
+          expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)")
+            .cast("long").as("ttr_ppm"),
+          expr("""size(array_intersect(array_distinct(toks),
+                 array('the','be','to','of','and','that','have','with')))""")
+            .cast("long").as("stop_hits")
+        ): _*
       )
       .withColumn("logit_micro", expr(qualityLogitSql))
       .withColumn(
