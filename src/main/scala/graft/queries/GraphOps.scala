@@ -248,6 +248,82 @@ object GraphOps {
            ${rounds.mkString(",\n")}
            SELECT id AS user_id, lab AS community FROM l3 ORDER BY user_id"""
       }
+    ),
+    // --------------------------------------------------------------- q183
+    // Random-walk sampling — the DeepWalk/node2vec positive-pair
+    // generator for graph-embedding training data: from every customer,
+    // a 3-step walk over the customer-supplier graph, each step chosen
+    // DETERMINISTICALLY as the neighbor minimizing a walker-keyed hash
+    // (md5 of start|step|neighbor), so the "random" walk is exactly
+    // reproducible and the oracle unrolls the same steps in SQL. Two
+    // scale guards: (1) the adjacency is hash-rank-bounded to <= 32
+    // neighbors per node (real walk engines cap or alias-sample hub
+    // adjacency; unbounded, one celebrity node would fan every
+    // co-walker join out by its full degree), and (2) each step is ONE
+    // hash join frontier x adj + ONE min-struct aggregate — per-round
+    // cost O(frontier x <= 32), the Pregel economics of q101, with the
+    // frontier never growing (one row per walker). Output: the walk
+    // table (start, step, node), the corpus skip-gram pairs derive
+    // from by a self-join on start.
+    QueryDef(
+      "q183_random_walks",
+      (s, dir) => {
+        val wAdj = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))
+          .orderBy(
+            md5(concat(lit("n|"), col("src").cast("string"), lit("|"), col("dst").cast("string"))),
+            col("dst"))
+        val adj = edges(s, dir)
+          .withColumn("rn", row_number().over(wAdj))
+          .filter(col("rn") <= 32)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(eager = false) // consumed once per step
+        var cur = Engine
+          .table(s, dir, "orders")
+          .select(col("o_custkey").as("start"))
+          .distinct()
+          .withColumn("node", col("start"))
+        val steps = scala.collection.mutable.ArrayBuffer(
+          cur.select(col("start"), lit(0L).as("step"), col("node")))
+        for (t <- 1 to 3) {
+          cur = cur
+            .join(adj, cur("node") === adj("src"))
+            .select(
+              col("start"),
+              col("dst"),
+              md5(concat(
+                lit("w|"), col("start").cast("string"), lit(s"|$t|"), col("dst").cast("string")))
+                .as("h"))
+            .groupBy(col("start"))
+            .agg(min(struct(col("h"), col("dst"))).as("m"))
+            .select(col("start"), col("m.dst").as("node"))
+          steps += cur.select(col("start"), lit(t.toLong).as("step"), col("node"))
+        }
+        steps.reduce(_ unionAll _).orderBy(col("start"), col("step"))
+      },
+      Some {
+        val stepCtes = (1 to 3).map { t =>
+          s"""w$t AS (SELECT start, dst AS node FROM w${t - 1} w JOIN adj ON w.node = adj.src
+                QUALIFY row_number() OVER (PARTITION BY start
+                  ORDER BY md5('w|' || CAST(start AS VARCHAR) || '|$t|' || CAST(dst AS VARCHAR)),
+                           dst) = 1)"""
+        }
+        val unions = (0 to 3)
+          .map(t => s"SELECT start, CAST($t AS BIGINT) AS step, node FROM w$t")
+          .mkString("\n           UNION ALL ")
+        s"""WITH e0 AS (
+             SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS sp
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           e AS (SELECT c AS src, sp AS dst FROM e0 UNION ALL SELECT sp, c FROM e0),
+           adj AS (SELECT src, dst FROM e
+             QUALIFY row_number() OVER (PARTITION BY src
+               ORDER BY md5('n|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)),
+                        dst) <= 32),
+           w0 AS (SELECT DISTINCT o_custkey AS start, o_custkey AS node FROM orders),
+           ${stepCtes.mkString(",\n           ")}
+           $unions
+           ORDER BY start, step"""
+      }
     )
   )
 }
