@@ -1271,6 +1271,99 @@ object TextOps {
              SELECT lang, pred_lang, n,
                CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
              FROM cf ORDER BY lang, pred_lang""")
+    ),
+    // --------------------------------------------------------------- q184
+    // CCNet head/middle/tail perplexity bucketing — the signature CCNet
+    // stage (docs ranked per language by LM perplexity and cut into
+    // terciles; 'head' feeds training, 'tail' is usually dropped):
+    // q137's corpus-trained integer bigram LM scores each doc
+    // (high lm_ppm = probable transitions = low perplexity = head),
+    // then per LANGUAGE an exact integer tercile split — head =
+    // rnk <= ceil(n/3), middle <= ceil(2n/3), tail otherwise, ranked
+    // lm_ppm DESC with doc_id tiebreak. Scale shape: the LM build and
+    // scoring are q137's two hash shuffles; the per-language ranking is
+    // the q182 distributed rank on (lang, -lm_ppm, doc_id) — lang has
+    // ~5 values, so a bare per-language window would funnel the corpus
+    // through 5 tasks.
+    QueryDef(
+      "q184_ccnet_buckets",
+      (s, dir) => {
+        val docBi = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), toksExpr.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            explode(expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))"
+            )).as("p")
+          )
+          .groupBy(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val lm = docBi.groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+        val heads = lm.groupBy(col("a")).agg(sum(col("n")).as("na"))
+        val scored = docBi
+          .join(lm.join(heads, "a"), Seq("a", "b"))
+          .withColumn("ppm", expr("(n * 1000000) div na"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("sum(c * ppm) div sum(c)").as("lm_ppm"))
+          .withColumn("negp", -col("lm_ppm"))
+        val ranged = scored
+          .repartitionByRange(32, col("lang"), col("negp"), col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLoc = Window.partitionBy(col("pid"), col("lang")).orderBy(col("negp"), col("doc_id"))
+        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
+        val wOff = Window
+          .partitionBy(col("lang"))
+          .orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wN = Window.partitionBy(col("lang"))
+        val offsets = local
+          .groupBy(col("lang"), col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("pn")).over(wN))
+          .select(col("lang"), col("pid"), col("off"), col("n"))
+        local
+          .join(broadcast(offsets), Seq("pid", "lang"))
+          .withColumn("rnk", col("local_rn") + col("off"))
+          .withColumn(
+            "bucket",
+            when(col("rnk") <= expr("(n + 2) div 3"), lit("head"))
+              .when(col("rnk") <= expr("(2 * n + 2) div 3"), lit("middle"))
+              .otherwise(lit("tail")))
+          .select(col("doc_id"), col("lang"), col("lm_ppm"), col("rnk"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               SELECT doc_id, lang, ${Tokenize.toksSql} AS toks
+               FROM documents),
+             db AS (
+               SELECT doc_id, lang, p[1] AS a, p[2] AS b, count(*) AS c FROM (
+                 SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> [toks[i], toks[i+1]])) AS p
+                 FROM t WHERE len(toks) >= 2)
+               GROUP BY 1, 2, 3, 4),
+             lm AS (SELECT a, b, sum(c) AS n FROM db GROUP BY a, b),
+             h AS (SELECT a, sum(n) AS na FROM lm GROUP BY a),
+             sc AS (SELECT db.doc_id, db.lang, db.c, (lm.n * 1000000) // h.na AS ppm
+                    FROM db JOIN lm ON db.a = lm.a AND db.b = lm.b
+                    JOIN h ON db.a = h.a),
+             d AS (SELECT doc_id, lang,
+                 CAST(sum(c * ppm) // sum(c) AS BIGINT) AS lm_ppm
+               FROM sc GROUP BY doc_id, lang),
+             r AS (SELECT doc_id, lang, lm_ppm,
+                 CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY lm_ppm DESC, doc_id) AS BIGINT) AS rnk,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM d)
+             SELECT doc_id, lang, lm_ppm, rnk,
+               CASE WHEN rnk <= (n + 2) // 3 THEN 'head'
+                    WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+             FROM r ORDER BY doc_id""")
     )
   )
 

@@ -66,6 +66,31 @@ class BlocklistMixtureSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q184: terciles are balanced and ordered by score within each language") {
+    val df = graft.SparkEntry.queries("q184_ccnet_buckets")(spark, dir)
+    val sizes = df
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("lm_ppm")).as("lo"), max(col("lm_ppm")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val langs = sizes.keys.map(_._1).toSet
+    assert(langs.nonEmpty)
+    langs.foreach { l =>
+      val (nHead, headLo, _) = sizes((l, "head"))
+      val (nMid, midLo, midHi) = sizes((l, "middle"))
+      val (nTail, _, tailHi) = sizes((l, "tail"))
+      // ceil-split terciles: sizes within 1 of each other
+      val ns = Seq(nHead, nMid, nTail)
+      assert(ns.max - ns.min <= 1, s"$l terciles unbalanced: $ns")
+      // score ordering (>=, not >: ties may straddle a boundary):
+      // every head score >= every middle score >= every tail score
+      assert(headLo >= midHi, s"$l head/middle scores interleave")
+      assert(midLo >= tailHi, s"$l middle/tail scores interleave")
+    }
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q180 predictions agree with q175's confusion diagonal") {
     // q175 proves pred==lang everywhere at this SF; q180's per-language
     // totals must therefore match the lang column's distribution
