@@ -32,10 +32,12 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q173: the complete published-recipe composite — URL canonicalize ->
-    * per-domain cap -> PII scrub + density drop -> rule gate + classifier
-    * logit -> exact dedup -> fuzzy MinHash-band dedup -> per-stratum
-    * quota split -> shard manifest, in ONE plan over ONE documents scan
-    * (the round-8 successor to q167, folding in q163/q164/q169/q172).
+    * per-domain cap -> PII scrub + density drop -> C4 blocklist ->
+    * rule gate + classifier logit -> exact dedup -> fuzzy MinHash-band
+    * dedup -> per-stratum quota split -> shard manifest, in ONE plan
+    * over ONE documents scan (the round-8 successor to q167, folding in
+    * q163/q164/q169/q172/q179; stage-identical to the streaming ingest
+    * gate q181 on the document-local stages).
     */
   def entry(spark: SparkSession): DataFrame =
     queries("q173_recipe_manifest")(spark, "/root/testdata/sf0.001")
