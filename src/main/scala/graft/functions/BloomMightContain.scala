@@ -47,22 +47,30 @@ case class BloomMightContain(left: Expression, right: Expression) extends Binary
 
   // Deserialized once per instance (per task after executor-side
   // deserialization of the plan); readFrom is a cheap array copy.
-  @transient private lazy val filter: BloomFilter = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-  }
+  // Option, not a bare val: a NULL binary literal must flow through the
+  // expression's normal null semantics (result NULL), not NPE at
+  // deserialization — doGenCode runs this eagerly at codegen time.
+  @transient private lazy val filter: Option[BloomFilter] =
+    Option(left.eval(null).asInstanceOf[Array[Byte]])
+      .map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
 
   override def nullSafeEval(filterBytes: Any, key: Any): Any =
-    filter.mightContainLong(key.asInstanceOf[Long])
+    filter.get.mightContainLong(key.asInstanceOf[Long])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
-      (_, key) => {
-        val ref = ctx.addReferenceObj("bloom", filter, classOf[BloomFilter].getName)
-        s"${ev.value} = $ref.mightContainLong($key);"
-      }
+      (_, key) =>
+        filter match {
+          case Some(f) =>
+            val ref = ctx.addReferenceObj("bloom", f, classOf[BloomFilter].getName)
+            s"${ev.value} = $ref.mightContainLong($key);"
+          // null filter literal: nullSafeCodeGen's guard already set
+          // isNull before this body runs (left evaluates to null), so
+          // the body is unreachable — emit nothing executable.
+          case None => s"${ev.isNull} = true;"
+        }
     )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomMightContain =

@@ -1060,23 +1060,8 @@ object CurationOps {
             col("domain"),
             md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk")
           )
-        val ranged = keyed
-          .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-        val wOff = Window
-          .partitionBy(col("domain"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local
-          .groupBy(col("domain"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .select(col("domain"), col("pid"), col("off"))
-        local
-          .join(broadcast(offsets), Seq("pid", "domain"))
-          .withColumn("rnk", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(keyed, Seq("domain"), Seq(col("hk"), col("doc_id")))
           .withColumn(
             "verdict",
             when(col("rnk") <= DomainCap, lit("kept")).otherwise(lit("capped"))
@@ -1354,53 +1339,25 @@ object CurationOps {
           .select(col("doc_id"))
           .distinct()
         val surv = exact.join(dropF, Seq("doc_id"), "left_anti")
-        // -- 7. per-(lang, source) quota split — q153 distributed rank
+        // -- 7. per-(lang, source) quota split — the shared distributed
+        //       rank (Ranks.distributedRank), q153's shape
         val keyed = surv.withColumn(
           "shk", md5(col("doc_id").cast("string").cast("binary")))
-        val sRanged = keyed
-          .repartitionByRange(32, col("lang"), col("source"), col("shk"), col("doc_id"))
-          .withColumn("spid", spark_partition_id())
-        val wSp = Window
-          .partitionBy(col("spid"), col("lang"), col("source"))
-          .orderBy(col("shk"), col("doc_id"))
-        val sLocal = sRanged.withColumn("s_rn", row_number().over(wSp).cast("long"))
-        val wSpOff = Window
-          .partitionBy(col("lang"), col("source"))
-          .orderBy(col("spid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wSpN = Window.partitionBy(col("lang"), col("source"))
-        val sOffsets = sLocal
-          .groupBy(col("lang"), col("source"), col("spid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wSpOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wSpN))
-          .select(col("lang"), col("source"), col("spid"), col("off"), col("n"))
-        val split = sLocal
-          .join(broadcast(sOffsets), Seq("spid", "lang", "source"))
-          .withColumn("rn", col("s_rn") + col("off"))
+        val split = graft.operators.Ranks
+          .distributedRank(keyed, Seq("lang", "source"), Seq(col("shk"), col("doc_id")))
           .withColumn(
             "split",
-            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train")))
+            when(col("rnk") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train")))
           .select(
             col("doc_id"), col("lang"), col("source"), col("domain"),
             col("n_words"), col("pii_ppm"), col("logit_micro"), col("split"))
-        // -- 8. shard manifest — q141 seeded-hash global position
+        // -- 8. shard manifest — q141 seeded-hash global position: the
+        //       same rank helper with NO strata (global order)
         val mk = split.withColumn(
           "mh", md5(concat(lit("s42|"), col("doc_id").cast("string"))))
-        val mRanged = mk
-          .repartitionByRange(32, col("mh"), col("doc_id"))
-          .withColumn("mpid", spark_partition_id())
-        val wM = Window.partitionBy(col("mpid")).orderBy(col("mh"), col("doc_id"))
-        val mLocal = mRanged.withColumn("mrn", row_number().over(wM).cast("long"))
-        val wMOff = Window.orderBy(col("mpid")).rowsBetween(Window.unboundedPreceding, -1)
-        val mOffsets = mLocal
-          .groupBy(col("mpid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wMOff), lit(0L)))
-          .select(col("mpid"), col("off"))
-        mLocal
-          .join(broadcast(mOffsets), "mpid")
-          .withColumn("pos", col("mrn") + col("off") - 1L)
+        graft.operators.Ranks
+          .distributedRank(mk, Nil, Seq(col("mh"), col("doc_id")))
+          .withColumn("pos", col("rnk") - 1L)
           .select(
             col("doc_id"), col("lang"), col("source"), col("domain"), col("n_words"),
             col("pii_ppm"), col("logit_micro"), col("split"),
@@ -1544,7 +1501,9 @@ object CurationOps {
           .select(
             col("doc_id"),
             expr(s"cast(size(filter(toks, x -> x IN ($BlocklistSql))) as bigint)").as("hits"),
-            expr(s"cast(size(array_intersect(array_distinct(toks), array($BlocklistSql))) as bigint)")
+            // array_intersect is already set-semantics (dedups), so no
+            // array_distinct pre-pass on the per-row hot path
+            expr(s"cast(size(array_intersect(toks, array($BlocklistSql))) as bigint)")
               .as("terms")
           )
           .withColumn("verdict", when(col("hits") >= 1L, lit("drop")).otherwise(lit("keep")))
@@ -1552,7 +1511,7 @@ object CurationOps {
       Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents)
              SELECT doc_id,
                CAST(len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) AS BIGINT) AS hits,
-               CAST(len(list_intersect(list_distinct(toks), [$BlocklistSql])) AS BIGINT) AS terms,
+               CAST(len(list_intersect(toks, [$BlocklistSql])) AS BIGINT) AS terms,
                CASE WHEN len(list_filter(toks, x -> list_contains([$BlocklistSql], x))) >= 1
                     THEN 'drop' ELSE 'keep' END AS verdict
              FROM t ORDER BY doc_id""")
@@ -1585,25 +1544,8 @@ object CurationOps {
               }: _*)
           .select(col("doc_id"), expr(TextOps.langPredSql).as("pred_lang"))
           .withColumn("hk", md5(concat(lit("lm|"), col("doc_id").cast("string"))))
-        val ranged = scored
-          .repartitionByRange(32, col("pred_lang"), col("hk"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLoc = Window.partitionBy(col("pid"), col("pred_lang")).orderBy(col("hk"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
-        val wOff = Window
-          .partitionBy(col("pred_lang"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wN = Window.partitionBy(col("pred_lang"))
-        val offsets = local
-          .groupBy(col("pred_lang"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wN))
-          .select(col("pred_lang"), col("pid"), col("off"), col("n"))
-        local
-          .join(broadcast(offsets), Seq("pid", "pred_lang"))
-          .withColumn("rnk", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(scored, Seq("pred_lang"), Seq(col("hk"), col("doc_id")))
           .withColumn(
             "verdict",
             when(col("rnk") <= ceil(sqrt(col("n").cast("double"))), lit("sampled"))
@@ -1644,25 +1586,8 @@ object CurationOps {
           .qualityScore(Engine.table(s, dir, "documents"), Seq("source"))
           .select(col("doc_id"), col("source"), col("logit_micro"))
           .withColumn("negl", -col("logit_micro"))
-        val ranged = scored
-          .repartitionByRange(32, col("source"), col("negl"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLoc = Window.partitionBy(col("pid"), col("source")).orderBy(col("negl"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
-        val wOff = Window
-          .partitionBy(col("source"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wN = Window.partitionBy(col("source"))
-        val offsets = local
-          .groupBy(col("source"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wN))
-          .select(col("source"), col("pid"), col("off"), col("n"))
-        local
-          .join(broadcast(offsets), Seq("pid", "source"))
-          .withColumn("rnk", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(scored, Seq("source"), Seq(col("negl"), col("doc_id")))
           .withColumn(
             "verdict",
             when(col("rnk") <= expr("(n + 9) div 10"), lit("kept")).otherwise(lit("rest")))
@@ -1706,24 +1631,31 @@ object CurationOps {
   /** The per-document INGEST gate — q173's document-local stages
     * (PII scrub + density drop -> C4 blocklist -> rule + classifier
     * quality gate -> clean-token hash), factored out so the nightly
-    * batch recipe and the streaming ingest path (q181) run the SAME
-    * code. Deliberately excludes the corpus-GLOBAL stages (domain cap,
+    * batch recipe and the streaming ingest path run the SAME code:
+    * both recipeSurvivors (q173) and q181's foreachBatch CALL this
+    * function, so the no-drift claim is structural, not aspirational.
+    * Deliberately excludes the corpus-GLOBAL stages (domain cap,
     * fuzzy banding, split/shard): those need global counts and run in
     * compaction, not at ingest — this function is everything that can
     * be decided from one document alone, which is exactly what a
-    * micro-batch can apply. Output: (doc_id, lang, source, pii_ppm,
-    * n_words, logit_micro, cm) for gate survivors.
+    * micro-batch can apply. Output: (doc_id, lang, source, [extra...],
+    * pii_ppm, n_words, logit_micro, cm[, toks]) for gate survivors —
+    * `extra` carries caller columns (q173's domain) through every
+    * stage, `keepToks` retains the cleaned tokens for downstream
+    * stages (q173's fuzzy dedup).
     */
-  private[graft] def ingestGate(docs: DataFrame): DataFrame = {
+  private[graft] def ingestGate(
+      docs: DataFrame,
+      extra: Seq[String] = Nil,
+      keepToks: Boolean = false): DataFrame = {
+    val keyCols = Seq("doc_id", "lang", "source") ++ extra
     val aug = docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      expr(PiiOps.piiGenSql).as("aug"))
-    PiiOps
+      keyCols.map(col) :+ expr(PiiOps.piiGenSql).as("aug"): _*)
+    val gated = PiiOps
       .piiClean(aug)
       .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
       .select(
-        col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
-        Tokenize.toksExprOf("clean_text").as("toks"))
+        keyCols.map(col) ++ Seq(col("pii_ppm"), Tokenize.toksExprOf("clean_text").as("toks")): _*)
       .filter(size(col("toks")) >= 1)
       .filter(expr(s"size(filter(toks, x -> x IN ($BlocklistSql))) = 0"))
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -1748,9 +1680,9 @@ object CurationOps {
           col("alpha_ppm") >= 800000L &&
           col("logit_micro") >= 0L)
       .withColumn("cm", md5(concat_ws(" ", col("toks"))))
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
-        col("n_words"), col("logit_micro"), col("cm"))
+    gated.select(
+      (keyCols ++ Seq("pii_ppm", "n_words", "logit_micro", "cm")
+        ++ (if (keepToks) Seq("toks") else Nil)).map(col): _*)
   }
 
   /** q181's oracle: [[ingestGate]] over ALL documents as DuckDB CTEs
@@ -1815,66 +1747,22 @@ object CurationOps {
       .select(
         col("doc_id"), col("lang"), col("source"), col("text"), col("domain"),
         md5(concat(lit("d|"), col("doc_id").cast("string"))).as("hk"))
-    // -- 2. domain cap — q164's distributed rank, wide rows ride
-    //       the single range exchange
-    val ranged = base
-      .repartitionByRange(32, col("domain"), col("hk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wCap = Window.partitionBy(col("pid"), col("domain")).orderBy(col("hk"), col("doc_id"))
-    val local = ranged.withColumn("local_rn", row_number().over(wCap).cast("long"))
-    val wCapOff = Window
-      .partitionBy(col("domain"))
-      .orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val capOffsets = local
-      .groupBy(col("domain"), col("pid"))
-      .agg(count(lit(1)).as("pn"))
-      .withColumn("off", coalesce(sum(col("pn")).over(wCapOff), lit(0L)))
-      .select(col("domain"), col("pid"), col("off"))
-    val capped = local
-      .join(broadcast(capOffsets), Seq("pid", "domain"))
-      .filter(col("local_rn") + col("off") <= DomainCap)
-    // -- 3. PII scrub + density drop on survivors (q172's stage)
-    val aug = capped.select(
-      col("doc_id"), col("lang"), col("source"), col("domain"),
-      expr(PiiOps.piiGenSql).as("aug"))
-    val scrubbed = PiiOps
-      .piiClean(aug)
-      .filter(col("pii_ppm") < PiiOps.PpmDropThreshold)
-      .select(
-        col("doc_id"), col("lang"), col("source"), col("domain"), col("pii_ppm"),
-        Tokenize.toksExprOf("clean_text").as("toks"))
-      .filter(size(col("toks")) >= 1)
-      // -- 3.5. C4 blocklist on the cleaned tokens (round-8 addition:
-      //         keeps the batch composite stage-identical to the
-      //         ingest-time gate — same BlocklistSql literal)
-      .filter(expr(s"size(filter(toks, x -> x IN ($BlocklistSql))) = 0"))
-    // -- 4. rules + classifier logit on the scrubbed tokens
-    val feat = scrubbed
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn(
-        "mean_wlen_micro",
-        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000) div size(toks)"))
-      .withColumn(
-        "alpha_ppm",
-        expr("(cast(size(filter(toks, x -> regexp_like(x, '[a-z]'))) as bigint) * 1000000) div size(toks)")
-          .cast("long"))
-      .withColumn(
-        "ttr_ppm",
-        expr("(cast(size(array_distinct(toks)) as bigint) * 1000000) div size(toks)").cast("long"))
-      .withColumn(
-        "stop_hits",
-        expr("""size(array_intersect(array_distinct(toks),
-               array('the','be','to','of','and','that','have','with')))""").cast("long"))
-      .withColumn("logit_micro", expr(TextOps.qualityLogitSql))
-      .filter(
-        col("n_words") >= 20L &&
-          col("mean_wlen_micro").between(3000000L, 10000000L) &&
-          col("alpha_ppm") >= 800000L &&
-          col("logit_micro") >= 0L)
-    // -- 5. exact dedup keep-lowest: ONE min_by hash-aggregate
+    // -- 2. domain cap — the shared distributed rank (q164's shape),
+    //       wide rows ride the single range exchange
+    val capped = graft.operators.Ranks
+      .distributedRank(base, Seq("domain"), Seq(col("hk"), col("doc_id")))
+      .filter(col("rnk") <= DomainCap)
+      .drop("rnk", "n")
+    // -- 3+4. PII scrub + density drop, C4 blocklist, rules +
+    //         classifier logit: THE ingest gate — the same code object
+    //         q181 runs per micro-batch (the "batch and stream cannot
+    //         drift" claim is structural, not aspirational), with the
+    //         domain column carried through and the cleaned tokens kept
+    //         for the fuzzy-dedup stage downstream
+    val feat = ingestGate(capped, extra = Seq("domain"), keepToks = true)
+    // -- 5. exact dedup keep-lowest: ONE min_by hash-aggregate on the
+    //       gate's clean-token hash
     feat
-      .withColumn("cm", md5(concat_ws(" ", col("toks"))))
       .groupBy(col("cm"))
       .agg(
         min(col("doc_id")).as("doc_id"),

@@ -251,7 +251,9 @@ object GraphOps {
     ),
     // --------------------------------------------------------------- q183
     // Random-walk sampling — the DeepWalk/node2vec positive-pair
-    // generator for graph-embedding training data: from every customer,
+    // generator for graph-embedding training data: from every customer
+    // APPEARING IN ORDERS (order-less customers have no edges and no
+    // walk — the frontier is exactly the graph's customer-side nodes),
     // a 3-step walk over the customer-supplier graph, each step chosen
     // DETERMINISTICALLY as the neighbor minimizing a walker-keyed hash
     // (md5 of start|step|neighbor), so the "random" walk is exactly

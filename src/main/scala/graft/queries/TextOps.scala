@@ -1310,25 +1310,8 @@ object TextOps {
           .groupBy(col("doc_id"), col("lang"))
           .agg(expr("sum(c * ppm) div sum(c)").as("lm_ppm"))
           .withColumn("negp", -col("lm_ppm"))
-        val ranged = scored
-          .repartitionByRange(32, col("lang"), col("negp"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLoc = Window.partitionBy(col("pid"), col("lang")).orderBy(col("negp"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLoc).cast("long"))
-        val wOff = Window
-          .partitionBy(col("lang"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wN = Window.partitionBy(col("lang"))
-        val offsets = local
-          .groupBy(col("lang"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wN))
-          .select(col("lang"), col("pid"), col("off"), col("n"))
-        local
-          .join(broadcast(offsets), Seq("pid", "lang"))
-          .withColumn("rnk", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(scored, Seq("lang"), Seq(col("negp"), col("doc_id")))
           .withColumn(
             "bucket",
             when(col("rnk") <= expr("(n + 2) div 3"), lit("head"))

@@ -3,11 +3,12 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Engine-side invariants for q179 (blocklist filter) and q180
-  * (language-balanced mixture) — the DuckDB hash gate is the oracle;
+/** Engine-side invariants for the selection-family queries — q179
+  * (blocklist filter), q180 (language-balanced mixture), and q184
+  * (CCNet perplexity terciles). The DuckDB hash gate is the oracle;
   * here we pin the semantics that gate can't express: word-boundary
-  * matching on fixtures, verdict/count consistency, and the
-  * sqrt-quota arithmetic against the actual group sizes.
+  * matching on fixtures, verdict/count consistency, and the quota /
+  * tercile arithmetic against the actual group sizes.
   */
 class BlocklistMixtureSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
@@ -77,9 +78,15 @@ class BlocklistMixtureSpec extends AnyFunSuite {
     val langs = sizes.keys.map(_._1).toSet
     assert(langs.nonEmpty)
     langs.foreach { l =>
-      val (nHead, headLo, _) = sizes((l, "head"))
-      val (nMid, midLo, midHi) = sizes((l, "middle"))
-      val (nTail, _, tailHi) = sizes((l, "tail"))
+      // a language with < 3 docs legitimately lacks middle/tail buckets
+      // — fail with a diagnostic, not a Map key error, if that happens
+      // unexpectedly at this SF
+      def bucket(b: String) = sizes.getOrElse(
+        (l, b),
+        fail(s"$l has no '$b' bucket (only ${sizes.keys.filter(_._1 == l).map(_._2)})"))
+      val (nHead, headLo, _) = bucket("head")
+      val (nMid, midLo, midHi) = bucket("middle")
+      val (nTail, _, tailHi) = bucket("tail")
       // ceil-split terciles: sizes within 1 of each other
       val ns = Seq(nHead, nMid, nTail)
       assert(ns.max - ns.min <= 1, s"$l terciles unbalanced: $ns")

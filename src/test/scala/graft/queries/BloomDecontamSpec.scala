@@ -47,6 +47,13 @@ class BloomDecontamSpec extends AnyFunSuite {
     assert(passed <= nonMembers.count() * 0.2 + 5, s"fp too high: $passed")
   }
 
+  test("a NULL filter literal yields NULL, not an NPE at codegen") {
+    val r = spark
+      .sql("SELECT graft_bloom_contains(CAST(NULL AS BINARY), 42L) AS v")
+      .head()
+    assert(r.isNullAt(0))
+  }
+
   test("a non-foldable filter argument is rejected at analysis") {
     val df = spark
       .range(1)
