@@ -58,4 +58,42 @@ object Ranks {
       .withColumn("rnk", col("__gr_local") + col("__gr_off"))
       .drop("__gr_pid", "__gr_local", "__gr_off")
   }
+
+  /** The distributed sibling for running SUMS (q89 token budget, q129
+    * sequence packing): exact global prefix sum of `value` in `order`,
+    * via the same range-exchange + local-window + broadcast-offsets
+    * shape. `inclusive = true` gives sum(rows <= current), `false` the
+    * exclusive "everything BEFORE this row" start offset. Output: the
+    * input columns plus `psum` (reserved name, fail-fast on clash).
+    */
+  def distributedPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      inclusive: Boolean,
+      partitions: Int = 32): DataFrame = {
+    require(!df.columns.contains("psum"), "distributedPrefixSum reserves output column 'psum'")
+    val ranged = df
+      .repartitionByRange(partitions, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val wLoc = Window
+      .partitionBy(col("__gr_pid"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val local = ranged
+      .withColumn("__gr_local", coalesce(sum(value).over(wLoc), lit(0L)))
+    // per-partition totals: one row per partition — the offset window
+    // sorts ~`partitions` rows, never the data
+    val wOff = Window.orderBy(col("__gr_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__gr_pid"))
+      .agg(sum(value).as("__gr_pt"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_pt")).over(wOff), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    local
+      .join(broadcast(offsets), "__gr_pid")
+      .withColumn("psum", col("__gr_local") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_local", "__gr_off")
+  }
 }

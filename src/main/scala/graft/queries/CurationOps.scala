@@ -436,25 +436,10 @@ object CurationOps {
             size(col("toks")).cast("long").as("n_tokens"),
             size(array_distinct(col("toks"))).cast("long").as("nd")
           )
-        val ranged = st
-          .repartitionByRange(32, col("nd").desc, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window
-          .partitionBy(col("pid"))
-          .orderBy(col("nd").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = ranged.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-        // per-partition totals: one row per partition — the window over
-        // pid sorts ~32 rows, not the data
-        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local
-          .groupBy(col("pid"))
-          .agg(sum(col("n_tokens")).as("pt"))
-          .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
-          .select(col("pid"), col("off"))
-        local
-          .join(broadcast(offsets), "pid")
-          .withColumn("cum_tokens", col("local_cum") + col("off"))
+        graft.operators.Ranks
+          .distributedPrefixSum(
+            st, Seq(col("nd").desc, col("doc_id")), col("n_tokens"), inclusive = true)
+          .withColumn("cum_tokens", col("psum"))
           .filter(col("cum_tokens") <= 10000L)
           .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("doc_id"))
@@ -619,25 +604,10 @@ object CurationOps {
           .table(s, dir, "documents")
           .withColumn("toks", toksExpr)
           .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-        val ranged = st
-          .repartitionByRange(32, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
         // start offset = tokens BEFORE this doc (exclusive prefix sum)
-        val wLocal = Window
-          .partitionBy(col("pid"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = ranged
-          .withColumn("local_start", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local
-          .groupBy(col("pid"))
-          .agg(sum(col("n_tokens")).as("pt"))
-          .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
-          .select(col("pid"), col("off"))
-        local
-          .join(broadcast(offsets), "pid")
-          .withColumn("start", col("local_start") + col("off"))
+        graft.operators.Ranks
+          .distributedPrefixSum(st, Seq(col("doc_id")), col("n_tokens"), inclusive = false)
+          .withColumn("start", col("psum"))
           .select(
             col("doc_id"),
             col("n_tokens"),
@@ -830,22 +800,9 @@ object CurationOps {
         val keyed = Engine
           .table(s, dir, "documents")
           .select(col("doc_id"), md5(concat(lit("s42|"), col("doc_id").cast("string"))).as("h"))
-        val ranged = keyed
-          .repartitionByRange(32, col("h"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window
-          .partitionBy(col("pid"))
-          .orderBy(col("h"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local
-          .groupBy(col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .select(col("pid"), col("off"))
-        local
-          .join(broadcast(offsets), "pid")
-          .withColumn("pos", col("local_rn") + col("off") - 1L)
+        graft.operators.Ranks
+          .distributedRank(keyed, Nil, Seq(col("h"), col("doc_id")))
+          .withColumn("pos", col("rnk") - 1L)
           .select(col("doc_id"), col("pos"), (col("pos") % 16).as("shard"))
           .orderBy(col("pos"))
       },
@@ -888,32 +845,11 @@ object CurationOps {
             col("source"),
             md5(col("doc_id").cast("string").cast("binary")).as("hk")
           )
-        val ranged = keyed
-          .repartitionByRange(32, col("lang"), col("source"), col("hk"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window
-          .partitionBy(col("pid"), col("lang"), col("source"))
-          .orderBy(col("hk"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-        // the offset/total windows run over the tiny aggregated
-        // (stratum, pid) table only — never over data rows
-        val wOff = Window
-          .partitionBy(col("lang"), col("source"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wN = Window.partitionBy(col("lang"), col("source"))
-        val offsets = local
-          .groupBy(col("lang"), col("source"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wN))
-          .select(col("lang"), col("source"), col("pid"), col("off"), col("n"))
-        local
-          .join(broadcast(offsets), Seq("pid", "lang", "source"))
-          .withColumn("rn", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(keyed, Seq("lang", "source"), Seq(col("hk"), col("doc_id")))
           .withColumn(
             "split",
-            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
+            when(col("rnk") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
           )
           .select(col("doc_id"), col("lang"), col("source"), col("split"))
           .orderBy(col("doc_id"))
@@ -972,21 +908,9 @@ object CurationOps {
                    / 4294967297.0d)) * 1000000d) as bigint)""")
           )
           .withColumn("key", col("w_micro") + col("gum"))
-        val ranged = keyed
-          .repartitionByRange(32, col("key").desc, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window.partitionBy(col("pid")).orderBy(col("key").desc, col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-        val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = local
-          .groupBy(col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .select(col("pid"), col("off"), col("n"))
-        local
-          .join(broadcast(offsets), "pid")
-          .withColumn("pos", col("local_rn") + col("off"))
+        graft.operators.Ranks
+          .distributedRank(keyed, Nil, Seq(col("key").desc, col("doc_id")))
+          .withColumn("pos", col("rnk"))
           .withColumn(
             "pick",
             when(col("pos") <= expr("(n + 4) div 5"), lit("sampled")).otherwise(lit("rest"))
@@ -1177,52 +1101,24 @@ object CurationOps {
           .select(col("doc_id"))
           .distinct()
         val surv = exact.join(dropF, Seq("doc_id"), "left_anti")
-        // -- 5. per-(lang, source) quota split — q153 distributed rank
+        // -- 5. per-(lang, source) quota split — the shared distributed
+        //       rank (Ranks.distributedRank), q153's shape
         val keyed = surv.withColumn(
           "hk", md5(col("doc_id").cast("string").cast("binary")))
-        val ranged = keyed
-          .repartitionByRange(32, col("lang"), col("source"), col("hk"), col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window
-          .partitionBy(col("pid"), col("lang"), col("source"))
-          .orderBy(col("hk"), col("doc_id"))
-        val local = ranged.withColumn("local_rn", row_number().over(wLocal).cast("long"))
-        val wOff = Window
-          .partitionBy(col("lang"), col("source"))
-          .orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wN = Window.partitionBy(col("lang"), col("source"))
-        val offsets = local
-          .groupBy(col("lang"), col("source"), col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-          .withColumn("n", sum(col("pn")).over(wN))
-          .select(col("lang"), col("source"), col("pid"), col("off"), col("n"))
-        val split = local
-          .join(broadcast(offsets), Seq("pid", "lang", "source"))
-          .withColumn("rn", col("local_rn") + col("off"))
+        val split = graft.operators.Ranks
+          .distributedRank(keyed, Seq("lang", "source"), Seq(col("hk"), col("doc_id")))
           .withColumn(
             "split",
-            when(col("rn") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
+            when(col("rnk") <= expr("(n + 19) div 20"), lit("val")).otherwise(lit("train"))
           )
           .select(col("doc_id"), col("lang"), col("source"), col("n_kept"), col("split"))
-        // -- 6. shard manifest — q141 seeded-hash global position
+        // -- 6. shard manifest — q141 seeded-hash global position: the
+        //       same rank helper with NO strata
         val mk = split.withColumn(
           "mh", md5(concat(lit("s42|"), col("doc_id").cast("string"))))
-        val mRanged = mk
-          .repartitionByRange(32, col("mh"), col("doc_id"))
-          .withColumn("mpid", spark_partition_id())
-        val wM = Window.partitionBy(col("mpid")).orderBy(col("mh"), col("doc_id"))
-        val mLocal = mRanged.withColumn("mrn", row_number().over(wM).cast("long"))
-        val wMOff = Window.orderBy(col("mpid")).rowsBetween(Window.unboundedPreceding, -1)
-        val mOffsets = mLocal
-          .groupBy(col("mpid"))
-          .agg(count(lit(1)).as("pn"))
-          .withColumn("off", coalesce(sum(col("pn")).over(wMOff), lit(0L)))
-          .select(col("mpid"), col("off"))
-        mLocal
-          .join(broadcast(mOffsets), "mpid")
-          .withColumn("pos", col("mrn") + col("off") - 1L)
+        graft.operators.Ranks
+          .distributedRank(mk, Nil, Seq(col("mh"), col("doc_id")))
+          .withColumn("pos", col("rnk") - 1L)
           .select(
             col("doc_id"), col("lang"), col("source"), col("n_kept"), col("split"),
             col("pos"), (col("pos") % 16).as("shard"))
