@@ -1511,6 +1511,111 @@ object CurationOps {
              SELECT doc_id, source, logit_micro, rnk,
                CASE WHEN rnk <= (n + 9) // 10 THEN 'kept' ELSE 'rest' END AS verdict
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q185
+    // The corpus DATACARD — the "Datasheets for Datasets" summary every
+    // released corpus publishes (C4/Dolma/FineWeb ship exactly this
+    // table): per (lang, source) cell, document/token/char totals, the
+    // cell's share of the corpus in exact ppm, and the headline dedup
+    // statistics — exact-text duplicates (docs sharing md5(text) with
+    // any other doc; honestly ZERO on this synthetic corpus, reported
+    // anyway because a real datacard must carry the column) and
+    // NEAR-duplicates (docs sharing a MinHash band bucket — q52/q176's
+    // banding — with any other doc, the statistic public datacards
+    // actually lead with). Scale shape: narrow per-doc stats ride the
+    // scan; both duplicate flags are hash-keyed count aggregates
+    // semi-joined back (never a window over data rows); the rollup is
+    // a ~100-cell hash aggregate. The whole datacard of a 100 TB
+    // corpus is three shuffles of (key, count) pairs and one tiny agg.
+    QueryDef(
+      "q185_datacard",
+      (s, dir) => {
+        val st = Engine
+          .table(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"), col("lang"), col("source"),
+            toksExpr.as("toks"),
+            length(col("text")).cast("long").as("nc"),
+            md5(col("text")).as("h"))
+          .localCheckpoint(eager = false) // feeds stats + both dup flags
+        val hc = st.groupBy(col("h")).agg(count(lit(1)).as("hn"))
+        val bk = st
+          .filter(size(col("toks")) >= 3)
+          .select(
+            col("doc_id"),
+            graft.functions.TextHashOps
+              .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
+              .as("sig"))
+          .select(col("doc_id"), explode(expr(
+            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
+          )).as("bucket"))
+        val bmult = bk.groupBy(col("bucket")).agg(countDistinct(col("doc_id")).as("bn"))
+        val nearIds = bk
+          .join(bmult.filter(col("bn") > 1L), "bucket")
+          .select(col("doc_id"))
+          .distinct()
+          .withColumn("isnear", lit(1L))
+        st
+          .join(hc, "h")
+          .withColumn("isdup", (col("hn") > 1L).cast("long"))
+          .join(nearIds, Seq("doc_id"), "left")
+          .withColumn("isnear", coalesce(col("isnear"), lit(0L)))
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("toks")).cast("long")).as("n_tokens"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("isdup")).as("exact_dup_docs"),
+            sum(col("isnear")).as("near_dup_docs"))
+          .withColumn("docs_ppm", expr("(n_docs * 1000000) div sum(n_docs) over ()"))
+          .select(
+            col("lang"), col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("exact_dup_docs"), col("near_dup_docs"), col("docs_ppm"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""WITH st AS (SELECT doc_id, lang, source,
+                 ${Tokenize.toksSql} AS toks,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 md5(text) AS h
+               FROM documents),
+             hc AS (SELECT h, count(*) AS hn FROM st GROUP BY h),
+             shq AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+               FROM st WHERE len(toks) >= 3),
+             mq AS (SELECT doc_id,
+                 [list_min(list_transform(sg, x -> md5('0|' || x))),
+                  list_min(list_transform(sg, x -> md5('1|' || x))),
+                  list_min(list_transform(sg, x -> md5('2|' || x))),
+                  list_min(list_transform(sg, x -> md5('3|' || x))),
+                  list_min(list_transform(sg, x -> md5('4|' || x))),
+                  list_min(list_transform(sg, x -> md5('5|' || x))),
+                  list_min(list_transform(sg, x -> md5('6|' || x))),
+                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM shq),
+             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             bm AS (SELECT bucket FROM bq GROUP BY bucket HAVING count(DISTINCT doc_id) > 1),
+             near AS (SELECT DISTINCT doc_id FROM bq JOIN bm USING (bucket)),
+             f AS (SELECT st.lang, st.source,
+                 CAST(len(st.toks) AS BIGINT) AS nt, st.nc,
+                 CASE WHEN hc.hn > 1 THEN 1 ELSE 0 END AS isdup,
+                 CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isnear
+               FROM st JOIN hc ON st.h = hc.h
+               LEFT JOIN near ON st.doc_id = near.doc_id),
+             cell AS (SELECT lang, source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(nc) AS BIGINT) AS n_chars,
+                 CAST(sum(isdup) AS BIGINT) AS exact_dup_docs,
+                 CAST(sum(isnear) AS BIGINT) AS near_dup_docs
+               FROM f GROUP BY lang, source)
+             SELECT lang, source, n_docs, n_tokens, n_chars,
+               exact_dup_docs, near_dup_docs,
+               CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS docs_ppm
+             FROM cell ORDER BY lang, source""")
     )
   )
 

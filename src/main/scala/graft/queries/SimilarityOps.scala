@@ -1156,6 +1156,47 @@ object SimilarityOps {
              SELECT vec_id, CAST(cid AS BIGINT) AS cluster, n, quota, rnk,
                CASE WHEN rnk <= quota THEN 'sampled' ELSE 'rest' END AS pick
              FROM r ORDER BY vec_id""")
+    ),
+    // --------------------------------------------------------------- q186
+    // Contrastive HARD-NEGATIVE mining — the embedding-model training
+    // step (SimCSE/DPR/E5 recipes mine, for each anchor, the most
+    // similar vector with a DIFFERENT label as its hardest negative):
+    // anchors = the training batch (vec_id % 20 = 0 — small by
+    // construction, a batch is always tiny vs the corpus), broadcast
+    // against ONE partitioned corpus scan; per-anchor argmax via a
+    // hash AGGREGATE min(struct(-cos, id)) with map-side partial
+    // combine — deliberately NOT a window partitioned by anchor, which
+    // would sort corpus-sized candidate lists per anchor task at
+    // 100 TB. Cosine quantized to 6 decimals (the module's standing
+    // determinism rule) so FP last-bit noise cannot flip the argmax;
+    // ties break to the lowest vec_id identically in both engines.
+    QueryDef(
+      "q186_hard_negatives",
+      (s, dir) => {
+        val all = emb(s, dir)
+        val anchors = all
+          .filter(col("vec_id") % 20 === 0)
+          .select(
+            col("vec_id").as("aid"), col("label").as("albl"),
+            col("e").as("ae"), col("n2").as("an2"))
+        all
+          .join(broadcast(anchors), col("label") =!= col("albl"))
+          .withColumn("c6", round(cosCol(col("ae"), col("e"), col("an2"), col("n2")), 6))
+          .select(col("aid"), col("vec_id").as("neg_id"), col("c6"))
+          .groupBy(col("aid"))
+          .agg(min(struct((-col("c6")).as("s"), col("neg_id"), col("c6"))).as("m"))
+          .select(col("aid"), col("m.neg_id").as("neg_id"), col("m.c6").as("c6"))
+          .orderBy(col("aid"))
+      },
+      Some(s"""WITH t AS ($embSql),
+             a AS (SELECT vec_id AS aid, label AS albl, e AS ae, n2 AS an2
+               FROM t WHERE vec_id % 20 = 0),
+             p AS (SELECT aid, t.vec_id AS neg_id,
+                 round(${cosSql("ae", "e", "an2", "n2")}, 6) AS c6
+               FROM a JOIN t ON t.label <> a.albl)
+             SELECT aid, neg_id, c6 FROM p
+             QUALIFY row_number() OVER (PARTITION BY aid ORDER BY c6 DESC, neg_id) = 1
+             ORDER BY aid""")
     )
   )
 }
