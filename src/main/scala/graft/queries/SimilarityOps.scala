@@ -1161,8 +1161,11 @@ object SimilarityOps {
     // Contrastive HARD-NEGATIVE mining — the embedding-model training
     // step (SimCSE/DPR/E5 recipes mine, for each anchor, the most
     // similar vector with a DIFFERENT label as its hardest negative):
-    // anchors = the training batch (vec_id % 20 = 0 — small by
-    // construction, a batch is always tiny vs the corpus), broadcast
+    // anchors = the training batch (vec_id % 20 = 0 — a STAND-IN
+    // predicate; in production the anchors are a FIXED-size batch
+    // list, so the scan is O(corpus x batch), never quadratic — the
+    // modulo form grows anchors with the corpus and is only for the
+    // synthetic gate), broadcast
     // against ONE partitioned corpus scan; per-anchor argmax via a
     // hash AGGREGATE min(struct(-cos, id)) with map-side partial
     // combine — deliberately NOT a window partitioned by anchor, which
