@@ -1392,6 +1392,102 @@ object DedupOps {
                CAST(nt - len(kept) AS BIGINT) AS n_scrubbed_toks,
                md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q187
+    // The dedup OPERATING CURVE — the tuning table behind every banded
+    // near-dup deployment: for the same 8-hash MinHash signature, the
+    // three (bands x rows) configurations 8x1 / 4x2 / 2x4 trade recall
+    // for candidate volume (more bands & shorter rows -> more
+    // candidates, higher recall, more exact-verify work; the
+    // b,r-knobs of the classic S-curve P(candidate) = 1-(1-s^r)^b).
+    // Per configuration: docs flagged as candidates (share >= 1 bucket
+    // with another doc), total candidate PAIRS (sum over buckets of
+    // C(k,2) on distinct docs — the exact-verify bill), and
+    // multi-occupant bucket count. One signature pass feeds all three
+    // configs; each config is one explode + two hash aggregates, so
+    // the whole curve costs three (bucket, count) shuffles — this is
+    // the report you run BEFORE committing a 100 TB dedup pass to one
+    // operating point.
+    QueryDef(
+      "q187_dedup_curve",
+      (s, dir) => {
+        val sig = withShingles(Engine.table(s, dir, "documents"))
+          .withColumn("sig", graft.functions.TextHashOps.minhashSig(col("sg"), 8))
+          .select(col("doc_id"), col("sig"))
+          .localCheckpoint(eager = false) // one signature pass, three configs
+        val configs = Seq(
+          ("8x1", 8, 1, """array(md5(sig[0]), md5(sig[1]), md5(sig[2]), md5(sig[3]),
+                                 md5(sig[4]), md5(sig[5]), md5(sig[6]), md5(sig[7]))"""),
+          ("4x2", 4, 2, """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
+                                 md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""),
+          ("2x4", 2, 4, """array(md5(concat(sig[0], sig[1], sig[2], sig[3])),
+                                 md5(concat(sig[4], sig[5], sig[6], sig[7])))""")
+        )
+        // one declarative plan, no driver-side loop: the three configs
+        // union into a config-labeled bucket stream, then two
+        // config-keyed hash aggregates produce the whole curve
+        val bk = configs
+          .map { case (label, _, _, bandsExpr) =>
+            sig.select(
+              lit(label).as("config"), col("doc_id"), explode(expr(bandsExpr)).as("bucket"))
+          }
+          .reduce(_ unionAll _)
+        val multi = bk
+          .groupBy(col("config"), col("bucket"))
+          .agg(countDistinct(col("doc_id")).as("k"))
+          .filter(col("k") > 1L)
+        val fl = bk
+          .join(multi.select(col("config"), col("bucket")), Seq("config", "bucket"))
+          .groupBy(col("config"))
+          .agg(countDistinct(col("doc_id")).as("flagged_docs"))
+        val st = multi
+          .groupBy(col("config"))
+          .agg(
+            sum(expr("k * (k - 1) div 2")).as("candidate_pairs"),
+            count(lit(1)).as("multi_buckets"))
+        fl.join(st, "config")
+          .select(col("config"), col("flagged_docs"), col("candidate_pairs"), col("multi_buckets"))
+          .orderBy(col("config"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             shq AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+               FROM t WHERE len(toks) >= 3),
+             mq AS (SELECT doc_id,
+                 [list_min(list_transform(sg, x -> md5('0|' || x))),
+                  list_min(list_transform(sg, x -> md5('1|' || x))),
+                  list_min(list_transform(sg, x -> md5('2|' || x))),
+                  list_min(list_transform(sg, x -> md5('3|' || x))),
+                  list_min(list_transform(sg, x -> md5('4|' || x))),
+                  list_min(list_transform(sg, x -> md5('5|' || x))),
+                  list_min(list_transform(sg, x -> md5('6|' || x))),
+                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               FROM shq),
+             b AS (
+               SELECT '8x1' AS config, doc_id, unnest([md5(sig[1]), md5(sig[2]), md5(sig[3]),
+                   md5(sig[4]), md5(sig[5]), md5(sig[6]), md5(sig[7]), md5(sig[8])]) AS bucket
+                 FROM mq
+               UNION ALL
+               SELECT '4x2', doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
+                   md5(sig[5] || sig[6]), md5(sig[7] || sig[8])])
+                 FROM mq
+               UNION ALL
+               SELECT '2x4', doc_id, unnest([md5(sig[1] || sig[2] || sig[3] || sig[4]),
+                   md5(sig[5] || sig[6] || sig[7] || sig[8])])
+                 FROM mq),
+             occ AS (SELECT config, bucket, count(DISTINCT doc_id) AS k
+               FROM b GROUP BY config, bucket),
+             multi AS (SELECT config, bucket, k FROM occ WHERE k > 1),
+             fl AS (SELECT config, count(DISTINCT doc_id) AS flagged_docs
+               FROM b JOIN multi USING (config, bucket) GROUP BY config),
+             st AS (SELECT config,
+                 CAST(coalesce(sum(k * (k - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+                 CAST(count(*) AS BIGINT) AS multi_buckets
+               FROM multi GROUP BY config)
+             SELECT fl.config AS config, CAST(flagged_docs AS BIGINT) AS flagged_docs,
+               candidate_pairs, multi_buckets
+             FROM fl JOIN st ON fl.config = st.config ORDER BY config""")
     )
   )
 

@@ -38,4 +38,23 @@ class DedupCapSpec extends AnyFunSuite {
     assert(out.length == 1, out.take(5).mkString(", "))
     assert(out(0).getLong(0) == 9000L && out(0).getLong(1) == 9001L && out(0).getLong(2) == 0L)
   }
+
+  test("q187: the operating curve is monotone in the band/row trade") {
+    // sharing a 4-row band implies sharing both 2-row halves, which
+    // implies sharing all four 1-row bands: flagged sets are nested
+    // (2x4 subset of 4x2 subset of 8x1) and the verify bill grows as
+    // rows shrink — the S-curve ordering the report exists to show
+    val s = graft.Engine.session("test")
+    val curve = graft.SparkEntry.queries("q187_dedup_curve")(s, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (f8, p8, _) = curve("8x1")
+    val (f4, p4, _) = curve("4x2")
+    val (f2, p2, _) = curve("2x4")
+    assert(f8 >= f4 && f4 >= f2, s"flagged not monotone: $f8 $f4 $f2")
+    assert(p8 >= p4 && p4 >= p2, s"pair bill not monotone: $p8 $p4 $p2")
+    assert(f8 > 0, "curve is vacuous at sf0.01")
+    graft.Engine.releaseScratch(s)
+  }
 }
