@@ -296,6 +296,21 @@ object TextHashOps {
   import org.apache.spark.sql.Column
 
   def gramMd5s(toks: Column, k: Int): Column = column(TokenGramMd5(expression(toks), k))
+
+  /** LSH band buckets over a MinHash signature: `bands` buckets, each
+    * the md5 of `rows` consecutive signature entries concatenated —
+    * THE banding scheme every fuzzy-dedup operator shares (q52's 4x2
+    * is bandBuckets(sig, 4, 2)). One definition, because the band
+    * layout is a cross-module contract: the oracles spell the same
+    * concatenation, and an edit here without an oracle edit fails the
+    * hash gate loudly instead of drifting silently.
+    */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column = {
+    import org.apache.spark.sql.functions.{array, concat, md5}
+    array((0 until bands).map { b =>
+      md5(concat((b * rows until (b + 1) * rows).map(i => sig.getItem(i)): _*))
+    }: _*)
+  }
   def charGramMd5s(s: Column, n: Int): Column = column(CharGramMd5(expression(s), n))
   def slidingMin(arr: Column, w: Int): Column = column(SlidingMinStr(expression(arr), w))
   def minhashSig(sg: Column, n: Int): Column = column(MinHashSig(expression(sg), n))

@@ -1090,10 +1090,8 @@ object CurationOps {
               .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("kept"), 3)), 8)
               .as("sig")
           )
-          .select(col("doc_id"), explode(expr(
-            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
-                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
-          )).as("bucket"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextHashOps.bandBuckets(col("sig"), 4, 2)).as("bucket"))
         val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
         val dropF = bk
           .join(bmin, "bucket")
@@ -1224,10 +1222,8 @@ object CurationOps {
             graft.functions.TextHashOps
               .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
               .as("sig"))
-          .select(col("doc_id"), explode(expr(
-            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
-                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
-          )).as("bucket"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextHashOps.bandBuckets(col("sig"), 4, 2)).as("bucket"))
         val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
         val dropF = bk
           .join(bmin, "bucket")
@@ -1530,7 +1526,7 @@ object CurationOps {
     QueryDef(
       "q185_datacard",
       (s, dir) => {
-        val st = Engine
+        val st0 = Engine
           .table(s, dir, "documents")
           .repartition(col("doc_id"))
           .select(
@@ -1539,18 +1535,28 @@ object CurationOps {
             length(col("text")).cast("long").as("nc"),
             md5(col("text")).as("h"))
           .localCheckpoint(eager = false) // feeds stats + both dup flags
-        val hc = st.groupBy(col("h")).agg(count(lit(1)).as("hn"))
-        val bk = st
+        // the join path carries ONLY narrow (ids, counts, hash) columns
+        // — the token array stays out of both wide shuffles (at 100 TB
+        // shuffling tokenized bodies twice would dwarf the report)
+        val st = st0.select(
+          col("doc_id"), col("lang"), col("source"),
+          size(col("toks")).cast("long").as("nt"), col("nc"), col("h"))
+        // duplicate hashes only (near-empty on deduped corpora) — the
+        // "semi-joined back" flag, not a row per distinct document hash
+        val hcMulti = st
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("hn"))
+          .filter(col("hn") > 1L)
+          .select(col("h"), lit(1L).as("isdup1"))
+        val bk = st0
           .filter(size(col("toks")) >= 3)
           .select(
             col("doc_id"),
             graft.functions.TextHashOps
               .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
               .as("sig"))
-          .select(col("doc_id"), explode(expr(
-            """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
-                     md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""
-          )).as("bucket"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextHashOps.bandBuckets(col("sig"), 4, 2)).as("bucket"))
         val bmult = bk.groupBy(col("bucket")).agg(countDistinct(col("doc_id")).as("bn"))
         val nearIds = bk
           .join(bmult.filter(col("bn") > 1L), "bucket")
@@ -1558,14 +1564,14 @@ object CurationOps {
           .distinct()
           .withColumn("isnear", lit(1L))
         st
-          .join(hc, "h")
-          .withColumn("isdup", (col("hn") > 1L).cast("long"))
+          .join(hcMulti, Seq("h"), "left")
+          .withColumn("isdup", coalesce(col("isdup1"), lit(0L)))
           .join(nearIds, Seq("doc_id"), "left")
           .withColumn("isnear", coalesce(col("isnear"), lit(0L)))
           .groupBy(col("lang"), col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(size(col("toks")).cast("long")).as("n_tokens"),
+            sum(col("nt")).as("n_tokens"),
             sum(col("nc")).as("n_chars"),
             sum(col("isdup")).as("exact_dup_docs"),
             sum(col("isnear")).as("near_dup_docs"))

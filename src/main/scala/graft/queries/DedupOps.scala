@@ -1415,21 +1415,17 @@ object DedupOps {
           .withColumn("sig", graft.functions.TextHashOps.minhashSig(col("sg"), 8))
           .select(col("doc_id"), col("sig"))
           .localCheckpoint(eager = false) // one signature pass, three configs
-        val configs = Seq(
-          ("8x1", 8, 1, """array(md5(sig[0]), md5(sig[1]), md5(sig[2]), md5(sig[3]),
-                                 md5(sig[4]), md5(sig[5]), md5(sig[6]), md5(sig[7]))"""),
-          ("4x2", 4, 2, """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
-                                 md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))"""),
-          ("2x4", 2, 4, """array(md5(concat(sig[0], sig[1], sig[2], sig[3])),
-                                 md5(concat(sig[4], sig[5], sig[6], sig[7])))""")
-        )
+        val configs = Seq(("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4))
         // one declarative plan, no driver-side loop: the three configs
         // union into a config-labeled bucket stream, then two
         // config-keyed hash aggregates produce the whole curve
         val bk = configs
-          .map { case (label, _, _, bandsExpr) =>
+          .map { case (label, bands, rows) =>
             sig.select(
-              lit(label).as("config"), col("doc_id"), explode(expr(bandsExpr)).as("bucket"))
+              lit(label).as("config"),
+              col("doc_id"),
+              explode(graft.functions.TextHashOps.bandBuckets(col("sig"), bands, rows))
+                .as("bucket"))
           }
           .reduce(_ unionAll _)
         val multi = bk
@@ -1445,8 +1441,20 @@ object DedupOps {
           .agg(
             sum(expr("k * (k - 1) div 2")).as("candidate_pairs"),
             count(lit(1)).as("multi_buckets"))
-        fl.join(st, "config")
-          .select(col("config"), col("flagged_docs"), col("candidate_pairs"), col("multi_buckets"))
+        // LEFT join from the literal config list: a configuration with
+        // zero multi-occupant buckets (plausible for the strict 2x4 on
+        // clean data) must report a zero row, not vanish from the curve
+        import s.implicits._
+        configs
+          .map(_._1)
+          .toDF("config")
+          .join(fl, Seq("config"), "left")
+          .join(st, Seq("config"), "left")
+          .select(
+            col("config"),
+            coalesce(col("flagged_docs"), lit(0L)).as("flagged_docs"),
+            coalesce(col("candidate_pairs"), lit(0L)).as("candidate_pairs"),
+            coalesce(col("multi_buckets"), lit(0L)).as("multi_buckets"))
           .orderBy(col("config"))
       },
       Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
@@ -1482,12 +1490,16 @@ object DedupOps {
              fl AS (SELECT config, count(DISTINCT doc_id) AS flagged_docs
                FROM b JOIN multi USING (config, bucket) GROUP BY config),
              st AS (SELECT config,
-                 CAST(coalesce(sum(k * (k - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+                 CAST(sum(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs,
                  CAST(count(*) AS BIGINT) AS multi_buckets
-               FROM multi GROUP BY config)
-             SELECT fl.config AS config, CAST(flagged_docs AS BIGINT) AS flagged_docs,
-               candidate_pairs, multi_buckets
-             FROM fl JOIN st ON fl.config = st.config ORDER BY config""")
+               FROM multi GROUP BY config),
+             cfgs AS (SELECT unnest(['8x1', '4x2', '2x4']) AS config)
+             SELECT cfgs.config AS config,
+               CAST(coalesce(flagged_docs, 0) AS BIGINT) AS flagged_docs,
+               CAST(coalesce(candidate_pairs, 0) AS BIGINT) AS candidate_pairs,
+               CAST(coalesce(multi_buckets, 0) AS BIGINT) AS multi_buckets
+             FROM cfgs LEFT JOIN fl ON cfgs.config = fl.config
+             LEFT JOIN st ON cfgs.config = st.config ORDER BY config""")
     )
   )
 

@@ -1176,7 +1176,12 @@ object SimilarityOps {
     QueryDef(
       "q186_hard_negatives",
       (s, dir) => {
-        val all = emb(s, dir)
+        // degenerate-vector guard: a zero-norm (or NaN-component)
+        // embedding has no direction — its cosine is NaN, which Spark's
+        // min-struct argmax would rank LAST while DuckDB's ORDER BY DESC
+        // ranks FIRST (a cross-engine flip). Excluded from both roles,
+        // identically in the oracle.
+        val all = emb(s, dir).filter(col("n2") > 0 && !isnan(col("n2")))
         val anchors = all
           .filter(col("vec_id") % 20 === 0)
           .select(
@@ -1191,7 +1196,8 @@ object SimilarityOps {
           .select(col("aid"), col("m.neg_id").as("neg_id"), col("m.c6").as("c6"))
           .orderBy(col("aid"))
       },
-      Some(s"""WITH t AS ($embSql),
+      Some(s"""WITH t0 AS ($embSql),
+             t AS (SELECT * FROM t0 WHERE n2 > 0 AND NOT isnan(n2)),
              a AS (SELECT vec_id AS aid, label AS albl, e AS ae, n2 AS an2
                FROM t WHERE vec_id % 20 = 0),
              p AS (SELECT aid, t.vec_id AS neg_id,

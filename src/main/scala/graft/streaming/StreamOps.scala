@@ -575,9 +575,7 @@ object StreamOps {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
         graft.Engine.deleteRecursively(work)
-        val bandsExpr = expr(
-          """array(md5(concat(sig[0], sig[1])), md5(concat(sig[2], sig[3])),
-                   md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")
+        val bandsExpr = graft.functions.TextHashOps.bandBuckets(col("sig"), 4, 2)
         def buckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
           docs
             .select(col("doc_id"), graft.queries.Tokenize.toksExpr.as("toks"))
