@@ -138,6 +138,47 @@ object Graft {
   def canonicalizeUrls(df: DataFrame): DataFrame =
     queries.CurationOps.canonicalizeUrls(df)
 
+  /** Per-stratum distributed rank: adds `rnk` (1-based within-stratum
+    * rank, deterministic given a total `order`) and `n` (stratum size)
+    * without a per-stratum window sort — the shape every quota /
+    * selection / bucketing operator in the registry uses (q141, q153,
+    * q161, q164, q167, q173, q180, q182, q184). Reserved output names
+    * fail fast (see [[operators.Ranks.distributedRank]]).
+    */
+  def distributedRank(df: DataFrame, strata: Seq[String], order: Seq[Column]): DataFrame =
+    operators.Ranks.distributedRank(df, strata, order)
+
+  /** Exact global prefix sum of `value` in `order` (adds `psum`) — the
+    * distributed running-sum sibling (q89 token budget, q129 packing).
+    */
+  def distributedPrefixSum(
+      df: DataFrame, order: Seq[Column], value: Column, inclusive: Boolean): DataFrame =
+    operators.Ranks.distributedPrefixSum(df, order, value, inclusive)
+
+  /** Codegen'd bloom membership probe against a driver-built filter —
+    * the join-pruning primitive (q178): build with `df.stat.bloomFilter`,
+    * serialize, drop non-matching probe rows at the scan.
+    */
+  def bloomSerialize(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] =
+    functions.BloomOps.serialize(f)
+  def bloomMightContain(filterBytes: Array[Byte], key: Column): Column =
+    functions.BloomOps.mightContain(filterBytes, key)
+
+  /** LSH band buckets over a MinHash signature column — the banding
+    * layout shared by every fuzzy-dedup operator (q52's 4x2 is
+    * bandBuckets(sig, 4, 2)).
+    */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    functions.TextHashOps.bandBuckets(sig, bands, rows)
+
+  /** The document-local ingest gate (PII scrub + density drop -> C4
+    * blocklist -> rule + classifier quality gate -> clean-token hash):
+    * the stage function both the q173 batch composite and the q181
+    * streaming ingest path run — apply it to any (doc_id, lang,
+    * source, text) frame.
+    */
+  def ingestGate(docs: DataFrame): DataFrame = queries.CurationOps.ingestGate(docs)
+
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame). */
   def queryRegistry: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library façade's round-8 additions are thin delegations — this
+  * smoke-pins that each is callable through `Graft` and produces the
+  * documented shape (the underlying machinery has its own deep specs:
+  * RanksSpec, BloomDecontamSpec, GramHashSpec, StreamIncrementalSpec).
+  */
+class FacadeSpec extends AnyFunSuite {
+  private lazy val spark = Graft.session("test")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("distributedRank / distributedPrefixSum reachable through the façade") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}", i % 10)).toDF("id", "st", "v")
+    val r = Graft.distributedRank(df, Seq("st"), Seq(col("id")))
+    assert(r.columns.contains("rnk") && r.columns.contains("n"))
+    assert(r.filter(col("rnk") > col("n")).count() == 0)
+    val p = Graft.distributedPrefixSum(df, Seq(col("id")), col("v"), inclusive = true)
+    assert(p.agg(max(col("psum"))).head.getLong(0) == df.agg(sum(col("v"))).head.getLong(0))
+  }
+
+  test("bloom probe and band buckets reachable through the façade") {
+    val docs = Graft.table(spark, dir, "documents")
+    val keys = docs.select(xxhash64(col("doc_id")).as("h"))
+    val bloom = keys.stat.bloomFilter("h", 1000, 0.01)
+    val bytes = Graft.bloomSerialize(bloom)
+    val misses =
+      keys.filter(!Graft.bloomMightContain(bytes, col("h"))).count()
+    assert(misses == 0) // no false negatives
+
+    val sig = docs
+      .select(graft.queries.Tokenize.toksExpr.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(graft.functions.TextHashOps
+        .minhashSig(array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
+        .as("sig"))
+    val b = sig.select(Graft.bandBuckets(col("sig"), 4, 2).as("bk")).head
+    assert(b.getSeq[String](0).length == 4)
+  }
+
+  test("ingestGate reachable through the façade with the documented output") {
+    val out = Graft.ingestGate(Graft.table(spark, dir, "documents"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "source", "pii_ppm", "n_words", "logit_micro", "cm"))
+    assert(out.count() > 0)
+    Graft.releaseScratch(spark)
+  }
+}
