@@ -179,6 +179,17 @@ object Graft {
     */
   def ingestGate(docs: DataFrame): DataFrame = queries.CurationOps.ingestGate(docs)
 
-  /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame). */
+  /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame).
+    *
+    * SCRATCH CONTRACT: some registry plans materialize scratch state as
+    * a side effect of being consumed — lazily-localCheckpoint-ed
+    * intermediates, a persist() behind a double-consumed build side
+    * (q178), memory-sink views from streaming replays. In a long-lived
+    * session, call [[Engine.releaseScratch]] after each result has been
+    * fully consumed (counted / written), exactly as Verify and Bench
+    * do, or those blocks accumulate without bound. Single-writer rule:
+    * releaseScratch is session-global — never call it while another
+    * query on the same session is mid-execution (see its scaladoc).
+    */
   def queryRegistry: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 }

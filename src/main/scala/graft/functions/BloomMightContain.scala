@@ -27,6 +27,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * `bloom.mightContain` costs a Scala-function dispatch plus boxing per
   * row and blocks whole-stage codegen; this expression is a single
   * virtual call inside the generated loop.
+  *
+  * SIZE CEILING: the serialized filter rides the plan as a Literal AND
+  * the generated code's reference array, so every task binary carries
+  * ~2 copies of it. That is the right trade to ~100 MB (a few 1e8 keys
+  * at 1% fpp) — beyond that, ship the filter ONCE per executor as a
+  * broadcast variable probed from a deserialize-once helper (the
+  * mapPartitions escape hatch), or raise fpp / shard the filter; a
+  * 1.2 GB filter (1e9 keys) as a plan literal would serialize twice
+  * per task binary and evict the codegen cache.
   */
 case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -311,6 +311,34 @@ object TextHashOps {
       md5(concat((b * rows until (b + 1) * rows).map(i => sig.getItem(i)): _*))
     }: _*)
   }
+
+  /** DuckDB oracle mirror of [[minhashSig]]: the n-hash MinHash
+    * signature list over a shingle-list column — each entry is the
+    * list-min of seed-prefixed md5s (`md5('i|' || x)`), exactly the
+    * kernel's hash family. ONE definition site: before round 9 this
+    * block was copy-pasted verbatim into seven oracle strings
+    * (q52-family, q167, q173, q176, q185, q187), so one edited seed in
+    * one copy would silently break the cross-query no-drift guarantee
+    * the shared Spark-side [[minhashSig]] exists to give.
+    */
+  def sigSql(sgCol: String = "sg", n: Int = 8): String =
+    (0 until n)
+      .map(i => s"list_min(list_transform($sgCol, x -> md5('$i|' || x)))")
+      .mkString("[", ",\n                  ", "]")
+
+  /** DuckDB oracle mirror of [[bandBuckets]] (1-based SQL indexing):
+    * an `unnest` of `bands` bucket ids, each the md5 of `rows`
+    * consecutive signature entries concatenated — the same band layout
+    * contract, from the same definition site as [[sigSql]].
+    */
+  def bandBucketsSql(sigCol: String, bands: Int, rows: Int): String =
+    "unnest([" + (0 until bands)
+      .map { b =>
+        "md5(" + (b * rows until (b + 1) * rows)
+          .map(i => s"$sigCol[${i + 1}]")
+          .mkString(" || ") + ")"
+      }
+      .mkString(", ") + "])"
   def charGramMd5s(s: Column, n: Int): Column = column(CharGramMd5(expression(s), n))
   def slidingMin(arr: Column, w: Int): Column = column(SlidingMinStr(expression(arr), w))
   def minhashSig(sg: Column, n: Int): Column = column(MinHashSig(expression(sg), n))

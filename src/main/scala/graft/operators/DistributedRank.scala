@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Returns the input columns plus `rnk` (1-based global rank within
   * the stratum, dense over rows, deterministic given a total `order`)
-  * and `n` (stratum row count). Those two names are RESERVED: the call
-  * fails fast if the input already has them (silent overwrite was the
-  * round-7 canonicalizeUrls advice bug — not repeated here).
+  * and `n` (stratum row count). Those two names are RESERVED, as are
+  * the internal `__gr_*` working names: the call fails fast if the
+  * input already has any of them (silent overwrite was the round-7
+  * canonicalizeUrls advice bug — not repeated here, in either form).
   *
   * Invariants this helper owns (previously hand-copied at each site):
   * partition-id order must agree with range order (spark_partition_id
@@ -36,6 +37,9 @@ object Ranks {
     require(
       !df.columns.contains("rnk") && !df.columns.contains("n"),
       "distributedRank reserves output columns 'rnk' and 'n'")
+    require(
+      !df.columns.exists(_.startsWith("__gr_")),
+      "distributedRank reserves internal working columns '__gr_*'")
     val sCols = strata.map(col)
     val ranged = df
       .repartitionByRange(partitions, sCols ++ order: _*)
@@ -73,6 +77,9 @@ object Ranks {
       inclusive: Boolean,
       partitions: Int = 32): DataFrame = {
     require(!df.columns.contains("psum"), "distributedPrefixSum reserves output column 'psum'")
+    require(
+      !df.columns.exists(_.startsWith("__gr_")),
+      "distributedPrefixSum reserves internal working columns '__gr_*'")
     val ranged = df
       .repartitionByRange(partitions, order: _*)
       .withColumn("__gr_pid", spark_partition_id())

@@ -45,6 +45,49 @@ object Layout {
     spark.read.parquet(outDir)
   }
 
+  /** In-place maintenance compaction for an append-accumulating parquet
+    * directory — the periodic cycle that keeps a LONG-RUNNING ingest's
+    * persisted index operational: the streaming dedup indexes
+    * (q174/q176/q181) grow by one small file set per micro-batch, and
+    * without re-compaction a month of arrivals means thousands of tiny
+    * files (per-file open/footer overhead, no vectorized row groups)
+    * and the loss of the sorted-stats pruning the day-0 [[compact]]
+    * bought. This rewrites the current contents as `targetFiles`
+    * range-clustered, sorted files and swaps them in; the CONTENT — and
+    * therefore every anti-join/gate downstream — is unchanged
+    * (StreamIncrementalSpec pins both halves: bounded file count with
+    * disjoint per-file key ranges, and byte-identical query results).
+    *
+    * The swap is rename-based: the new generation is fully written
+    * before the old one is dropped, so a crash leaves the old or the
+    * new complete file set, never a mix. (On an object store this is a
+    * manifest/pointer swap — same shape, different commit primitive.)
+    * Caller must ensure no reader holds an open plan over `dir` across
+    * the call — in a foreachBatch loop, call it BETWEEN batches after
+    * the batch's joins have materialized, as the streaming queries do.
+    */
+  def compactInPlace(
+      spark: SparkSession,
+      dir: String,
+      targetFiles: Int,
+      clusterCols: Column*
+  ): Unit = {
+    val tmp = new java.io.File(dir + ".compacting")
+    val old = new java.io.File(dir + ".old")
+    graft.Engine.deleteRecursively(tmp)
+    graft.Engine.deleteRecursively(old)
+    spark.read
+      .parquet(dir)
+      .repartitionByRange(targetFiles, clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+      .write
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    require(new java.io.File(dir).renameTo(old), s"compactInPlace: cannot retire $dir")
+    require(tmp.renameTo(new java.io.File(dir)), s"compactInPlace: cannot commit $tmp")
+    graft.Engine.deleteRecursively(old)
+  }
+
   /** Deterministic, engine-portable training-shard assignment: two hex
     * nibbles of md5(key) -> [0, 256) -> mod nShards. Built from ascii()
     * arithmetic only, so a manifest computed by any engine (the DuckDB

@@ -1153,17 +1153,9 @@ object CurationOps {
                  i -> kept[i] || ' ' || kept[i+1] || ' ' || kept[i+2])) AS sg
                FROM ex WHERE len(kept) >= 3),
              mq AS (SELECT doc_id,
-                 [list_min(list_transform(sg, x -> md5('0|' || x))),
-                  list_min(list_transform(sg, x -> md5('1|' || x))),
-                  list_min(list_transform(sg, x -> md5('2|' || x))),
-                  list_min(list_transform(sg, x -> md5('3|' || x))),
-                  list_min(list_transform(sg, x -> md5('4|' || x))),
-                  list_min(list_transform(sg, x -> md5('5|' || x))),
-                  list_min(list_transform(sg, x -> md5('6|' || x))),
-                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+                 ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM shq),
-             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             bq AS (SELECT doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM mq),
              dropf AS (SELECT DISTINCT b1.doc_id
                FROM bq b1 JOIN (SELECT bucket, min(doc_id) AS m FROM bq GROUP BY bucket) bm
                  ON b1.bucket = bm.bucket AND bm.m < b1.doc_id),
@@ -1293,17 +1285,9 @@ object CurationOps {
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
                FROM ex WHERE len(toks) >= 3),
              mq AS (SELECT doc_id,
-                 [list_min(list_transform(sg, x -> md5('0|' || x))),
-                  list_min(list_transform(sg, x -> md5('1|' || x))),
-                  list_min(list_transform(sg, x -> md5('2|' || x))),
-                  list_min(list_transform(sg, x -> md5('3|' || x))),
-                  list_min(list_transform(sg, x -> md5('4|' || x))),
-                  list_min(list_transform(sg, x -> md5('5|' || x))),
-                  list_min(list_transform(sg, x -> md5('6|' || x))),
-                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+                 ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM shq),
-             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             bq AS (SELECT doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM mq),
              dropf AS (SELECT DISTINCT b1.doc_id
                FROM bq b1 JOIN (SELECT bucket, min(doc_id) AS m FROM bq GROUP BY bucket) bm
                  ON b1.bucket = bm.bucket AND bm.m < b1.doc_id),
@@ -1592,17 +1576,9 @@ object CurationOps {
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
                FROM st WHERE len(toks) >= 3),
              mq AS (SELECT doc_id,
-                 [list_min(list_transform(sg, x -> md5('0|' || x))),
-                  list_min(list_transform(sg, x -> md5('1|' || x))),
-                  list_min(list_transform(sg, x -> md5('2|' || x))),
-                  list_min(list_transform(sg, x -> md5('3|' || x))),
-                  list_min(list_transform(sg, x -> md5('4|' || x))),
-                  list_min(list_transform(sg, x -> md5('5|' || x))),
-                  list_min(list_transform(sg, x -> md5('6|' || x))),
-                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+                 ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM shq),
-             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             bq AS (SELECT doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM mq),
              bm AS (SELECT bucket FROM bq GROUP BY bucket HAVING count(DISTINCT doc_id) > 1),
              near AS (SELECT DISTINCT doc_id FROM bq JOIN bm USING (bucket)),
              f AS (SELECT st.lang, st.source,

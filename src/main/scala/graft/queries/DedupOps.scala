@@ -85,17 +85,9 @@ object DedupOps {
   private val minhashPairsSql: String =
     s"""$shinglesSql,
        m AS (SELECT doc_id, sg,
-         [list_min(list_transform(sg, x -> md5('0|' || x))),
-          list_min(list_transform(sg, x -> md5('1|' || x))),
-          list_min(list_transform(sg, x -> md5('2|' || x))),
-          list_min(list_transform(sg, x -> md5('3|' || x))),
-          list_min(list_transform(sg, x -> md5('4|' || x))),
-          list_min(list_transform(sg, x -> md5('5|' || x))),
-          list_min(list_transform(sg, x -> md5('6|' || x))),
-          list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+         ${graft.functions.TextHashOps.sigSql()} AS sig
          FROM sh),
-       bk0 AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-         md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+       bk0 AS (SELECT doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM m),
        bk AS (SELECT doc_id, bucket FROM bk0
          QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
        p AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1130,17 +1122,9 @@ object DedupOps {
       },
       Some(s"""$shinglesSql,
              m AS (SELECT doc_id, source, sg,
-               [list_min(list_transform(sg, x -> md5('0|' || x))),
-                list_min(list_transform(sg, x -> md5('1|' || x))),
-                list_min(list_transform(sg, x -> md5('2|' || x))),
-                list_min(list_transform(sg, x -> md5('3|' || x))),
-                list_min(list_transform(sg, x -> md5('4|' || x))),
-                list_min(list_transform(sg, x -> md5('5|' || x))),
-                list_min(list_transform(sg, x -> md5('6|' || x))),
-                list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+               ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM sh),
-             bb0 AS (SELECT doc_id, source, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-               md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM m),
+             bb0 AS (SELECT doc_id, source, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM m),
              tb AS (SELECT doc_id, bucket FROM bb0 WHERE source <> 'src0'
                     QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
              nb AS (SELECT doc_id AS bench_id, bucket FROM bb0 WHERE source = 'src0'),
@@ -1463,26 +1447,16 @@ object DedupOps {
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
                FROM t WHERE len(toks) >= 3),
              mq AS (SELECT doc_id,
-                 [list_min(list_transform(sg, x -> md5('0|' || x))),
-                  list_min(list_transform(sg, x -> md5('1|' || x))),
-                  list_min(list_transform(sg, x -> md5('2|' || x))),
-                  list_min(list_transform(sg, x -> md5('3|' || x))),
-                  list_min(list_transform(sg, x -> md5('4|' || x))),
-                  list_min(list_transform(sg, x -> md5('5|' || x))),
-                  list_min(list_transform(sg, x -> md5('6|' || x))),
-                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+                 ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM shq),
              b AS (
-               SELECT '8x1' AS config, doc_id, unnest([md5(sig[1]), md5(sig[2]), md5(sig[3]),
-                   md5(sig[4]), md5(sig[5]), md5(sig[6]), md5(sig[7]), md5(sig[8])]) AS bucket
+               SELECT '8x1' AS config, doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 8, 1)} AS bucket
                  FROM mq
                UNION ALL
-               SELECT '4x2', doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-                   md5(sig[5] || sig[6]), md5(sig[7] || sig[8])])
+               SELECT '4x2', doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)}
                  FROM mq
                UNION ALL
-               SELECT '2x4', doc_id, unnest([md5(sig[1] || sig[2] || sig[3] || sig[4]),
-                   md5(sig[5] || sig[6] || sig[7] || sig[8])])
+               SELECT '2x4', doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 2, 4)}
                  FROM mq),
              occ AS (SELECT config, bucket, count(DISTINCT doc_id) AS k
                FROM b GROUP BY config, bucket),

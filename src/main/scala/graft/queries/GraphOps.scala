@@ -259,9 +259,13 @@ object GraphOps {
     // (md5 of start|step|neighbor), so the "random" walk is exactly
     // reproducible and the oracle unrolls the same steps in SQL. Two
     // scale guards: (1) the adjacency is hash-rank-bounded to <= 32
-    // neighbors per node (real walk engines cap or alias-sample hub
-    // adjacency; unbounded, one celebrity node would fan every
-    // co-walker join out by its full degree), and (2) each step is ONE
+    // neighbors per node via the bounded MinKByKey AGGREGATE (real walk
+    // engines cap or alias-sample hub adjacency; unbounded, one
+    // celebrity node would fan every co-walker join out by its full
+    // degree — and a per-src row_number window, the round-8 form, would
+    // sort that celebrity's full adjacency in ONE task; the aggregate's
+    // map-side partial combine bounds every task at 32 pairs per
+    // node), and (2) each step is ONE
     // hash join frontier x adj + ONE min-struct aggregate — per-round
     // cost O(frontier x <= 32), the Pregel economics of q101, with the
     // frontier never growing (one row per walker). Output: the walk
@@ -270,15 +274,21 @@ object GraphOps {
     QueryDef(
       "q183_random_walks",
       (s, dir) => {
-        val wAdj = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("src"))
-          .orderBy(
-            md5(concat(lit("n|"), col("src").cast("string"), lit("|"), col("dst").cast("string"))),
-            col("dst"))
+        val spark = s
+        import spark.implicits._
         val adj = edges(s, dir)
-          .withColumn("rn", row_number().over(wAdj))
-          .filter(col("rn") <= 32)
-          .select(col("src"), col("dst"))
+          .select(
+            col("src").cast("long"),
+            md5(concat(
+              lit("n|"), col("src").cast("string"), lit("|"), col("dst").cast("string")))
+              .as("h"),
+            col("dst").cast("long"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.MinKByKey(32).toColumn.name("nbrs"))
+          .toDF("src", "nbrs")
+          .select(col("src"), explode(col("nbrs")).as("p"))
+          .select(col("src"), col("p._2").as("dst"))
           .localCheckpoint(eager = false) // consumed once per step
         var cur = Engine
           .table(s, dir, "orders")

@@ -1161,11 +1161,13 @@ object SimilarityOps {
     // Contrastive HARD-NEGATIVE mining — the embedding-model training
     // step (SimCSE/DPR/E5 recipes mine, for each anchor, the most
     // similar vector with a DIFFERENT label as its hardest negative):
-    // anchors = the training batch (vec_id % 20 = 0 — a STAND-IN
-    // predicate; in production the anchors are a FIXED-size batch
-    // list, so the scan is O(corpus x batch), never quadratic — the
-    // modulo form grows anchors with the corpus and is only for the
-    // synthetic gate), broadcast
+    // anchors = ONE training batch, a FIXED-size set (the 32 lowest
+    // qualifying vec_ids — deterministic TakeOrdered, mirrored by the
+    // oracle's ORDER BY vec_id LIMIT 32), so the broadcast side is
+    // CORPUS-INDEPENDENT and the scan is O(corpus x batch) — never
+    // quadratic, never an anchor set that grows with the data (the
+    // round-8 form's `% 20` alone did exactly that; the LIMIT makes
+    // the gated query the production shape). Broadcast
     // against ONE partitioned corpus scan; per-anchor argmax via a
     // hash AGGREGATE min(struct(-cos, id)) with map-side partial
     // combine — deliberately NOT a window partitioned by anchor, which
@@ -1184,6 +1186,8 @@ object SimilarityOps {
         val all = emb(s, dir).filter(col("n2") > 0 && !isnan(col("n2")))
         val anchors = all
           .filter(col("vec_id") % 20 === 0)
+          .orderBy(col("vec_id"))
+          .limit(32)
           .select(
             col("vec_id").as("aid"), col("label").as("albl"),
             col("e").as("ae"), col("n2").as("an2"))
@@ -1199,7 +1203,7 @@ object SimilarityOps {
       Some(s"""WITH t0 AS ($embSql),
              t AS (SELECT * FROM t0 WHERE n2 > 0 AND NOT isnan(n2)),
              a AS (SELECT vec_id AS aid, label AS albl, e AS ae, n2 AS an2
-               FROM t WHERE vec_id % 20 = 0),
+               FROM t WHERE vec_id % 20 = 0 ORDER BY vec_id LIMIT 32),
              p AS (SELECT aid, t.vec_id AS neg_id,
                  round(${cosSql("ae", "e", "an2", "n2")}, 6) AS c6
                FROM a JOIN t ON t.label <> a.albl)

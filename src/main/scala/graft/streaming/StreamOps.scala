@@ -526,7 +526,7 @@ object StreamOps {
         val query = stream.writeStream
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
             // hash the arrivals ONCE (first-of-hash agg + survivors
             // join both consume this — q136's checkpoint rationale)
@@ -545,9 +545,23 @@ object StreamOps {
               .select(col("doc_id"), col("lang"), col("source"))
               .write.mode("append").parquet(survDir)
             surv.select(col("h")).distinct().write.mode("append").parquet(indexDir)
+            // periodic index MAINTENANCE, mid-stream: every 2nd batch
+            // re-compacts the appended file sets back to 4
+            // range-clustered files (Layout.compactInPlace), so later
+            // batches' anti-joins read a stats-pruned index rather than
+            // an ever-growing pile of per-batch files — the cycle that
+            // makes "persisted index" operational on a long-running
+            // ingest. Content-neutral: the gate and the cumulative-index
+            // spec see identical results with or without it.
+            if (bid % 2 == 1)
+              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("h"))
           }
           .start()
         query.awaitTermination()
+        // end-of-window maintenance: leave the index in its compacted
+        // steady state (bounded file count, disjoint sorted ranges) for
+        // the next ingest window — StreamIncrementalSpec pins it
+        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("h"))
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.DedupOps.incrementalOracleSql)
@@ -607,7 +621,7 @@ object StreamOps {
         val query = stream.writeStream
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
             val rows = batch
               .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -630,9 +644,16 @@ object StreamOps {
               .localCheckpoint()
             surv.select(col("doc_id"), col("lang"), col("source")).write.mode("append").parquet(survDir)
             bk.select(col("bucket")).distinct().write.mode("append").parquet(indexDir)
+            // periodic index maintenance (q174's cycle): re-compact the
+            // appended bucket files every 2nd batch; content-neutral
+            if (bid % 2 == 1)
+              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("bucket"))
           }
           .start()
         query.awaitTermination()
+        // end-of-window maintenance — StreamIncrementalSpec pins the
+        // recovered file count + clustering
+        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("bucket"))
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang, source, ${graft.queries.Tokenize.toksSql} AS toks
@@ -642,17 +663,9 @@ object StreamOps {
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
                FROM t WHERE len(toks) >= 3),
              mq AS (SELECT doc_id,
-                 [list_min(list_transform(sg, x -> md5('0|' || x))),
-                  list_min(list_transform(sg, x -> md5('1|' || x))),
-                  list_min(list_transform(sg, x -> md5('2|' || x))),
-                  list_min(list_transform(sg, x -> md5('3|' || x))),
-                  list_min(list_transform(sg, x -> md5('4|' || x))),
-                  list_min(list_transform(sg, x -> md5('5|' || x))),
-                  list_min(list_transform(sg, x -> md5('6|' || x))),
-                  list_min(list_transform(sg, x -> md5('7|' || x)))] AS sig
+                 ${graft.functions.TextHashOps.sigSql()} AS sig
                FROM shq),
-             bq AS (SELECT doc_id, unnest([md5(sig[1] || sig[2]), md5(sig[3] || sig[4]),
-                 md5(sig[5] || sig[6]), md5(sig[7] || sig[8])]) AS bucket FROM mq),
+             bq AS (SELECT doc_id, ${graft.functions.TextHashOps.bandBucketsSql("sig", 4, 2)} AS bucket FROM mq),
              dropd AS (SELECT DISTINCT m.doc_id FROM bq m JOIN bq e
                  ON m.bucket = e.bucket
                  AND (e.doc_id % 5 <> 0 OR e.doc_id < m.doc_id)
@@ -707,7 +720,7 @@ object StreamOps {
         val query = stream.writeStream
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
             // gate the arrivals ONCE (within-batch first-of-hash and
             // the survivors join both consume this)
@@ -726,9 +739,16 @@ object StreamOps {
                 col("n_words"), col("logit_micro"))
               .write.mode("append").parquet(survDir)
             surv.select(col("cm")).distinct().write.mode("append").parquet(indexDir)
+            // periodic index maintenance (q174's cycle): re-compact the
+            // appended clean-hash files every 2nd batch; content-neutral
+            if (bid % 2 == 1)
+              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("cm"))
           }
           .start()
         query.awaitTermination()
+        // end-of-window maintenance — StreamIncrementalSpec pins the
+        // recovered file count + clustering
+        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("cm"))
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.CurationOps.ingestRecipeOracleSql)

@@ -46,6 +46,31 @@ class StreamIncrementalSpec extends AnyFunSuite {
     // every survivor's hash was genuinely NEW to the index at arrival
     assert(survHashes.intersect(histHashes).isEmpty)
 
+    // 2b. MAINTENANCE CYCLE: the per-batch appends were re-compacted
+    // (mid-stream every 2nd batch + end-of-window), so despite >= 2
+    // appending micro-batches the index sits at its steady-state file
+    // count with DISJOINT sorted per-file key ranges — the
+    // stats-pruning layout the day-0 build had, recovered. (The
+    // content assertion above is the result-equivalence half: the
+    // compacted index dedups identically.)
+    val idxFiles = new java.io.File(s"$work/hash_index")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(idxFiles.length <= 4,
+      s"index appends were never re-compacted: ${idxFiles.length} files")
+    val ranges = spark.read
+      .parquet(s"$work/hash_index")
+      .select(col("h"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"post-compaction file ranges overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+
     // 3. stream == batch: same survivors as q126's recompute form
     val batch = graft.SparkEntry.queries("q126_incremental_dedup")(spark, dir).collect()
     assert(survivors.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
@@ -95,6 +120,10 @@ class StreamIncrementalSpec extends AnyFunSuite {
                  md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")).as("bucket"))
       .collect().map(_.getString(0)).toSet
     assert(idx == sig, s"index ${idx.size} buckets vs ${sig.size} expected")
+    // maintenance cycle recovered the bounded compacted layout
+    val nIdxFiles = new java.io.File(s"$work/bucket_index")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIdxFiles <= 4, s"bucket index never re-compacted: $nIdxFiles files")
   }
 
   test("q181: ingest recipe — multi-batch, gate-consistent, cumulative clean-hash index") {
@@ -138,6 +167,10 @@ class StreamIncrementalSpec extends AnyFunSuite {
     assert(idx == histCm ++ survCm,
       s"index drifted: ${idx.size} entries vs ${(histCm ++ survCm).size} expected")
     assert(survCm.intersect(histCm).isEmpty)
+    // maintenance cycle recovered the bounded compacted layout
+    val nIdxFiles = new java.io.File(s"$work/clean_hash_index")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIdxFiles <= 4, s"clean-hash index never re-compacted: $nIdxFiles files")
     graft.Engine.releaseScratch(spark)
   }
 }
