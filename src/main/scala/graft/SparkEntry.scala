@@ -26,6 +26,7 @@ object SparkEntry {
       _root_.graft.queries.PiiOps.entries ++
       _root_.graft.queries.GraphOps.entries ++
       _root_.graft.queries.EtlOps.entries ++
+      _root_.graft.queries.BpeOps.entries ++
       _root_.graft.queries.SimilarityOps.entries ++
       mr.PipeOps.entries ++
       streaming.StreamOps.entries

@@ -3,48 +3,75 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Write-path benchmark main — the last mile the query benches never
-  * time: materializing a curated corpus as hive-partitioned training
-  * shards (the scale analog of the reference's `outputfileNN` final
-  * sink, `mapreduce/manager/__main__.py:246-251` — exactly N output
-  * partitions, loader-recomputable assignment).
+  * time: materializing a corpus as hive-partitioned training shards
+  * (the scale analog of the reference's `outputfileNN` final sink,
+  * `mapreduce/manager/__main__.py:246-251` — exactly N output
+  * partitions, loader-recomputable assignment). Two phases:
   *
-  * Methodology: documents is read and counted once untimed (footers,
-  * page cache, codegen), then ONE timed Layout.writeShards call —
+  *   1. `shard_write` — the RAW documents table through
+  *     Layout.writeShards (the pure writer cost baseline);
+  *   2. `recipe_shard_write` — the CURATED export: q173's
+  *     recipe-manifest survivors joined back to their text, through
+  *     the same sharded writer. This is the true last mile of the
+  *     curation pipeline (recipe -> training shards on disk); the
+  *     recipe computation itself is materialized UNTIMED first so the
+  *     timer isolates join-back + shard exchange + partitioned write.
+  *
+  * Methodology: inputs are read/counted once untimed (footers, page
+  * cache, codegen), then ONE timed Layout.writeShards call per phase —
   * shard assignment + hash exchange + 16-way partitioned parquet
-  * write. The timer covers the whole write job (returns after commit);
-  * rows/s and bytes/s are computed from the re-read and the on-disk
-  * footprint. Prints ONE JSON line; PERF.md records the sf0.1/sf1
-  * numbers.
+  * write, timer covering the whole write job (returns after commit);
+  * rows/s and bytes/s from the re-read and the on-disk footprint. One
+  * JSON line per phase, `recipe_shard_write` LAST; PERF.md records the
+  * sf0.1/sf1 numbers. LayoutSpec pins the re-read row/content equality
+  * contract for both phases' writer.
   */
 object WriteBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("writebench")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_writebench"
-    Engine.deleteRecursively(new java.io.File(out))
-
-    val docs = Engine.table(spark, sfDir, "documents")
-    val rows = docs.count() // untimed warmup: scan + footers + codegen
-
-    val t0 = System.nanoTime()
-    val back = operators.Layout.writeShards(spark, docs, out, col("doc_id"), 16)
-    val secs = (System.nanoTime() - t0) / 1e9
-
-    // verify before reporting: complete re-read, all 16 shard dirs
-    val reread = back.count()
-    require(reread == rows, s"re-read $reread rows, wrote $rows")
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-    val parts = walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
-    val shardDirs = new java.io.File(out).listFiles.count(_.getName.startsWith("shard="))
-    require(shardDirs == 16, s"expected 16 shard dirs, found $shardDirs")
-    val bytes = parts.map(_.length).sum
 
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    println(
-      s"""{"metric":"shard_write","unit":"sec","value":${fmt(secs)},"rows":$rows,""" +
-        s""""files":${parts.size},"bytes":$bytes,"rows_per_sec":${(rows / secs).toLong},""" +
-        s""""mb_per_sec":${fmt(bytes / secs / 1e6)},"sf":"$sfDir"}""")
+    def timedShardWrite(metric: String, in: org.apache.spark.sql.DataFrame, rows: Long): Unit = {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_writebench_$metric"
+      Engine.deleteRecursively(new java.io.File(out))
+      val t0 = System.nanoTime()
+      val back = operators.Layout.writeShards(spark, in, out, col("doc_id"), 16)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // verify before reporting: complete re-read, all 16 shard dirs
+      val reread = back.count()
+      require(reread == rows, s"re-read $reread rows, wrote $rows")
+      val parts = walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+      val shardDirs = new java.io.File(out).listFiles.count(_.getName.startsWith("shard="))
+      require(shardDirs == 16, s"expected 16 shard dirs, found $shardDirs")
+      val bytes = parts.map(_.length).sum
+      println(
+        s"""{"metric":"$metric","unit":"sec","value":${fmt(secs)},"rows":$rows,""" +
+          s""""files":${parts.size},"bytes":$bytes,"rows_per_sec":${(rows / secs).toLong},""" +
+          s""""mb_per_sec":${fmt(bytes / secs / 1e6)},"sf":"$sfDir"}""")
+    }
+
+    // -- phase 1: raw documents
+    val docs = Engine.table(spark, sfDir, "documents")
+    val rows = docs.count() // untimed warmup: scan + footers + codegen
+    timedShardWrite("shard_write", docs, rows)
+    Engine.releaseScratch(spark)
+
+    // -- phase 2: the curated export. Materialize the recipe manifest
+    // + text join-back untimed (localCheckpoint), then time ONLY the
+    // sharded write of the survivors.
+    // (the manifest's own pos%16 `shard` keeps its name under
+    // `recipe_shard` — the writer owns the export's shard assignment)
+    val curated = SparkEntry
+      .queries("q173_recipe_manifest")(spark, sfDir)
+      .withColumnRenamed("shard", "recipe_shard")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .localCheckpoint()
+    val curRows = curated.count()
+    timedShardWrite("recipe_shard_write", curated, curRows)
+    Engine.releaseScratch(spark)
     spark.stop()
   }
 }

@@ -134,6 +134,13 @@ object Layout {
       key: Column,
       nShards: Int
   ): DataFrame = {
+    // reserved output name, fail-fast (the Ranks 'rnk'/'n' rule): an
+    // input 'shard' column — e.g. q173's manifest carries its own —
+    // would be silently overwritten by the writer's assignment and the
+    // re-read would "drift" confusingly; the caller must rename first
+    require(
+      !in.columns.contains("shard"),
+      "writeShards reserves output column 'shard' (rename the input's)")
     in.withColumn("shard", shardOf(key, nShards))
       .repartition(col("shard"))
       .write

@@ -170,6 +170,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(shardRows == origRows)
   }
 
+  test("recipe export: q173 survivors shard-write round-trips exactly (WriteBench phase 2)") {
+    // the true last mile: the curated manifest + its text through the
+    // sharded writer — re-read must hold exactly the export rows
+    val curated = graft.SparkEntry
+      .queries("q173_recipe_manifest")(spark, dir)
+      .withColumnRenamed("shard", "recipe_shard") // writer reserves 'shard'
+      .join(Engine.table(spark, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      .localCheckpoint()
+    val out = tmp("layout-recipe-")
+    val back = Layout.writeShards(spark, curated, out, col("doc_id"), 16)
+    assert(back.count() == curated.count())
+    // content equality over the export's own columns (the re-read adds
+    // the hive `shard` partition column; at this tiny sf some of the 16
+    // shards may be legitimately empty)
+    val cols = curated.columns.map(col).toSeq
+    val want = curated.collect().map(_.toSeq).toSet
+    val got = back.select(cols: _*).collect().map(_.toSeq).toSet
+    assert(got == want, s"export drifted: ${got.size} vs ${want.size} distinct rows")
+    // every written shard dir is recomputable from the key
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val wantDirs = back
+      .select(Layout.shardOf(col("doc_id"), 16).as("s"))
+      .distinct().collect().map(r => s"shard=${r.getInt(0)}").toSet
+    assert(dirs == wantDirs)
+    Engine.releaseScratch(spark)
+  }
+
   test("pctBucket is near-uniform: a 90/5/5 split lands within 2pp of stated") {
     // The two-nibble draw (shardOf % 100) is visibly biased — buckets
     // 0-55 get 3/256 vs 2/256, i.e. a 90/5/5 split became 92.2/3.9/3.9.

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge application (q188/q189's kernel): hand-computed fixtures
+  * plus a property pin against an independent list-walk reference —
+  * the wrapped-string replace() chain must implement exactly
+  * "per rule in table order, one greedy left-to-right pass".
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = graft.Engine.session("test")
+
+  test("merge application matches hand-computed fixtures") {
+    import spark.implicits._
+    // hand-traced through the 16-rule table, in order:
+    //   thend:   t h e n d -(t,h)-> th e n d -(th,e)-> the n d
+    //   wording: w o r d i n g -(i,n)-> w o r d in g -(in,g)->
+    //            w o r d ing -(o,r)-> w or d ing
+    //   and:     a n d -(a,n)-> an d -(an,d)-> and
+    val cases = Seq(
+      ("thend", 3L, Seq("the", "n", "d")),
+      ("wording", 4L, Seq("w", "or", "d", "ing")),
+      ("and", 1L, Seq("and")),
+      ("the", 1L, Seq("the")),
+      ("a", 1L, Seq("a")),
+      ("42", 2L, Seq("4", "2"))
+    )
+    val got = cases
+      .map(_._1)
+      .toDF("w")
+      .select(
+        col("w"),
+        expr(s"cast(${Bpe.symCountSpark(Bpe.encodeSpark("w"))} as bigint)").as("n"),
+        expr(s"filter(split(${Bpe.encodeSpark("w")}, ' +'), x -> x != '')").as("syms")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toSeq))
+    assert(got.toSeq == cases)
+  }
+
+  test("property: SQL replace-chain equals the independent list-walk reference") {
+    // reference: symbols as a list; per rule, one greedy left-to-right
+    // pass (a merged pair is not reconsidered for the same rule)
+    def ref(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toList
+      for ((a, b) <- Bpe.Merges) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(7)
+    // biased alphabet so merge rules fire often, incl. repeated pairs
+    val alpha = "thethinganandorestcoulraaattthhh0"
+    val words = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    import spark.implicits._
+    val got = words
+      .toDF("w")
+      .select(col("w"), expr(s"filter(split(${Bpe.encodeSpark("w")}, ' +'), x -> x != '')").as("syms"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+    got.foreach { case (w, syms) =>
+      assert(syms == ref(w), s"drift on '$w': sql=$syms ref=${ref(w)}")
+    }
+  }
+
+  test("q189 packing is consistent with q188 counts") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = graft.SparkEntry
+      .queries("q188_bpe_tokenize")(spark, dir)
+      .select(col("doc_id"), col("n_bpe"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val packs = graft.SparkEntry
+      .queries("q189_bpe_pack")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // same counts, and offsets are the exact running sum mod/div 2048
+    assert(packs.map(p => p._1 -> p._2).toSeq == counts.toSeq)
+    var run = 0L
+    packs.foreach { case (id, n, packId, off) =>
+      assert(packId == run / 2048 && off == run % 2048, s"doc $id misplaced")
+      run += n
+    }
+    // BPE compresses: corpus token count strictly below character count
+    val chars = graft.SparkEntry
+      .queries("q188_bpe_tokenize")(spark, dir)
+      .agg(sum(col("n_chars")), sum(col("n_bpe")))
+      .head()
+    assert(chars.getLong(1) < chars.getLong(0), "no merge ever fired — vacuous table")
+    graft.Engine.releaseScratch(spark)
+  }
+}
