@@ -179,6 +179,16 @@ object Graft {
     */
   def ingestGate(docs: DataFrame): DataFrame = queries.CurationOps.ingestGate(docs)
 
+  /** Distributed BPE merge learning (q190): `steps` rounds of pair
+    * counting -> broadcast argmax -> merge-everywhere over a one-column
+    * `word` DataFrame; returns the learned (step, a, b, cnt) table.
+    * The application side (encode a word under the literal merge
+    * table, count per-doc tokens) is [[queries.Bpe]]'s SQL builders —
+    * q188/q189/q191's kernel.
+    */
+  def bpeTrainMerges(words: DataFrame, steps: Int): DataFrame =
+    queries.Bpe.trainMerges(words, steps)
+
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame).
     *
     * SCRATCH CONTRACT: some registry plans materialize scratch state as

@@ -68,27 +68,39 @@ object Bpe {
       s"replace($acc, ' $a  $b ', ' $a$b ')"
     }
 
+  /** Spark SQL: the wrap-only symbol stream (chars, no merges applied)
+    * — the encode start state AND the training (q190) day-0 state.
+    */
+  def wrapSpark(word: String): String = s"regexp_replace($word, '(.)', ' $$1 ')"
+
+  /** DuckDB mirror of [[wrapSpark]]. */
+  def wrapDuck(word: String): String = s"regexp_replace($word, '(.)', ' \\1 ', 'g')"
+
   /** Spark SQL: the full encode of a word-expression into the wrapped
     * symbol-stream string (apply [[symCountSpark]] for the count).
     */
-  def encodeSpark(word: String): String =
-    chain(s"regexp_replace($word, '(.)', ' $$1 ')")
+  def encodeSpark(word: String): String = chain(wrapSpark(word))
 
   /** DuckDB mirror of [[encodeSpark]] — same wrap, same table, same
     * replace chain; only the regex replacement spelling differs.
     */
-  def encodeDuck(word: String): String =
-    chain(s"regexp_replace($word, '(.)', ' \\1 ', 'g')")
+  def encodeDuck(word: String): String = chain(wrapDuck(word))
 
-  /** Spark SQL: symbol count of an encoded stream (split on runs of
+  /** Spark SQL: the symbol list of an encoded stream (split on runs of
     * spaces, drop empties).
     */
-  def symCountSpark(encoded: String): String =
-    s"size(filter(split($encoded, ' +'), x -> x != ''))"
+  def symsSpark(encoded: String): String =
+    s"filter(split($encoded, ' +'), x -> x != '')"
+
+  /** DuckDB mirror of [[symsSpark]]. */
+  def symsDuck(encoded: String): String =
+    s"list_filter(string_split_regex($encoded, ' +'), x -> x <> '')"
+
+  /** Spark SQL: symbol count of an encoded stream. */
+  def symCountSpark(encoded: String): String = s"size(${symsSpark(encoded)})"
 
   /** DuckDB mirror of [[symCountSpark]]. */
-  def symCountDuck(encoded: String): String =
-    s"len(list_filter(string_split_regex($encoded, ' +'), x -> x <> ''))"
+  def symCountDuck(encoded: String): String = s"len(${symsDuck(encoded)})"
 
   /** Spark SQL: a doc's total BPE token count over its `toks` array. */
   def docTokensSpark(toksCol: String): String =
@@ -99,6 +111,55 @@ object Bpe {
   def docTokensDuck(toksCol: String): String =
     s"CAST(coalesce(list_sum(list_transform($toksCol, " +
       s"w -> ${symCountDuck(encodeDuck("w"))})), 0) AS BIGINT)"
+
+  /** Spark SQL: adjacent symbol pairs (`a|b`) of an encoded stream
+    * column named `s` — the unit BPE TRAINING counts. The `size >= 2`
+    * guard matters: `sequence(1, 0)` DESCENDS in Spark (the engine-wide
+    * gotcha), so a single-symbol word must short-circuit to the empty
+    * array, exactly as DuckDB's empty `generate_series(1, 0)` does.
+    */
+  val pairsSpark: String =
+    s"case when size(sy) >= 2 then transform(sequence(1, size(sy) - 1), " +
+      "i -> concat(element_at(sy, i), '|', element_at(sy, i + 1))) " +
+      "else array() end"
+
+  /** DuckDB mirror of [[pairsSpark]] (empty series when len < 2). */
+  val pairsDuck: String =
+    "list_transform(generate_series(1, len(sy) - 1), i -> sy[i] || '|' || sy[i + 1])"
+
+  /** The BPE merge-learning loop (q190's body, factored out so BpeSpec
+    * can drive it on a hand-computable fixture): `steps` rounds of
+    * count-pairs -> global argmax -> merge-everywhere over a one-column
+    * `word` DataFrame. Caller guarantees the corpus has at least
+    * `steps` mergeable pair generations (exhaustion would surface as a
+    * null merge row). Returns (step, a, b, cnt).
+    */
+  def trainMerges(words: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
+    var streams = words
+      .select(expr(wrapSpark("word")).as("s"))
+      .localCheckpoint(eager = false) // re-read every round
+    val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    for (t <- 1 to steps) {
+      val best = streams
+        .select(expr(symsSpark("s")).as("sy"))
+        .select(explode(expr(pairsSpark)).as("pr"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("pr"), col("cnt"))).as("m"))
+        .select(
+          split(col("m.pr"), "\\|").getItem(0).as("a"),
+          split(col("m.pr"), "\\|").getItem(1).as("b"),
+          col("m.cnt").as("cnt"))
+        .localCheckpoint(eager = false) // consumed twice: output + merge-back
+      learned += best.select(lit(t.toLong).as("step"), col("a"), col("b"), col("cnt"))
+      streams = streams
+        .crossJoin(broadcast(best))
+        .select(
+          expr("replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("s"))
+        .localCheckpoint(eager = false)
+    }
+    learned.reduce(_ unionAll _).orderBy(col("step"))
+  }
 }
 
 object BpeOps {
@@ -170,6 +231,95 @@ object BpeOps {
                CAST(s // 2048 AS BIGINT) AS pack_id,
                CAST(s % 2048 AS BIGINT) AS pack_offset
              FROM c ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q190
+    // Distributed BPE merge LEARNING — the tokenizer-TRAINING side of
+    // q188's application: 6 rounds of (count adjacent symbol pairs over
+    // the whole corpus's symbol streams -> take the globally most
+    // frequent pair -> merge it everywhere), the Sennrich et al. BPE
+    // induction loop as distributed dataflow. Each round is ONE hash
+    // aggregate over exploded pairs (map-side partial combine; the pair
+    // domain, not the corpus, is the shuffle) + ONE single-row
+    // broadcast argmax folded back via crossJoin — the q183/q101
+    // per-round economics: no collect(), no window, per-round cost
+    // O(corpus symbols). Deterministic: argmax ties break on the pair
+    // string, mirrored by the oracle's ORDER BY cnt DESC, pr LIMIT 1;
+    // instance counting == frequency-weighted vocabulary counting.
+    // Output: the learned merge table (step, a, b, count) — at real
+    // scale this loop runs ~50k steps on a pre-aggregated (word, freq)
+    // vocab table (collapsing instances first shrinks the stream table
+    // by the corpus/vocab ratio; same per-round shape).
+    QueryDef(
+      "q190_bpe_train",
+      (s, dir) =>
+        Bpe.trainMerges(
+          Engine
+            .table(s, dir, "documents")
+            .select(explode(Tokenize.toksExpr).as("word")),
+          steps = 6),
+      Some {
+        val steps = 6
+        val stepCtes = (1 to steps).map { t =>
+          val merge =
+            if (t == steps) ""
+            else {
+              val a = s"string_split(b$t.pr, '|')[1]"
+              val b = s"string_split(b$t.pr, '|')[2]"
+              s""",
+             s$t AS (SELECT replace(s, ' ' || $a || '  ' || $b || ' ',
+                 ' ' || $a || $b || ' ') AS s FROM s${t - 1}, b$t)"""
+            }
+          s"""p$t AS (SELECT unnest(${Bpe.pairsDuck}) AS pr
+               FROM (SELECT ${Bpe.symsDuck("s")} AS sy FROM s${t - 1}) q$t),
+             c$t AS (SELECT pr, count(*) AS cnt FROM p$t GROUP BY pr),
+             b$t AS (SELECT pr, cnt FROM c$t ORDER BY cnt DESC, pr LIMIT 1)$merge"""
+        }
+        val unions = (1 to steps)
+          .map(t => s"SELECT CAST($t AS BIGINT) AS step, pr, cnt FROM b$t")
+          .mkString("\n             UNION ALL ")
+        s"""WITH t AS (SELECT ${Tokenize.toksSql} AS toks FROM documents),
+             w AS (SELECT unnest(toks) AS word FROM t),
+             s0 AS (SELECT ${Bpe.wrapDuck("word")} AS s FROM w),
+             ${stepCtes.mkString(",\n             ")}
+             SELECT step, string_split(pr, '|')[1] AS a, string_split(pr, '|')[2] AS b,
+               CAST(cnt AS BIGINT) AS cnt
+             FROM ($unions) u
+             ORDER BY step"""
+      }
+    ),
+    // --------------------------------------------------------------- q191
+    // Tokenizer fertility by language — the multilingual datacard
+    // metric (BPE tokens per word): a tokenizer whose merges were
+    // learned on one language "over-segments" the others, and fertility
+    // is how that inequity is reported (and how compute budgets skew).
+    // Composition of q188's counts with a per-lang rollup; integer
+    // micro-units with a greatest(1) floor so the division is
+    // engine-exact (both operands positive, so Spark's truncating `div`
+    // and DuckDB's flooring `//` agree).
+    QueryDef(
+      "q191_bpe_fertility",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), Tokenize.toksExpr.as("toks"))
+          .select(
+            col("lang"),
+            size(col("toks")).cast("long").as("nw"),
+            expr(Bpe.docTokensSpark("toks")).as("nb"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"))
+          .withColumn(
+            "fertility_micro",
+            expr("n_bpe * 1000000 div greatest(n_words, 1)"))
+          .orderBy(col("lang")),
+      Some(s"""WITH t AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
+             d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS nw,
+                 ${Bpe.docTokensDuck("toks")} AS nb
+               FROM t)
+             SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+               CAST(sum(nb) AS BIGINT) AS n_bpe,
+               CAST(sum(nb) * 1000000 // greatest(sum(nw), 1) AS BIGINT) AS fertility_micro
+             FROM d GROUP BY lang ORDER BY lang""")
     )
   )
 }

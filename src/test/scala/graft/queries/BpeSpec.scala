@@ -72,6 +72,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 training loop matches a hand-computed fixture") {
+    import spark.implicits._
+    // corpus: the, the, then, and, and, and
+    //   round 1: pairs t|h x3, h|e x3, e|n x1, a|n x3, n|d x3
+    //            -> cnt-3 tie breaks on pair string: a|n
+    //   round 2: an|d x3 beats h|e / t|h on the string -> an|d
+    //   round 3: h|e x3 beats t|h -> h|e
+    //   round 4: t|he x3 (the/then now ' t  he ..') -> t|he
+    val words = Seq("the", "the", "then", "and", "and", "and").toDF("word")
+    val got = Bpe
+      .trainMerges(words, steps = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, "a", "n", 3L), (2L, "an", "d", 3L), (3L, "h", "e", 3L), (4L, "t", "he", 3L)))
+  }
+
+  test("q190 on the corpus: distinct merges with non-increasing counts") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = graft.SparkEntry
+      .queries("q190_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 6)
+    // each learned merge is a new pair (the previous one is gone)
+    assert(merges.map(m => (m._2, m._3)).distinct.length == 6)
+    // the best-pair count can only fall as merges consume occurrences
+    val cnts = merges.sortBy(_._1).map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y }, s"counts rose: ${cnts.toSeq}")
+    assert(cnts.last > 0)
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q189 packing is consistent with q188 counts") {
     val dir = "/root/testdata/sf0.001"
     val counts = graft.SparkEntry
