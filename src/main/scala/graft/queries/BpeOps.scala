@@ -130,21 +130,29 @@ object Bpe {
   /** The BPE merge-learning loop (q190's body, factored out so BpeSpec
     * can drive it on a hand-computable fixture): `steps` rounds of
     * count-pairs -> global argmax -> merge-everywhere over a one-column
-    * `word` DataFrame. Caller guarantees the corpus has at least
-    * `steps` mergeable pair generations (exhaustion would surface as a
-    * null merge row). Returns (step, a, b, cnt).
+    * `word` DataFrame. The loop runs on the PRE-AGGREGATED (word, freq)
+    * VOCABULARY — the Sennrich training shape: pair counts are
+    * freq-weighted sums, which equal instance counts exactly, but each
+    * round rescans |vocab| symbol streams instead of |corpus| (the
+    * round-9 change that took q190 from the bench's top cost to
+    * sub-second; at 100 TB the vocab/corpus ratio is ~1e-6). Caller
+    * guarantees the corpus has at least `steps` mergeable pair
+    * generations (exhaustion would surface as a null merge row).
+    * Returns (step, a, b, cnt).
     */
   def trainMerges(words: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
-    var streams = words
-      .select(expr(wrapSpark("word")).as("s"))
+    var vocab = words
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .select(expr(wrapSpark("word")).as("s"), col("freq"))
       .localCheckpoint(eager = false) // re-read every round
     val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     for (t <- 1 to steps) {
-      val best = streams
-        .select(expr(symsSpark("s")).as("sy"))
-        .select(explode(expr(pairsSpark)).as("pr"))
+      val best = vocab
+        .select(expr(symsSpark("s")).as("sy"), col("freq"))
+        .select(explode(expr(pairsSpark)).as("pr"), col("freq"))
         .groupBy(col("pr"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("freq")).as("cnt"))
         .agg(min(struct((-col("cnt")).as("neg"), col("pr"), col("cnt"))).as("m"))
         .select(
           split(col("m.pr"), "\\|").getItem(0).as("a"),
@@ -152,10 +160,11 @@ object Bpe {
           col("m.cnt").as("cnt"))
         .localCheckpoint(eager = false) // consumed twice: output + merge-back
       learned += best.select(lit(t.toLong).as("step"), col("a"), col("b"), col("cnt"))
-      streams = streams
+      vocab = vocab
         .crossJoin(broadcast(best))
         .select(
-          expr("replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("s"))
+          expr("replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("s"),
+          col("freq"))
         .localCheckpoint(eager = false)
     }
     learned.reduce(_ unionAll _).orderBy(col("step"))
@@ -234,21 +243,25 @@ object BpeOps {
     ),
     // --------------------------------------------------------------- q190
     // Distributed BPE merge LEARNING — the tokenizer-TRAINING side of
-    // q188's application: 6 rounds of (count adjacent symbol pairs over
-    // the whole corpus's symbol streams -> take the globally most
-    // frequent pair -> merge it everywhere), the Sennrich et al. BPE
-    // induction loop as distributed dataflow. Each round is ONE hash
+    // q188's application: 6 rounds of (count adjacent symbol pairs ->
+    // take the globally most frequent pair -> merge it everywhere),
+    // the Sennrich et al. BPE induction loop as distributed dataflow,
+    // run on the PRE-AGGREGATED (word, freq) VOCABULARY with
+    // freq-weighted pair counts (the real training shape: one corpus
+    // scan builds the vocab, then every round rescans |vocab| streams,
+    // not |corpus| — the difference between 8.5 s and sub-second here,
+    // and between feasible and not at 100 TB). Each round is ONE hash
     // aggregate over exploded pairs (map-side partial combine; the pair
     // domain, not the corpus, is the shuffle) + ONE single-row
     // broadcast argmax folded back via crossJoin — the q183/q101
-    // per-round economics: no collect(), no window, per-round cost
-    // O(corpus symbols). Deterministic: argmax ties break on the pair
-    // string, mirrored by the oracle's ORDER BY cnt DESC, pr LIMIT 1;
-    // instance counting == frequency-weighted vocabulary counting.
-    // Output: the learned merge table (step, a, b, count) — at real
-    // scale this loop runs ~50k steps on a pre-aggregated (word, freq)
-    // vocab table (collapsing instances first shrinks the stream table
-    // by the corpus/vocab ratio; same per-round shape).
+    // per-round economics: no collect(), no window. Deterministic:
+    // argmax ties break on the pair string, mirrored by the oracle's
+    // ORDER BY cnt DESC, pr LIMIT 1. The ORACLE deliberately counts
+    // token INSTANCES (no vocab pre-aggregation): the hash gate then
+    // PROVES freq-weighted vocab counting equals instance counting —
+    // two algorithms, one contract. Output: the learned merge table
+    // (step, a, b, count); a real run does ~50k steps, same per-round
+    // shape.
     QueryDef(
       "q190_bpe_train",
       (s, dir) =>
