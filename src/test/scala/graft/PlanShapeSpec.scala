@@ -129,6 +129,18 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q183: the adjacency cap is a bounded aggregate — no per-src window sort") {
+    val p = plan("q183_random_walks")
+    // the <=32-neighbor cap must come from the MinKByKey bounded
+    // aggregate (map-side partial combine holds O(32) state per node
+    // per task), never a row_number window partitioned by src — that
+    // shape funnels a hub node's FULL adjacency through one task's
+    // sort. The walk steps are min-struct aggregates, so the whole
+    // executed plan must be window-free.
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("q161: the resampling rank never plans a single-partition window over the corpus") {
     val p = plan("q161_dsir_sample")
     // same contract as q89/q129/q141/q153: data-bearing row numbering is
