@@ -173,34 +173,44 @@ object Bpe {
 
 object BpeOps {
 
+  /** q188's transform — stateless narrow string work over a (doc_id,
+    * text) frame, shared VERBATIM by the streaming q192 (the
+    * q169/q170 and q172/q177 batch/stream no-drift pattern: one code
+    * object, two execution shapes, one oracle string).
+    */
+  private[graft] def tokenCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("n_chars"),
+        expr(Bpe.docTokensSpark("toks")).as("n_bpe")
+      )
+
+  /** q188 AND q192's oracle — the same SQL string object. */
+  private[graft] def tokenCountsOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents)
+             SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT)
+                 AS n_chars,
+               ${Bpe.docTokensDuck("toks")} AS n_bpe
+             FROM t ORDER BY doc_id"""
+
   val entries: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- q188
     // BPE token accounting per document: word count, character count,
     // and the BPE token count under the literal merge table — the
     // numbers a shard-sizing/budgeting stage keys on (q129/q89 run on
     // whitespace words; this is the tokenizer-true replacement). Pure
-    // narrow per-row string work riding the documents scan.
+    // narrow per-row string work riding the documents scan; applied
+    // unchanged to a file stream by q192.
     QueryDef(
       "q188_bpe_tokenize",
-      (s, dir) =>
-        Engine
-          .table(s, dir, "documents")
-          .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
-          .select(
-            col("doc_id"),
-            size(col("toks")).cast("long").as("n_words"),
-            expr("aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
-              "cast(0 as bigint), (acc, x) -> acc + x)").as("n_chars"),
-            expr(Bpe.docTokensSpark("toks")).as("n_bpe")
-          )
-          .orderBy(col("doc_id")),
-      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents)
-             SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_words,
-               CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT)
-                 AS n_chars,
-               ${Bpe.docTokensDuck("toks")} AS n_bpe
-             FROM t ORDER BY doc_id""")
+      (s, dir) => tokenCounts(Engine.table(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(tokenCountsOracleSql)
     ),
     // --------------------------------------------------------------- q189
     // Sequence packing on BPE tokens — q129's GPT-style

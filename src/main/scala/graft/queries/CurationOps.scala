@@ -1598,7 +1598,81 @@ object CurationOps {
                exact_dup_docs, near_dup_docs,
                CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS docs_ppm
              FROM cell ORDER BY lang, source""")
+    ),
+    // --------------------------------------------------------------- q193
+    // Temperature-ANNEALED mixture schedule — the multi-epoch sibling
+    // of q108/q69's one-shot flattening: published pre-training runs
+    // anneal the source mixture over training (UL2/MiniCPM/Llama-style
+    // staged data schedules: start near-natural, end strongly
+    // flattened), and this emits the full per-epoch weight table a
+    // trainer consumes. Epoch e uses temperature tau_e in
+    // {1.0, 0.75, 0.5, 0.25}; weight_s(tau) = n_s^tau / sum_t n_t^tau.
+    // Engine-exactness trick: those taus need only sqrt (n^0.5 =
+    // sqrt, n^0.25 = sqrt(sqrt), n^0.75 = their product) — sqrt is
+    // IEEE-correctly-rounded in BOTH engines, unlike pow/exp whose
+    // libm implementations differ — and each n^tau is floored to
+    // integer micro-units BEFORE the sum, so the normalizing
+    // denominator is an exact integer total (no FP accumulation-order
+    // noise) and the final weight is engine-exact integer division.
+    // One tiny per-source aggregate; the 4 epochs are a literal
+    // union over the ~|sources| rows.
+    QueryDef(
+      "q193_mixture_schedule",
+      (s, dir) => {
+        val ps = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .groupBy(col("source"))
+          .agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+          .localCheckpoint(eager = false) // 4 epochs re-read the one aggregate
+        val epochs = MixtureTaus.zipWithIndex.map { case ((tauMicro, powSql), i) =>
+          ps.select(
+            lit(i + 1L).as("epoch"),
+            lit(tauMicro).as("tau_micro"),
+            col("source"),
+            col("n_tokens"),
+            expr(s"CAST(floor(${powSql("n_tokens")} * 1000000 + 0.5) AS BIGINT)").as("p"))
+        }
+        val all = epochs.reduce(_ unionAll _)
+        val totals = all.groupBy(col("epoch")).agg(sum(col("p")).as("tp"))
+        all
+          .join(broadcast(totals), "epoch")
+          .select(
+            col("epoch"), col("tau_micro"), col("source"), col("n_tokens"),
+            expr("p * 1000000 div tp").as("weight_ppm"))
+          .orderBy(col("epoch"), col("source"))
+      },
+      Some {
+        val arms = MixtureTaus.zipWithIndex
+          .map { case ((tauMicro, powSql), i) =>
+            s"""SELECT CAST(${i + 1} AS BIGINT) AS epoch,
+                 CAST($tauMicro AS BIGINT) AS tau_micro, source, n_tokens,
+                 CAST(floor(${powSql("n_tokens")} * 1000000 + 0.5) AS BIGINT) AS p
+               FROM ps"""
+          }
+          .mkString("\n             UNION ALL ")
+        s"""WITH ps AS (
+               SELECT source, CAST(sum(len(${Tokenize.toksSql})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             e AS ($arms),
+             t AS (SELECT epoch, CAST(sum(p) AS BIGINT) AS tp FROM e GROUP BY epoch)
+             SELECT e.epoch, tau_micro, source, n_tokens,
+               CAST(p * 1000000 // tp AS BIGINT) AS weight_ppm
+             FROM e JOIN t ON e.epoch = t.epoch
+             ORDER BY e.epoch, source"""
+      }
     )
+  )
+
+  /** The annealing schedule: (tau in micro-units, n^tau as engine-shared
+    * SQL built from correctly-rounded sqrt only — see q193). A `def`
+    * (not a val after `entries`) per the eager-interpolation rule.
+    */
+  private def MixtureTaus: Seq[(Long, String => String)] = Seq(
+    (1000000L, (c: String) => s"CAST($c AS DOUBLE)"),
+    (750000L, (c: String) => s"(sqrt(CAST($c AS DOUBLE)) * sqrt(sqrt(CAST($c AS DOUBLE))))"),
+    (500000L, (c: String) => s"sqrt(CAST($c AS DOUBLE))"),
+    (250000L, (c: String) => s"sqrt(sqrt(CAST($c AS DOUBLE)))")
   )
 
   /** q179's blocklist as a SQL literal list body — a documented

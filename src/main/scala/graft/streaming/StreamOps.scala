@@ -783,6 +783,37 @@ object StreamOps {
           .orderBy(col("doc_id"))
       },
       Some(graft.queries.PiiOps.redactOracleSql)
+    ),
+    // --------------------------------------------------------------- q192
+    // Streaming BPE token accounting — q188's per-doc tokenizer-true
+    // counts applied UNCHANGED to a documents file-stream (the
+    // q170/q177 pattern, now for the tokenize stage): real pipelines
+    // meter arriving crawl shards in TOKENIZER tokens at ingest so
+    // shard sizing and budget dashboards never run on whitespace
+    // counts. Stateless narrow string work only (the wrapped
+    // replace-chain rides the read), so NO state store, no watermark,
+    // Append mode — zero state at any stream length, per-batch cost =
+    // the batch per-row cost. Gate: the SAME oracle string object as
+    // q188 (BpeOps.tokenCountsOracleSql — one transform, two execution
+    // shapes, structural no-drift).
+    QueryDef(
+      "q192_stream_bpe",
+      (s, dir) => {
+        val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docsStream = s.readStream
+          .schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        EventStreaming
+          .runToMemory(
+            s,
+            graft.queries.BpeOps.tokenCounts(docsStream),
+            sinkName("q192"),
+            OutputMode.Append()
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some(graft.queries.BpeOps.tokenCountsOracleSql)
     )
   )
 }

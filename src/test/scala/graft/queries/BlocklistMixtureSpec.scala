@@ -14,6 +14,28 @@ class BlocklistMixtureSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
   private lazy val spark = graft.Engine.session("test")
 
+  test("q193: annealing really flattens — heads shrink, tails grow, epochs sum to ~1e6") {
+    val rows = graft.SparkEntry
+      .queries("q193_mixture_schedule")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4))) // (epoch, weight_ppm)
+    val byEpoch = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byEpoch.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    byEpoch.foreach { case (e, ws) =>
+      val s = ws.map(_._2).sum
+      // floor division loses < 1 ppm per source
+      assert(s <= 1000000 && s >= 1000000 - ws.length, s"epoch $e weights sum $s")
+    }
+    // temperature falls 1.0 -> 0.25 across epochs: the largest source's
+    // share must not grow, the smallest's must not shrink
+    val maxes = byEpoch.map(_._2.map(_._2).max)
+    val mins = byEpoch.map(_._2.map(_._2).min)
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => b <= a }, s"head grew: $maxes")
+    assert(mins.zip(mins.tail).forall { case (a, b) => b >= a }, s"tail shrank: $mins")
+    assert(maxes.head > maxes.last, "annealing had no effect — vacuous schedule")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q179: verdict is exactly hits >= 1, and drops occur at sf0.01") {
     val df = graft.SparkEntry.queries("q179_blocklist")(spark, dir)
     val bad = df.filter(
