@@ -40,12 +40,17 @@ object WriteBench {
       val t0 = System.nanoTime()
       val back = operators.Layout.writeShards(spark, in, out, col("doc_id"), 16)
       val secs = (System.nanoTime() - t0) / 1e9
-      // verify before reporting: complete re-read, all 16 shard dirs
+      // verify before reporting: complete re-read, and one dir per
+      // POPULATED shard (a small curated set can legitimately leave
+      // some of the 16 shard values empty — partitionBy writes no dir
+      // for those, so a hard ==16 would abort a correct write; the
+      // LayoutSpec recipe-export test pins the same rule)
       val reread = back.count()
       require(reread == rows, s"re-read $reread rows, wrote $rows")
       val parts = walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
       val shardDirs = new java.io.File(out).listFiles.count(_.getName.startsWith("shard="))
-      require(shardDirs == 16, s"expected 16 shard dirs, found $shardDirs")
+      val expected = back.select("shard").distinct().count()
+      require(shardDirs == expected, s"expected $expected shard dirs, found $shardDirs")
       val bytes = parts.map(_.length).sum
       println(
         s"""{"metric":"$metric","unit":"sec","value":${fmt(secs)},"rows":$rows,""" +

@@ -22,15 +22,30 @@ import org.apache.spark.sql.expressions.Aggregator
 class MinKByKey(k: Int)
     extends Aggregator[(Long, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
 
-  private def trim(b: Seq[(String, Long)]): Seq[(String, Long)] = b.sorted.take(k)
+  private val ord = Ordering.Tuple2[String, Long]
 
   override def zero: Seq[(String, Long)] = Seq.empty
 
-  override def reduce(b: Seq[(String, Long)], a: (Long, String, Long)): Seq[(String, Long)] =
-    trim(b :+ ((a._2, a._3)))
+  // The buffer is maintained SORTED, so the per-row path is a
+  // constant-time "not in the top-k" check once the buffer is full
+  // (the common case on a hub node) and an O(k) ordered insert
+  // otherwise — never a full O(k log k) re-sort per input row (the
+  // first-landed form did exactly that; round-9 review finding).
+  override def reduce(b: Seq[(String, Long)], a: (Long, String, Long)): Seq[(String, Long)] = {
+    val p = (a._2, a._3)
+    if (b.length >= k && ord.gteq(p, b.last)) b
+    else {
+      val j = b.indexWhere(ord.gt(_, p))
+      val i = if (j < 0) b.length else j
+      val ins = (b.take(i) :+ p) ++ b.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+  }
 
+  // merge runs once per (group, partition-pair), not per row — a sort
+  // over <= 2k elements is fine here
   override def merge(b1: Seq[(String, Long)], b2: Seq[(String, Long)]): Seq[(String, Long)] =
-    trim(b1 ++ b2)
+    (b1 ++ b2).sorted(ord).take(k)
 
   override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
 

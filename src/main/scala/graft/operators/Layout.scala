@@ -59,12 +59,16 @@ object Layout {
     * disjoint per-file key ranges, and byte-identical query results).
     *
     * The swap is rename-based: the new generation is fully written
-    * before the old one is dropped, so a crash leaves the old or the
-    * new complete file set, never a mix. (On an object store this is a
-    * manifest/pointer swap — same shape, different commit primitive.)
-    * Caller must ensure no reader holds an open plan over `dir` across
-    * the call — in a foreachBatch loop, call it BETWEEN batches after
-    * the batch's joins have materialized, as the streaming queries do.
+    * before the old one is dropped, so a crash leaves a complete file
+    * set — at the live path, or (if the kill lands between the two
+    * renames) parked at `dir + ".old"`, which the NEXT call repairs by
+    * renaming it back before doing anything destructive; stale
+    * `.compacting`/`.old` leftovers are only discarded once the live
+    * path exists. (On an object store this is a manifest/pointer
+    * swap — same shape, different commit primitive.) Caller must
+    * ensure no reader holds an open plan over `dir` across the call —
+    * in a foreachBatch loop, call it BETWEEN batches after the
+    * batch's joins have materialized, as the streaming queries do.
     */
   def compactInPlace(
       spark: SparkSession,
@@ -72,8 +76,16 @@ object Layout {
       targetFiles: Int,
       clusterCols: Column*
   ): Unit = {
+    val target = new java.io.File(dir)
     val tmp = new java.io.File(dir + ".compacting")
     val old = new java.io.File(dir + ".old")
+    // crash repair FIRST: a kill between "retire" and "commit" below
+    // leaves the live path absent and the previous generation at .old
+    // — restore it (deleting .old here instead would destroy the only
+    // surviving index; round-9 review finding)
+    if (!target.exists && old.exists)
+      require(old.renameTo(target), s"compactInPlace: cannot restore $old")
+    require(target.exists, s"compactInPlace: $dir does not exist")
     graft.Engine.deleteRecursively(tmp)
     graft.Engine.deleteRecursively(old)
     spark.read
@@ -83,8 +95,8 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(tmp.toString)
-    require(new java.io.File(dir).renameTo(old), s"compactInPlace: cannot retire $dir")
-    require(tmp.renameTo(new java.io.File(dir)), s"compactInPlace: cannot commit $tmp")
+    require(target.renameTo(old), s"compactInPlace: cannot retire $dir")
+    require(tmp.renameTo(target), s"compactInPlace: cannot commit $tmp")
     graft.Engine.deleteRecursively(old)
   }
 

@@ -315,10 +315,13 @@ object BpeOps {
     // metric (BPE tokens per word): a tokenizer whose merges were
     // learned on one language "over-segments" the others, and fertility
     // is how that inequity is reported (and how compute budgets skew).
-    // Composition of q188's counts with a per-lang rollup; integer
-    // micro-units with a greatest(1) floor so the division is
-    // engine-exact (both operands positive, so Spark's truncating `div`
-    // and DuckDB's flooring `//` agree).
+    // Composition of q188's counts with a per-lang rollup; the ratio is
+    // ONE long/long double division rounded to 6 decimals (the q108
+    // share convention) — a premultiplied integer-micro form
+    // (n_bpe * 1e6 div n_words) would overflow ANSI Long arithmetic
+    // once a language holds >9.2e12 BPE tokens (~40 TB of text),
+    // i.e. exactly at the engine's target scale; found in round-9
+    // review.
     QueryDef(
       "q191_bpe_fertility",
       (s, dir) =>
@@ -332,8 +335,8 @@ object BpeOps {
           .groupBy(col("lang"))
           .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"))
           .withColumn(
-            "fertility_micro",
-            expr("n_bpe * 1000000 div greatest(n_words, 1)"))
+            "fertility",
+            round(col("n_bpe").cast("double") / greatest(col("n_words"), lit(1L)), 6))
           .orderBy(col("lang")),
       Some(s"""WITH t AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
              d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS nw,
@@ -341,7 +344,7 @@ object BpeOps {
                FROM t)
              SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
                CAST(sum(nb) AS BIGINT) AS n_bpe,
-               CAST(sum(nb) * 1000000 // greatest(sum(nw), 1) AS BIGINT) AS fertility_micro
+               round(CAST(sum(nb) AS DOUBLE) / greatest(sum(nw), 1), 6) AS fertility
              FROM d GROUP BY lang ORDER BY lang""")
     )
   )

@@ -1611,11 +1611,16 @@ object CurationOps {
     // sqrt, n^0.25 = sqrt(sqrt), n^0.75 = their product) — sqrt is
     // IEEE-correctly-rounded in BOTH engines, unlike pow/exp whose
     // libm implementations differ — and each n^tau is floored to
-    // integer micro-units BEFORE the sum, so the normalizing
+    // integer MILLI-units BEFORE the sum, so the normalizing
     // denominator is an exact integer total (no FP accumulation-order
-    // noise) and the final weight is engine-exact integer division.
-    // One tiny per-source aggregate; the 4 epochs are a literal
-    // union over the ~|sources| rows.
+    // noise); the weight is then ONE long/long double division,
+    // rounded to 6 decimals (the q108 share convention). Milli (not
+    // micro) units keep the exact integer sum within Long out to
+    // ~9e15 total tokens (~40 PB of text) — a premultiplied
+    // weight_ppm integer form (p * 1e6 div tp) would overflow ANSI
+    // Long arithmetic at ~9e6 tokens per source, found in round-9
+    // review. One tiny per-source aggregate; the 4 epochs are a
+    // literal union over the ~|sources| rows.
     QueryDef(
       "q193_mixture_schedule",
       (s, dir) => {
@@ -1631,7 +1636,7 @@ object CurationOps {
             lit(tauMicro).as("tau_micro"),
             col("source"),
             col("n_tokens"),
-            expr(s"CAST(floor(${powSql("n_tokens")} * 1000000 + 0.5) AS BIGINT)").as("p"))
+            expr(s"CAST(floor(${powSql("n_tokens")} * 1000 + 0.5) AS BIGINT)").as("p"))
         }
         val all = epochs.reduce(_ unionAll _)
         val totals = all.groupBy(col("epoch")).agg(sum(col("p")).as("tp"))
@@ -1639,7 +1644,7 @@ object CurationOps {
           .join(broadcast(totals), "epoch")
           .select(
             col("epoch"), col("tau_micro"), col("source"), col("n_tokens"),
-            expr("p * 1000000 div tp").as("weight_ppm"))
+            round(col("p").cast("double") / col("tp"), 6).as("weight"))
           .orderBy(col("epoch"), col("source"))
       },
       Some {
@@ -1647,7 +1652,7 @@ object CurationOps {
           .map { case ((tauMicro, powSql), i) =>
             s"""SELECT CAST(${i + 1} AS BIGINT) AS epoch,
                  CAST($tauMicro AS BIGINT) AS tau_micro, source, n_tokens,
-                 CAST(floor(${powSql("n_tokens")} * 1000000 + 0.5) AS BIGINT) AS p
+                 CAST(floor(${powSql("n_tokens")} * 1000 + 0.5) AS BIGINT) AS p
                FROM ps"""
           }
           .mkString("\n             UNION ALL ")
@@ -1657,7 +1662,7 @@ object CurationOps {
              e AS ($arms),
              t AS (SELECT epoch, CAST(sum(p) AS BIGINT) AS tp FROM e GROUP BY epoch)
              SELECT e.epoch, tau_micro, source, n_tokens,
-               CAST(p * 1000000 // tp AS BIGINT) AS weight_ppm
+               round(CAST(p AS DOUBLE) / tp, 6) AS weight
              FROM e JOIN t ON e.epoch = t.epoch
              ORDER BY e.epoch, source"""
       }

@@ -14,24 +14,26 @@ class BlocklistMixtureSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
   private lazy val spark = graft.Engine.session("test")
 
-  test("q193: annealing really flattens — heads shrink, tails grow, epochs sum to ~1e6") {
+  test("q193: annealing really flattens — heads shrink, tails grow, epochs sum to ~1") {
     val rows = graft.SparkEntry
       .queries("q193_mixture_schedule")(spark, dir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(4))) // (epoch, weight_ppm)
+      .map(r => (r.getLong(0), r.getDouble(4))) // (epoch, weight)
     val byEpoch = rows.groupBy(_._1).toSeq.sortBy(_._1)
     assert(byEpoch.map(_._1) == Seq(1L, 2L, 3L, 4L))
     byEpoch.foreach { case (e, ws) =>
       val s = ws.map(_._2).sum
-      // floor division loses < 1 ppm per source
-      assert(s <= 1000000 && s >= 1000000 - ws.length, s"epoch $e weights sum $s")
+      // each weight is rounded to 6 decimals: sum within 5e-7/source of 1
+      assert(math.abs(s - 1.0) <= 5e-7 * ws.length, s"epoch $e weights sum $s")
     }
     // temperature falls 1.0 -> 0.25 across epochs: the largest source's
-    // share must not grow, the smallest's must not shrink
+    // share must not grow, the smallest's must not shrink (1-ulp-of-
+    // rounding slack: weights are independently rounded to 6 decimals)
+    val eps = 2e-6
     val maxes = byEpoch.map(_._2.map(_._2).max)
     val mins = byEpoch.map(_._2.map(_._2).min)
-    assert(maxes.zip(maxes.tail).forall { case (a, b) => b <= a }, s"head grew: $maxes")
-    assert(mins.zip(mins.tail).forall { case (a, b) => b >= a }, s"tail shrank: $mins")
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => b <= a + eps }, s"head grew: $maxes")
+    assert(mins.zip(mins.tail).forall { case (a, b) => b >= a - eps }, s"tail shrank: $mins")
     assert(maxes.head > maxes.last, "annealing had no effect — vacuous schedule")
     graft.Engine.releaseScratch(spark)
   }
