@@ -87,6 +87,16 @@ class LayoutSpec extends AnyFunSuite {
     // no leftover generation dirs from the swap
     assert(!new java.io.File(idxDir + ".compacting").exists())
     assert(!new java.io.File(idxDir + ".old").exists())
+
+    // CRASH-WINDOW REPAIR: simulate a kill between "retire" and
+    // "commit" (live path gone, previous generation parked at .old) —
+    // the next call must restore and recompact, never delete the only
+    // surviving generation
+    assert(new java.io.File(idxDir).renameTo(new java.io.File(idxDir + ".old")))
+    Layout.compactInPlace(spark, idxDir, 4, col("h"))
+    val recovered = spark.read.parquet(idxDir).collect().map(_.getString(0)).toSet
+    assert(recovered == before, "crash repair lost index content")
+    assert(!new java.io.File(idxDir + ".old").exists())
   }
 
   test("z-order: interleaving is correct and a 2-D box prunes most z-clustered files") {
