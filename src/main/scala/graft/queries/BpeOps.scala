@@ -282,32 +282,88 @@ object BpeOps {
           steps = 6),
       Some {
         val steps = 6
-        val stepCtes = (1 to steps).map { t =>
-          val merge =
-            if (t == steps) ""
-            else {
-              val a = s"string_split(b$t.pr, '|')[1]"
-              val b = s"string_split(b$t.pr, '|')[2]"
-              s""",
-             s$t AS (SELECT replace(s, ' ' || $a || '  ' || $b || ' ',
-                 ' ' || $a || $b || ' ') AS s FROM s${t - 1}, b$t)"""
-            }
-          s"""p$t AS (SELECT unnest(${Bpe.pairsDuck}) AS pr
-               FROM (SELECT ${Bpe.symsDuck("s")} AS sy FROM s${t - 1}) q$t),
-             c$t AS (SELECT pr, count(*) AS cnt FROM p$t GROUP BY pr),
-             b$t AS (SELECT pr, cnt FROM c$t ORDER BY cnt DESC, pr LIMIT 1)$merge"""
-        }
         val unions = (1 to steps)
           .map(t => s"SELECT CAST($t AS BIGINT) AS step, pr, cnt FROM b$t")
           .mkString("\n             UNION ALL ")
-        s"""WITH t AS (SELECT ${Tokenize.toksSql} AS toks FROM documents),
-             w AS (SELECT unnest(toks) AS word FROM t),
-             s0 AS (SELECT ${Bpe.wrapDuck("word")} AS s FROM w),
-             ${stepCtes.mkString(",\n             ")}
+        s"""${trainCtesSql(steps)}
              SELECT step, string_split(pr, '|')[1] AS a, string_split(pr, '|')[2] AS b,
                CAST(cnt AS BIGINT) AS cnt
              FROM ($unions) u
              ORDER BY step"""
+      }
+    ),
+    // --------------------------------------------------------------- q194
+    // Train-then-APPLY — the composition that proves q190's learned
+    // merges are a usable tokenizer, not just a table: re-run the
+    // 6-step training loop, pivot the learned (a, b) pairs into ONE
+    // broadcast row, and re-encode the whole corpus under THOSE merges
+    // (a replace-chain whose patterns are COLUMNS from the learned
+    // row, not literals — the engine's first data-dependent encode).
+    // Output per language: character count, token count under the
+    // learned merges, and the compression ratio (tokens/char, lower =
+    // better; q188's literal table is the fixed-vocabulary baseline).
+    // Scale shape: training as q190 (vocab rounds), application as
+    // q188 (narrow per-row work riding the scan) — the pivot row is a
+    // 1-row broadcast, so nothing about the corpus side changes.
+    QueryDef(
+      "q194_bpe_train_apply",
+      (s, dir) => {
+        val steps = 6
+        val merges = Bpe.trainMerges(
+          Engine
+            .table(s, dir, "documents")
+            .select(explode(Tokenize.toksExpr).as("word")),
+          steps)
+        // pivot the 6 learned pairs into one row (a1,b1,...,a6,b6)
+        val aggCols = (1 to steps).flatMap(t =>
+          Seq(
+            max(when(col("step") === t, col("a"))).as(s"a$t"),
+            max(when(col("step") === t, col("b"))).as(s"b$t")))
+        val one = merges.agg(aggCols.head, aggCols.tail: _*)
+        // the learned replace-chain: same shape as the literal table's,
+        // but every pattern is built from the broadcast row's columns
+        val chain = (1 to steps).foldLeft(Bpe.wrapSpark("w")) { (acc, t) =>
+          s"replace($acc, concat(' ', a$t, '  ', b$t, ' '), concat(' ', a$t, b$t, ' '))"
+        }
+        Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), Tokenize.toksExpr.as("toks"))
+          .crossJoin(broadcast(one))
+          .select(
+            col("lang"),
+            expr("aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
+              "cast(0 as bigint), (acc, x) -> acc + x)").as("nc"),
+            expr(s"aggregate(transform(toks, w -> cast(${Bpe.symCountSpark(chain)} as bigint)), " +
+              "cast(0 as bigint), (acc, x) -> acc + x)").as("nl"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nc")).as("n_chars"), sum(col("nl")).as("n_learned"))
+          .withColumn(
+            "compression",
+            round(col("n_learned").cast("double") / greatest(col("n_chars"), lit(1L)), 6))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val steps = 6
+        val pivots = (1 to steps)
+          .map(t =>
+            s"string_split(b$t.pr, '|')[1] AS a$t, string_split(b$t.pr, '|')[2] AS b$t")
+          .mkString(",\n                 ")
+        val froms = (1 to steps).map(t => s"b$t").mkString(", ")
+        val chain = (1 to steps).foldLeft(Bpe.wrapDuck("w")) { (acc, t) =>
+          s"replace($acc, ' ' || a$t || '  ' || b$t || ' ', ' ' || a$t || b$t || ' ')"
+        }
+        s"""${trainCtesSql(steps)},
+             m AS (SELECT $pivots FROM $froms),
+             d AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
+             r AS (SELECT lang,
+                 CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS nc,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                   w -> ${Bpe.symCountDuck(chain)})), 0) AS BIGINT) AS nl
+               FROM d, m)
+             SELECT lang, CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(sum(nl) AS BIGINT) AS n_learned,
+               round(CAST(sum(nl) AS DOUBLE) / greatest(sum(nc), 1), 6) AS compression
+             FROM r GROUP BY lang ORDER BY lang"""
       }
     ),
     // --------------------------------------------------------------- q191
@@ -348,4 +404,35 @@ object BpeOps {
              FROM d GROUP BY lang ORDER BY lang""")
     )
   )
+
+  /** q190's training loop as DuckDB CTEs — `WITH t, w, s0,
+    * p1..c1..b1, ..., b$steps` where `b$t` is the step-t argmax
+    * (pr, cnt) row (NOTE: deliberately an instance-counting replay,
+    * not the Spark side's vocab pre-aggregation — the shared gate
+    * proves the two counting schemes equivalent). ONE definition site
+    * for q190's oracle and q194's train-then-apply oracle; a `def`
+    * (not a val) so `entries`' eager interpolation always sees it
+    * initialized.
+    */
+  private def trainCtesSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      val merge =
+        if (t == steps) ""
+        else {
+          val a = s"string_split(b$t.pr, '|')[1]"
+          val b = s"string_split(b$t.pr, '|')[2]"
+          s""",
+             s$t AS (SELECT replace(s, ' ' || $a || '  ' || $b || ' ',
+                 ' ' || $a || $b || ' ') AS s FROM s${t - 1}, b$t)"""
+        }
+      s"""p$t AS (SELECT unnest(${Bpe.pairsDuck}) AS pr
+               FROM (SELECT ${Bpe.symsDuck("s")} AS sy FROM s${t - 1}) q$t),
+             c$t AS (SELECT pr, count(*) AS cnt FROM p$t GROUP BY pr),
+             b$t AS (SELECT pr, cnt FROM c$t ORDER BY cnt DESC, pr LIMIT 1)$merge"""
+    }
+    s"""WITH t AS (SELECT ${Tokenize.toksSql} AS toks FROM documents),
+             w AS (SELECT unnest(toks) AS word FROM t),
+             s0 AS (SELECT ${Bpe.wrapDuck("word")} AS s FROM w),
+             ${stepCtes.mkString(",\n             ")}"""
+  }
 }

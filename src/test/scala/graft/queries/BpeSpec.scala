@@ -105,6 +105,23 @@ class BpeSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q194 applies the learned merges: compression strictly below 1, bounded below") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry
+      .queries("q194_bpe_train_apply")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nChars, nLearned, compression) =>
+      // the learned merges must actually fire (tokens < chars) and a
+      // token can never cover zero chars (tokens >= chars/maximum
+      // symbol length; 6 merges cap symbols at a few chars, so > 0.1)
+      assert(nLearned < nChars, s"$lang: learned merges never fired")
+      assert(compression > 0.1 && compression < 1.0, s"$lang: compression $compression")
+    }
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q189 packing is consistent with q188 counts") {
     val dir = "/root/testdata/sf0.001"
     val counts = graft.SparkEntry
