@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CharGramMd5, DotProduct, IntL2Sq, MinHashSig, NfcNormalize, Norm2, SimHash32, SlidingMinStr, TokenGramMd5, TokenGramText}
+import graft.functions.{BloomMightContain, BpeDocTokens, BpeEncode, CharGramMd5, DotProduct, IntL2Sq, MinHashSig, NfcNormalize, Norm2, SimHash32, SlidingMinStr, TokenGramMd5, TokenGramText}
 
 /** Session extensions registering graft's native Catalyst functions so
   * they are callable from SQL (`SELECT graft_dot(a, b)`) as well as the
@@ -87,6 +87,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_sliding_min"),
         new ExpressionInfo(classOf[SlidingMinStr].getName, "graft_sliding_min"),
         (args: Seq[Expression]) => SlidingMinStr(args(0), litInt(args(1), "graft_sliding_min"))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_encode"),
+        new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+        (args: Seq[Expression]) => BpeEncode(args(0), args(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_doc_tokens"),
+        new ExpressionInfo(classOf[BpeDocTokens].getName, "graft_bpe_doc_tokens"),
+        (args: Seq[Expression]) => BpeDocTokens(args(0), args(1))
       )
     )
     e.injectFunction(

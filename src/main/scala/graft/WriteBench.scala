@@ -49,7 +49,11 @@ object WriteBench {
       require(reread == rows, s"re-read $reread rows, wrote $rows")
       val parts = walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
       val shardDirs = new java.io.File(out).listFiles.count(_.getName.startsWith("shard="))
-      val expected = back.select("shard").distinct().count()
+      // expected shard-dir count from the INPUT's independent assignment
+      // (counting the re-read's own hive column would be tautological —
+      // the dirs being verified are where that column comes from)
+      val expected =
+        in.select(operators.Layout.shardOf(col("doc_id"), 16).as("s")).distinct().count()
       require(shardDirs == expected, s"expected $expected shard dirs, found $shardDirs")
       val bytes = parts.map(_.length).sum
       println(

@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * ~1.3-2x the word count and the gap is content-dependent, so
   * whitespace counts systematically mis-size packs).
   *
-  * The merge table is a FIXED LITERAL (the engine's established
-  * stand-in pattern — q169's classifier weights, q175's language
-  * profiles): real pipelines load ~50k learned merges from a tokenizer
-  * artifact, but the APPLICATION machinery — per-word symbol stream,
-  * ordered merge rules, corpus-wide counts riding the scan — is
-  * identical, and that machinery is what's implemented and gated here.
+  * The default merge table is a FIXED LITERAL of 16 rules (the engine's
+  * established stand-in pattern — q169's classifier weights, q175's
+  * language profiles), but the APPLICATION machinery is production-
+  * shaped: the gated queries run the NATIVE one-pass greedy merge-rank
+  * encoder (functions/BpeEncode.scala), whose cost is independent of
+  * merge-table size — the same code object handles the 16-rule literal,
+  * a learned table read from a column (q194/q195), and a ~50k-merge
+  * real vocabulary (BpeSpec's smoke test). The replace-chain spelling
+  * below remains as the cross-engine CONTRACT: it is what the DuckDB
+  * oracles execute, and the native encoder is symbol-identical to it on
+  * any parts-before-use table (the invariant real merge lists and
+  * trainMerges outputs both carry — see BpeKernel's equivalence note).
   *
   * Encoding contract (cross-engine exact, one definition site):
   *   - a word becomes a symbol stream rendered as a STRING, every
@@ -68,6 +74,13 @@ object Bpe {
       s"replace($acc, ' $a  $b ', ' $a$b ')"
     }
 
+  /** The merge table as a SQL array literal of `'a|b'` entries in rank
+    * order — the input spelling of the native encoder (and of q190's
+    * learned output). ONE definition site for every Spark-side query.
+    */
+  def mergesSql: String =
+    Merges.map { case (a, b) => s"'$a|$b'" }.mkString("array(", ", ", ")")
+
   /** Spark SQL: the wrap-only symbol stream (chars, no merges applied)
     * — the encode start state AND the training (q190) day-0 state.
     */
@@ -102,10 +115,26 @@ object Bpe {
   /** DuckDB mirror of [[symCountSpark]]. */
   def symCountDuck(encoded: String): String = s"len(${symsDuck(encoded)})"
 
-  /** Spark SQL: a doc's total BPE token count over its `toks` array. */
+  /** Spark SQL: a doc's total BPE token count over its `toks` array —
+    * the NATIVE one-pass greedy merge-rank encoder
+    * (functions/BpeEncode.scala), which is symbol-identical to the
+    * replace-chain on any parts-before-use table (BpeSpec pins the
+    * equality; the DuckDB oracles keep the chain spelling) but extends
+    * to a real ~50k-merge vocabulary where a 50k-deep nested replace
+    * breaks codegen and costs 50k passes per word. The `coalesce`
+    * mirrors the oracle's NULL handling: a NULL `text` tokenizes to a
+    * NULL array, and both engines must report 0 tokens for it.
+    */
   def docTokensSpark(toksCol: String): String =
-    s"aggregate(transform($toksCol, w -> cast(${symCountSpark(encodeSpark("w"))} as bigint)), " +
-      "cast(0 as bigint), (acc, x) -> acc + x)"
+    s"coalesce(graft_bpe_doc_tokens($toksCol, $mergesSql), cast(0 as bigint))"
+
+  /** The replace-chain spelling of [[docTokensSpark]] — kept as the
+    * cross-check target (BpeSpec pins chain == native on the gated
+    * table) and as the documentation of the contract the oracle runs.
+    */
+  def docTokensChainSpark(toksCol: String): String =
+    s"coalesce(aggregate(transform($toksCol, w -> cast(${symCountSpark(encodeSpark("w"))} as bigint)), " +
+      "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))"
 
   /** DuckDB mirror of [[docTokensSpark]]. */
   def docTokensDuck(toksCol: String): String =
@@ -169,6 +198,19 @@ object Bpe {
     }
     learned.reduce(_ unionAll _).orderBy(col("step"))
   }
+
+  /** Collapse a learned merge table (step, a, b, ...) into ONE row with
+    * an `ms` column: the rank-ordered `'a|b'` array the native encoder
+    * takes. A single-row aggregate — callers `crossJoin(broadcast(...))`
+    * it against the corpus (the engine's single-row broadcast rule).
+    * sort_array on (step, m) structs orders by step; the step field is
+    * then dropped by the transform.
+    */
+  def mergesRow(merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    merges
+      .select(struct(col("step"), concat(col("a"), lit("|"), col("b")).as("m")).as("sm"))
+      .agg(sort_array(collect_list(col("sm"))).as("sms"))
+      .select(expr("transform(sms, x -> x.m)").as("ms"))
 }
 
 object BpeOps {
@@ -184,8 +226,9 @@ object BpeOps {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
-        expr("aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)").as("n_chars"),
+        // coalesce mirrors the oracle: NULL text -> NULL toks -> 0 chars
+        expr("coalesce(aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))").as("n_chars"),
         expr(Bpe.docTokensSpark("toks")).as("n_bpe")
       )
 
@@ -295,16 +338,20 @@ object BpeOps {
     // --------------------------------------------------------------- q194
     // Train-then-APPLY — the composition that proves q190's learned
     // merges are a usable tokenizer, not just a table: re-run the
-    // 6-step training loop, pivot the learned (a, b) pairs into ONE
-    // broadcast row, and re-encode the whole corpus under THOSE merges
-    // (a replace-chain whose patterns are COLUMNS from the learned
-    // row, not literals — the engine's first data-dependent encode).
+    // 6-step training loop, collect the learned pairs into ONE
+    // rank-ordered broadcast array row, and re-encode the whole corpus
+    // under THOSE merges with the NATIVE encoder (graft_bpe_doc_tokens
+    // reading its merge table from a COLUMN — the data-dependent
+    // encode; the per-row table cache re-anchors once per document).
     // Output per language: character count, token count under the
     // learned merges, and the compression ratio (tokens/char, lower =
     // better; q188's literal table is the fixed-vocabulary baseline).
-    // Scale shape: training as q190 (vocab rounds), application as
-    // q188 (narrow per-row work riding the scan) — the pivot row is a
-    // 1-row broadcast, so nothing about the corpus side changes.
+    // The DuckDB oracle keeps the learned replace-CHAIN spelling — the
+    // gate hash doubles as the chain==native equivalence proof on a
+    // learned (parts-before-use) table. Scale shape: training as q190
+    // (vocab rounds), application as q188 (narrow per-row work riding
+    // the scan) — the merge row is a 1-row broadcast, so nothing about
+    // the corpus side changes.
     QueryDef(
       "q194_bpe_train_apply",
       (s, dir) => {
@@ -314,27 +361,15 @@ object BpeOps {
             .table(s, dir, "documents")
             .select(explode(Tokenize.toksExpr).as("word")),
           steps)
-        // pivot the 6 learned pairs into one row (a1,b1,...,a6,b6)
-        val aggCols = (1 to steps).flatMap(t =>
-          Seq(
-            max(when(col("step") === t, col("a"))).as(s"a$t"),
-            max(when(col("step") === t, col("b"))).as(s"b$t")))
-        val one = merges.agg(aggCols.head, aggCols.tail: _*)
-        // the learned replace-chain: same shape as the literal table's,
-        // but every pattern is built from the broadcast row's columns
-        val chain = (1 to steps).foldLeft(Bpe.wrapSpark("w")) { (acc, t) =>
-          s"replace($acc, concat(' ', a$t, '  ', b$t, ' '), concat(' ', a$t, b$t, ' '))"
-        }
         Engine
           .table(s, dir, "documents")
           .select(col("lang"), Tokenize.toksExpr.as("toks"))
-          .crossJoin(broadcast(one))
+          .crossJoin(broadcast(Bpe.mergesRow(merges)))
           .select(
             col("lang"),
-            expr("aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
-              "cast(0 as bigint), (acc, x) -> acc + x)").as("nc"),
-            expr(s"aggregate(transform(toks, w -> cast(${Bpe.symCountSpark(chain)} as bigint)), " +
-              "cast(0 as bigint), (acc, x) -> acc + x)").as("nl"))
+            expr("coalesce(aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
+              "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))").as("nc"),
+            expr("coalesce(graft_bpe_doc_tokens(toks, ms), cast(0 as bigint))").as("nl"))
           .groupBy(col("lang"))
           .agg(sum(col("nc")).as("n_chars"), sum(col("nl")).as("n_learned"))
           .withColumn(
