@@ -66,9 +66,15 @@ object Layout {
     * `.compacting`/`.old` leftovers are only discarded once the live
     * path exists. (On an object store this is a manifest/pointer
     * swap — same shape, different commit primitive.) Caller must
-    * ensure no reader holds an open plan over `dir` across the call —
-    * in a foreachBatch loop, call it BETWEEN batches after the
-    * batch's joins have materialized, as the streaming queries do.
+    * ensure no reader holds an open plan over `dir` across the call.
+    *
+    * NOTE (round 10): for a LONG-RUNNING maintained index this
+    * whole-directory rewrite is superseded by [[TieredIndex]], whose
+    * manifest-swap generations remove the crash-repair window entirely,
+    * tolerate concurrent readers, and compact deltas at O(delta) cost
+    * instead of O(index) per cycle — the streaming dedup indexes
+    * (q174/q176/q181) now live there. This stays as the one-shot
+    * "rewrite this directory in place" maintenance job it is.
     */
   def compactInPlace(
       spark: SparkSession,

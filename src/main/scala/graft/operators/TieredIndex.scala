@@ -1,0 +1,272 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** LSM-style persisted index with SIZE/TIER-AWARE maintenance — the
+  * operational store behind the streaming dedup indexes (q174/q176/
+  * q181), replacing the fixed every-2nd-batch FULL-index rewrite of
+  * rounds ≤ 9 (`Layout.compactInPlace` on a flat directory), whose
+  * amortized per-batch cost grew linearly with stream age: at 100 TB
+  * the index (one hash per kept document) is terabytes while a
+  * micro-batch's delta is megabytes, so any fixed-cadence full rewrite
+  * makes total compaction I/O quadratic over the stream's life.
+  *
+  * Layout (all paths under one index directory):
+  * {{{
+  *   CURRENT           one line: the name of the live manifest
+  *   manifest-NNNNN    lines "<kind> <segment>", kind in base|tier|delta
+  *   seg-NNNNN/        parquet file sets (the segments)
+  * }}}
+  *
+  * The manifest is the generation pointer: every mutation (append,
+  * compaction) writes its new segment(s) AND a new manifest file
+  * completely, then atomically swaps CURRENT (POSIX rename; on an
+  * object store this is the manifest/pointer commit of every table
+  * format). Consequences, both spec-pinned (TieredIndexSpec):
+  *
+  *  - CRASH SAFETY BY CONSTRUCTION: a kill anywhere leaves CURRENT
+  *    pointing at a complete previous generation — there is no repair
+  *    window at all (the round-9 `compactInPlace` rename dance had one
+  *    between its two renames, and its repair only ran on the next
+  *    compaction call, not on the restart's first read). Orphan
+  *    segments/manifests from a crashed mutation are garbage-collected
+  *    by the next [[maintain]].
+  *  - CONCURRENT READERS: a reader that resolved the previous
+  *    generation keeps reading its segments — [[maintain]]'s GC
+  *    retains every segment referenced by the current OR the previous
+  *    manifest, so one full maintenance cycle must pass before a
+  *    retired segment is unlinked (readers see the old generation,
+  *    never a transient miss).
+  *
+  * Maintenance policy ([[maintain]], called once per micro-batch — it
+  * is a no-op manifest read unless a threshold trips):
+  *
+  *  - MINOR (the common case): when accumulated delta segments reach
+  *    `minorAt`, compact ONLY those deltas into one range-clustered,
+  *    sorted TIER segment. Cost O(delta bytes) — independent of index
+  *    size.
+  *  - TIER MERGE: when tier segments reach `tierMergeAt`, fold all
+  *    tiers (+ any deltas) into one tier. Cost O(tier bytes) — still
+  *    never touches the base.
+  *  - MAJOR (rare, size-triggered): only when the accumulated
+  *    tier+delta bytes reach `majorFrac` of the BASE's bytes is the
+  *    whole index rewritten into a fresh base whose file count is
+  *    derived from its size (`bytes / fileBytes`, floored at
+  *    `baseTargetFiles`). Total compaction I/O over a stream's life is
+  *    therefore O(ingested bytes / majorFrac) — amortized-linear, not
+  *    O(index x batches).
+  *
+  * Every segment write is range-clustered + sorted on the cluster key,
+  * so per-segment files carry disjoint min/max ranges and the
+  * anti/semi-join probes that consume the index read stats-pruned
+  * sorted parquet — the property the day-0 `Layout.compact` gave,
+  * preserved per tier. Readers take the UNION of segments (an index is
+  * a set; cross-segment overlap is harmless and expected in an LSM).
+  */
+object TieredIndex {
+
+  /** Policy knobs. Defaults are sized for the gated micro-batch replays
+    * (tiny segments, minor every 2nd batch — the round-9 cadence's
+    * bounded-file-count guarantee, now at O(deltas) cost); a production
+    * ingest raises `minorAt`/`fileBytes` with its batch size.
+    */
+  final case class Policy(
+      minorAt: Int = 2,
+      tierMergeAt: Int = 4,
+      majorFrac: Double = 0.2,
+      fileBytes: Long = 128L << 20,
+      baseTargetFiles: Int = 4
+  )
+
+  /** What one [[maintain]] call did: `action` in none|minor|tier_merge|
+    * major, with the segment count and ON-DISK BYTES the compaction
+    * read — the observable TieredIndexSpec sums to pin that minors
+    * never pay O(base).
+    */
+  final case class Maintenance(action: String, segmentsIn: Int, bytesIn: Long)
+
+  private final case class Seg(kind: String, name: String)
+
+  // ---------------------------------------------------------------- io
+
+  private def currentPath(dir: String) = Paths.get(dir, "CURRENT")
+
+  private def manifestNum(name: String): Int = name.stripPrefix("manifest-").toInt
+
+  private def currentManifest(dir: String): String = {
+    val p = currentPath(dir)
+    require(Files.exists(p), s"TieredIndex: $dir has no CURRENT pointer")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+  }
+
+  private def readManifest(dir: String, name: String): Seq[Seg] = {
+    import scala.jdk.CollectionConverters._
+    Files
+      .readAllLines(Paths.get(dir, name), StandardCharsets.UTF_8)
+      .asScala
+      .toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(kind, seg) = line.split(" ", 2)
+        Seg(kind, seg)
+      }
+  }
+
+  private def segs(dir: String): Seq[Seg] = readManifest(dir, currentManifest(dir))
+
+  private def nextNumber(dir: String, prefix: String): Int = {
+    val existing = Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_.isDigit))
+      .filter(_.nonEmpty)
+      .map(_.toInt)
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  /** Write the new manifest fully, then atomically swap CURRENT (POSIX
+    * rename — the pointer commit). A crash before the swap leaves the
+    * previous generation live and the new files as GC-able orphans.
+    */
+  private def commit(dir: String, newSegs: Seq[Seg]): Unit = {
+    val name = f"manifest-${nextNumber(dir, "manifest-")}%05d"
+    Files.write(
+      Paths.get(dir, name),
+      newSegs.map(s => s"${s.kind} ${s.name}").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(dir, "CURRENT.tmp")
+    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPath(dir), StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private def segBytes(dir: String, s: Seg): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      else f.length
+    walk(new java.io.File(dir, s.name))
+  }
+
+  private def writeSegment(
+      df: DataFrame,
+      dir: String,
+      files: Int,
+      clusterCols: Seq[Column]): String = {
+    val name = f"seg-${nextNumber(dir, "seg-")}%05d"
+    df.repartitionByRange(files, clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+      .write
+      .parquet(new java.io.File(dir, name).toString)
+    name
+  }
+
+  // --------------------------------------------------------------- api
+
+  /** Initialize `dir` as a tiered index holding `df` as its base
+    * segment (range-clustered + sorted on `clusterCols`). Destroys any
+    * prior index at the path — day-0 builds are self-contained.
+    */
+  def create(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      targetFiles: Int,
+      clusterCols: Seq[Column]): Unit = {
+    graft.Engine.deleteRecursively(new java.io.File(dir))
+    Files.createDirectories(Paths.get(dir)): Unit
+    val name = writeSegment(df, dir, targetFiles, clusterCols)
+    commit(dir, Seq(Seg("base", name)))
+  }
+
+  /** The current generation as ONE DataFrame — the union of the live
+    * manifest's segments. Resolved once; the plan keeps reading this
+    * generation's files even across a concurrent maintenance cycle
+    * (its segments survive GC for one full cycle).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val paths = segs(dir).map(s => new java.io.File(dir, s.name).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Append `df` as a new DELTA segment (one file by default — a
+    * micro-batch's survivors are small by definition; callers with
+    * larger batches raise `files`). O(delta) work: writes the segment,
+    * writes a manifest, swaps the pointer. No existing file is touched.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame, files: Int = 1): Unit = {
+    val cur = segs(dir)
+    val name = f"seg-${nextNumber(dir, "seg-")}%05d"
+    df.coalesce(files).write.parquet(new java.io.File(dir, name).toString)
+    commit(dir, cur :+ Seg("delta", name))
+  }
+
+  /** One maintenance step: garbage-collect unreferenced files, then
+    * apply the tier policy (see object doc). Call once per batch; with
+    * nothing to do it costs two small file reads. `force` compacts any
+    * pending deltas even below `minorAt` — the end-of-window call that
+    * leaves the index at its bounded steady-state file count.
+    */
+  def maintain(
+      spark: SparkSession,
+      dir: String,
+      clusterCols: Seq[Column],
+      policy: Policy = Policy(),
+      force: Boolean = false): Maintenance = {
+    // ---- GC: keep the current + previous manifests and every segment
+    // they reference; everything else (older generations, orphans from
+    // a crashed mutation) is unlinked here — the one deleting site.
+    val cur = currentManifest(dir)
+    val curN = manifestNum(cur)
+    val allManifests = Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("manifest-")).toSeq
+    val prev = allManifests.filter(manifestNum(_) < curN).sortBy(manifestNum).lastOption
+    val keepM = Set(cur) ++ prev
+    val referenced = keepM.flatMap(readManifest(dir, _)).map(_.name)
+    allManifests.filterNot(keepM).foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("seg-") && !referenced(n))
+      .foreach(n => graft.Engine.deleteRecursively(new java.io.File(dir, n)))
+
+    // ---- policy
+    val cs = segs(dir)
+    val bases = cs.filter(_.kind == "base")
+    val tiers = cs.filter(_.kind == "tier")
+    val deltas = cs.filter(_.kind == "delta")
+    val baseBytes = math.max(1L, bases.map(segBytes(dir, _)).sum)
+    val smallBytes = (tiers ++ deltas).map(segBytes(dir, _)).sum
+
+    def compactInto(kind: String, in: Seq[Seg], keep: Seq[Seg], action: String): Maintenance = {
+      val bytes = in.map(segBytes(dir, _)).sum
+      val files =
+        math.max(if (kind == "base") policy.baseTargetFiles else 1, (bytes / policy.fileBytes).toInt)
+      val paths = in.map(s => new java.io.File(dir, s.name).toString)
+      val name = writeSegment(spark.read.parquet(paths: _*), dir, files, clusterCols)
+      commit(dir, keep :+ Seg(kind, name))
+      Maintenance(action, in.size, bytes)
+    }
+
+    if (smallBytes >= (policy.majorFrac * baseBytes).toLong && (tiers ++ deltas).nonEmpty)
+      // MAJOR: the accumulated small generations are a meaningful
+      // fraction of the base — fold everything into a fresh base sized
+      // by its bytes. The only O(index) rewrite, amortized by majorFrac.
+      compactInto("base", cs, Seq.empty, "major")
+    else if (tiers.size >= policy.tierMergeAt)
+      compactInto("tier", tiers ++ deltas, bases, "tier_merge")
+    else if (deltas.size >= policy.minorAt || (force && deltas.nonEmpty))
+      compactInto("tier", deltas, bases ++ tiers, "minor")
+    else Maintenance("none", 0, 0L)
+  }
+
+  /** All parquet files of the CURRENT generation (spec observable). */
+  def currentFiles(dir: String): Seq[java.io.File] =
+    segs(dir).flatMap { s =>
+      Option(new java.io.File(dir, s.name).listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    }
+
+  /** The CURRENT generation's segments as (kind, name, parquet path) —
+    * spec observable for per-segment clustering assertions.
+    */
+  def currentSegments(dir: String): Seq[(String, String)] =
+    segs(dir).map(s => (s.kind, new java.io.File(dir, s.name).toString))
+}

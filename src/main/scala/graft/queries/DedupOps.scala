@@ -1624,15 +1624,22 @@ object DedupOps {
     * index, so each q136 run is self-contained/idempotent.
     */
   private[graft] def buildHashIndex(s: SparkSession, dir: String, workDir: String): String = {
-    val hist = Engine
+    val indexDir = s"$workDir/hash_index"
+    graft.operators.Layout.compact(s, historyHashes(s, dir), indexDir, 4, col("h"))
+    indexDir
+  }
+
+  /** The standing corpus's distinct content hashes — the day-0 input of
+    * BOTH persisted-index shapes: q136's flat compacted directory
+    * (above) and q174's tiered streaming index (TieredIndex.create on
+    * this same frame). One definition site for "the history".
+    */
+  private[graft] def historyHashes(s: SparkSession, dir: String): DataFrame =
+    Engine
       .table(s, dir, "documents")
       .filter(col("doc_id") % 5 =!= 0)
       .select(md5(col("text")).as("h"))
       .distinct()
-    val indexDir = s"$workDir/hash_index"
-    graft.operators.Layout.compact(s, hist, indexDir, 4, col("h"))
-    indexDir
-  }
 
   /** Day-N step of persisted-index dedup (q136): hash ONLY the batch
     * (default slice doc_id % 5 == 0; `batchPred` selects any later

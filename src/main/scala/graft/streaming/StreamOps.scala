@@ -514,9 +514,12 @@ object StreamOps {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
         graft.Engine.deleteRecursively(work) // idempotent: survivors/checkpoint/index from a prior run
-        // day-0: the standing corpus's hash index, range-clustered on h
-        // (q136's builder — the composed code path)
-        val indexDir = graft.queries.DedupOps.buildHashIndex(s, dir, work.toString)
+        // day-0: the standing corpus's hash index as a TIERED index
+        // (base generation range-clustered on h; q136's flat builder
+        // reads the same historyHashes frame — one history definition)
+        val indexDir = s"$work/hash_index"
+        graft.operators.TieredIndex.create(
+          s, indexDir, graft.queries.DedupOps.historyHashes(s, dir), 4, Seq(col("h")))
         val incoming = stageIncoming(s, dir, work.toString)
         val survDir = s"$work/survivors"
         val stream = s.readStream
@@ -536,7 +539,7 @@ object StreamOps {
             val first = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
             val surv = keyed
               .join(first.select(col("doc_id")), Seq("doc_id"), "left_semi")
-              .join(ss.read.parquet(indexDir), Seq("h"), "left_anti")
+              .join(graft.operators.TieredIndex.read(ss, indexDir), Seq("h"), "left_anti")
               // materialize BEFORE the index append: appending first
               // would make the lazy anti-join see this batch's own
               // hashes and drop everything
@@ -544,24 +547,21 @@ object StreamOps {
             surv
               .select(col("doc_id"), col("lang"), col("source"))
               .write.mode("append").parquet(survDir)
-            surv.select(col("h")).distinct().write.mode("append").parquet(indexDir)
-            // periodic index MAINTENANCE, mid-stream: every 2nd batch
-            // re-compacts the appended file sets back to 4
-            // range-clustered files (Layout.compactInPlace), so later
-            // batches' anti-joins read a stats-pruned index rather than
-            // an ever-growing pile of per-batch files — the cycle that
-            // makes "persisted index" operational on a long-running
-            // ingest. Content-neutral: the gate and the cumulative-index
-            // spec see identical results with or without it.
-            if (bid % 2 == 1)
-              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("h"))
+            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("h")).distinct())
+            // per-batch index MAINTENANCE: size/tier-aware — a no-op
+            // manifest read until a threshold trips, then a MINOR
+            // compaction of the accumulated deltas only (O(batch), not
+            // O(index)); the base is rewritten only when the small
+            // generations reach a fraction of its size. Content-neutral:
+            // gate + cumulative-index spec see identical results.
+            graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("h"))): Unit
           }
           .start()
         query.awaitTermination()
-        // end-of-window maintenance: leave the index in its compacted
-        // steady state (bounded file count, disjoint sorted ranges) for
-        // the next ingest window — StreamIncrementalSpec pins it
-        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("h"))
+        // end-of-window maintenance: force pending deltas into a tier so
+        // the index sits at its bounded steady-state file count for the
+        // next ingest window — StreamIncrementalSpec pins it
+        graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("h")), force = true): Unit
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.DedupOps.incrementalOracleSql)
@@ -601,17 +601,18 @@ object StreamOps {
                   array_distinct(graft.functions.TextHashOps.gramsText(col("toks"), 3)), 8)
                 .as("sig"))
             .select(col("doc_id"), explode(bandsExpr).as("bucket"))
-        // day-0: the standing corpus's band buckets, range-clustered so
-        // the per-batch semi-join reads sorted stats-pruned files
+        // day-0: the standing corpus's band buckets as a TIERED index
+        // (base generation range-clustered so the per-batch semi-join
+        // reads sorted stats-pruned files)
         val indexDir = s"$work/bucket_index"
-        graft.operators.Layout.compact(
+        graft.operators.TieredIndex.create(
           s,
+          indexDir,
           buckets(graft.Engine.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
             .select(col("bucket"))
             .distinct(),
-          indexDir,
           4,
-          col("bucket"))
+          Seq(col("bucket")))
         val incoming = stageIncoming(s, dir, work.toString)
         val survDir = s"$work/survivors"
         val stream = s.readStream
@@ -630,7 +631,7 @@ object StreamOps {
             // drop, within-batch min, index append)
             val bk = buckets(rows).localCheckpoint(eager = false)
             val dropExt = bk
-              .join(ss.read.parquet(indexDir), Seq("bucket"), "left_semi")
+              .join(graft.operators.TieredIndex.read(ss, indexDir), Seq("bucket"), "left_semi")
               .select(col("doc_id"))
             val bmin = bk.groupBy(col("bucket")).agg(min(col("doc_id")).as("m"))
             val dropIn = bk
@@ -643,17 +644,16 @@ object StreamOps {
               // materialize BEFORE the index append (q174's rationale)
               .localCheckpoint()
             surv.select(col("doc_id"), col("lang"), col("source")).write.mode("append").parquet(survDir)
-            bk.select(col("bucket")).distinct().write.mode("append").parquet(indexDir)
-            // periodic index maintenance (q174's cycle): re-compact the
-            // appended bucket files every 2nd batch; content-neutral
-            if (bid % 2 == 1)
-              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("bucket"))
+            graft.operators.TieredIndex.append(ss, indexDir, bk.select(col("bucket")).distinct())
+            // per-batch size/tier-aware maintenance (q174's cycle):
+            // deltas-only minors, size-triggered majors; content-neutral
+            graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("bucket"))): Unit
           }
           .start()
         query.awaitTermination()
         // end-of-window maintenance — StreamIncrementalSpec pins the
-        // recovered file count + clustering
-        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("bucket"))
+        // bounded steady-state file count + per-segment clustering
+        graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("bucket")), force = true): Unit
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang, source, ${graft.queries.Tokenize.toksSql} AS toks
@@ -699,18 +699,18 @@ object StreamOps {
         val work = new java.io.File(
           s"${System.getProperty("java.io.tmpdir")}/graft_q181_${math.abs(dir.hashCode)}")
         graft.Engine.deleteRecursively(work)
-        // day-0: the standing corpus through the SAME gate; index =
-        // its survivors' distinct clean-token hashes, range-clustered
+        // day-0: the standing corpus through the SAME gate; index = its
+        // survivors' distinct clean-token hashes as a TIERED index
         val indexDir = s"$work/clean_hash_index"
-        graft.operators.Layout.compact(
+        graft.operators.TieredIndex.create(
           s,
+          indexDir,
           graft.queries.CurationOps
             .ingestGate(graft.Engine.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
             .select(col("cm"))
             .distinct(),
-          indexDir,
           4,
-          col("cm"))
+          Seq(col("cm")))
         val incoming = stageIncoming(s, dir, work.toString)
         val survDir = s"$work/survivors"
         val stream = s.readStream
@@ -730,7 +730,7 @@ object StreamOps {
             val first = gated.groupBy(col("cm")).agg(min(col("doc_id")).as("doc_id"))
             val surv = gated
               .join(first.select(col("doc_id")), Seq("doc_id"), "left_semi")
-              .join(ss.read.parquet(indexDir), Seq("cm"), "left_anti")
+              .join(graft.operators.TieredIndex.read(ss, indexDir), Seq("cm"), "left_anti")
               // materialize BEFORE the index append (q174's rationale)
               .localCheckpoint()
             surv
@@ -738,17 +738,16 @@ object StreamOps {
                 col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
                 col("n_words"), col("logit_micro"))
               .write.mode("append").parquet(survDir)
-            surv.select(col("cm")).distinct().write.mode("append").parquet(indexDir)
-            // periodic index maintenance (q174's cycle): re-compact the
-            // appended clean-hash files every 2nd batch; content-neutral
-            if (bid % 2 == 1)
-              graft.operators.Layout.compactInPlace(ss, indexDir, 4, col("cm"))
+            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("cm")).distinct())
+            // per-batch size/tier-aware maintenance (q174's cycle):
+            // deltas-only minors, size-triggered majors; content-neutral
+            graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("cm"))): Unit
           }
           .start()
         query.awaitTermination()
         // end-of-window maintenance — StreamIncrementalSpec pins the
-        // recovered file count + clustering
-        graft.operators.Layout.compactInPlace(s, indexDir, 4, col("cm"))
+        // bounded steady-state file count + per-segment clustering
+        graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("cm")), force = true): Unit
         s.read.parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.CurationOps.ingestRecipeOracleSql)

@@ -39,36 +39,39 @@ class StreamIncrementalSpec extends AnyFunSuite {
     val survHashes = docs
       .filter(col("doc_id").isin(survIds.toSeq: _*))
       .select(col("h")).distinct().collect().map(_.getString(0)).toSet
-    val indexed =
-      spark.read.parquet(s"$work/hash_index").collect().map(_.getString(0)).toSet
+    val indexed = graft.operators.TieredIndex
+      .read(spark, s"$work/hash_index").collect().map(_.getString(0)).toSet
     assert(indexed == histHashes ++ survHashes,
       s"index drifted: ${indexed.size} entries vs ${(histHashes ++ survHashes).size} expected")
     // every survivor's hash was genuinely NEW to the index at arrival
     assert(survHashes.intersect(histHashes).isEmpty)
 
-    // 2b. MAINTENANCE CYCLE: the per-batch appends were re-compacted
-    // (mid-stream every 2nd batch + end-of-window), so despite >= 2
-    // appending micro-batches the index sits at its steady-state file
-    // count with DISJOINT sorted per-file key ranges — the
-    // stats-pruning layout the day-0 build had, recovered. (The
-    // content assertion above is the result-equivalence half: the
-    // compacted index dedups identically.)
-    val idxFiles = new java.io.File(s"$work/hash_index")
-      .listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(idxFiles.length <= 4,
-      s"index appends were never re-compacted: ${idxFiles.length} files")
-    val ranges = spark.read
-      .parquet(s"$work/hash_index")
-      .select(col("h"), input_file_name().as("f"))
-      .groupBy(col("f"))
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .collect()
-      .map(r => (r.getString(1), r.getString(2)))
-      .sortBy(_._1)
-    ranges.sliding(2).foreach {
-      case Array((_, hi1), (lo2, _)) =>
-        assert(hi1 < lo2, s"post-compaction file ranges overlap: $hi1 >= $lo2")
-      case _ =>
+    // 2b. MAINTENANCE CYCLE: the per-batch delta appends were folded by
+    // the size/tier-aware policy (per-batch maintain + end-of-window
+    // force), so despite >= 2 appending micro-batches the CURRENT
+    // generation sits at a bounded file count, and WITHIN each sorted
+    // segment the per-file key ranges are DISJOINT — the stats-pruning
+    // layout the day-0 base had, preserved per tier. (The content
+    // assertion above is the result-equivalence half: the tiered index
+    // dedups identically.)
+    val idxFiles = graft.operators.TieredIndex.currentFiles(s"$work/hash_index")
+    assert(idxFiles.length <= 8,
+      s"index deltas were never compacted: ${idxFiles.length} files")
+    graft.operators.TieredIndex.currentSegments(s"$work/hash_index").foreach {
+      case (_, segPath) =>
+        val ranges = spark.read
+          .parquet(segPath)
+          .select(col("h"), input_file_name().as("f"))
+          .groupBy(col("f"))
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .collect()
+          .map(r => (r.getString(1), r.getString(2)))
+          .sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Array((_, hi1), (lo2, _)) =>
+            assert(hi1 < lo2, s"segment $segPath file ranges overlap: $hi1 >= $lo2")
+          case _ =>
+        }
     }
 
     // 3. stream == batch: same survivors as q126's recompute form
@@ -107,7 +110,8 @@ class StreamIncrementalSpec extends AnyFunSuite {
     // cumulative index: after the run it holds every distinct band
     // bucket of the WHOLE corpus (history + all arrivals, dropped docs
     // included — the "any earlier doc" contract)
-    val idx = spark.read.parquet(s"$work/bucket_index").collect().map(_.getString(0)).toSet
+    val idx = graft.operators.TieredIndex
+      .read(spark, s"$work/bucket_index").collect().map(_.getString(0)).toSet
     val sig = graft.Engine
       .table(spark, dir, "documents")
       .select(col("doc_id"), graft.queries.Tokenize.toksExpr.as("toks"))
@@ -120,10 +124,9 @@ class StreamIncrementalSpec extends AnyFunSuite {
                  md5(concat(sig[4], sig[5])), md5(concat(sig[6], sig[7])))""")).as("bucket"))
       .collect().map(_.getString(0)).toSet
     assert(idx == sig, s"index ${idx.size} buckets vs ${sig.size} expected")
-    // maintenance cycle recovered the bounded compacted layout
-    val nIdxFiles = new java.io.File(s"$work/bucket_index")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nIdxFiles <= 4, s"bucket index never re-compacted: $nIdxFiles files")
+    // maintenance cycle holds the bounded steady-state layout
+    val nIdxFiles = graft.operators.TieredIndex.currentFiles(s"$work/bucket_index").length
+    assert(nIdxFiles <= 8, s"bucket index never compacted: $nIdxFiles files")
   }
 
   test("q181: ingest recipe — multi-batch, gate-consistent, cumulative clean-hash index") {
@@ -162,15 +165,14 @@ class StreamIncrementalSpec extends AnyFunSuite {
       .ingestGate(graft.Engine.table(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
       .filter(col("doc_id").isin(survIds.toSeq: _*))
       .select(col("cm")).distinct().collect().map(_.getString(0)).toSet
-    val idx =
-      spark.read.parquet(s"$work/clean_hash_index").collect().map(_.getString(0)).toSet
+    val idx = graft.operators.TieredIndex
+      .read(spark, s"$work/clean_hash_index").collect().map(_.getString(0)).toSet
     assert(idx == histCm ++ survCm,
       s"index drifted: ${idx.size} entries vs ${(histCm ++ survCm).size} expected")
     assert(survCm.intersect(histCm).isEmpty)
-    // maintenance cycle recovered the bounded compacted layout
-    val nIdxFiles = new java.io.File(s"$work/clean_hash_index")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nIdxFiles <= 4, s"clean-hash index never re-compacted: $nIdxFiles files")
+    // maintenance cycle holds the bounded steady-state layout
+    val nIdxFiles = graft.operators.TieredIndex.currentFiles(s"$work/clean_hash_index").length
+    assert(nIdxFiles <= 8, s"clean-hash index never compacted: $nIdxFiles files")
     graft.Engine.releaseScratch(spark)
   }
 }
