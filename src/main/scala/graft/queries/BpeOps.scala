@@ -377,29 +377,89 @@ object BpeOps {
             round(col("n_learned").cast("double") / greatest(col("n_chars"), lit(1L)), 6))
           .orderBy(col("lang"))
       },
-      Some {
-        val steps = 6
-        val pivots = (1 to steps)
-          .map(t =>
-            s"string_split(b$t.pr, '|')[1] AS a$t, string_split(b$t.pr, '|')[2] AS b$t")
-          .mkString(",\n                 ")
-        val froms = (1 to steps).map(t => s"b$t").mkString(", ")
-        val chain = (1 to steps).foldLeft(Bpe.wrapDuck("w")) { (acc, t) =>
-          s"replace($acc, ' ' || a$t || '  ' || b$t || ' ', ' ' || a$t || b$t || ' ')"
-        }
-        s"""${trainCtesSql(steps)},
-             m AS (SELECT $pivots FROM $froms),
-             d AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
-             r AS (SELECT lang,
-                 CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS nc,
-                 CAST(coalesce(list_sum(list_transform(toks,
-                   w -> ${Bpe.symCountDuck(chain)})), 0) AS BIGINT) AS nl
-               FROM d, m)
-             SELECT lang, CAST(sum(nc) AS BIGINT) AS n_chars,
-               CAST(sum(nl) AS BIGINT) AS n_learned,
-               round(CAST(sum(nl) AS DOUBLE) / greatest(sum(nc), 1), 6) AS compression
-             FROM r GROUP BY lang ORDER BY lang"""
-      }
+      Some(trainApplyOracleSql(6))
+    ),
+    // --------------------------------------------------------------- q195
+    // Tokenizer-ARTIFACT round-trip — the interop step between q190's
+    // learning and q188-family application: the learned merge table is
+    // PERSISTED as a (step, a, b) parquet artifact (the engine's
+    // tokenizer.json analog), re-LOADED from disk, and the corpus is
+    // re-encoded under the loaded table — so a separately trained
+    // tokenizer (any table in rank order) can drive token accounting.
+    // Same output contract as q194 (per-lang chars/tokens/compression)
+    // and the SAME oracle string: the gate proves write -> read -> apply
+    // loses nothing vs train -> apply in one plan. BpeSpec additionally
+    // pins artifact re-read row equality. Scale shape: the artifact is
+    // vocab-metadata-sized (50k rows in production), written/read once
+    // per job — a broadcast-sized side input, never corpus-scale.
+    QueryDef(
+      "q195_bpe_artifact_roundtrip",
+      (s, dir) => {
+        val work = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q195_${math.abs(dir.hashCode)}")
+        graft.Engine.deleteRecursively(work)
+        val artifact = s"$work/merges"
+        Bpe
+          .trainMerges(
+            Engine.table(s, dir, "documents").select(explode(Tokenize.toksExpr).as("word")),
+            steps = 6)
+          .select(col("step"), col("a"), col("b"))
+          .write.parquet(artifact)
+        val loaded = s.read.parquet(artifact)
+        Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), Tokenize.toksExpr.as("toks"))
+          .crossJoin(broadcast(Bpe.mergesRow(loaded)))
+          .select(
+            col("lang"),
+            expr("coalesce(aggregate(transform(toks, w -> cast(length(w) as bigint)), " +
+              "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))").as("nc"),
+            expr("coalesce(graft_bpe_doc_tokens(toks, ms), cast(0 as bigint))").as("nl"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nc")).as("n_chars"), sum(col("nl")).as("n_learned"))
+          .withColumn(
+            "compression",
+            round(col("n_learned").cast("double") / greatest(col("n_chars"), lit(1L)), 6))
+          .orderBy(col("lang"))
+      },
+      Some(trainApplyOracleSql(6))
+    ),
+    // --------------------------------------------------------------- q196
+    // Deep learned-vocabulary fertility — q191's datacard metric under
+    // a 64-step LEARNED table (the verdict-9 "beyond 6 merges" depth):
+    // train 64 Sennrich rounds on the corpus vocabulary (q190's loop —
+    // per-round cost is one hash agg over the VOCAB's exploded pairs +
+    // one broadcast argmax, so depth scales the round count, not the
+    // corpus cost), then report per-language tokens-per-word under
+    // those merges via the native encoder. 64 levels exercise genuinely
+    // multi-level merge stacks (symbols built from symbols built from
+    // symbols), the regime where greedy merge-rank order and the
+    // rule-at-a-time chain must still agree — the oracle replays all 64
+    // rounds freq-weighted on the vocabulary and applies the learned
+    // chain per DISTINCT word (the same vocab economics: |vocab| chain
+    // evaluations, joined back to per-language word frequencies).
+    QueryDef(
+      "q196_bpe_deep_fertility",
+      (s, dir) => {
+        val merges = Bpe.trainMerges(
+          Engine.table(s, dir, "documents").select(explode(Tokenize.toksExpr).as("word")),
+          steps = DeepSteps)
+        Engine
+          .table(s, dir, "documents")
+          .select(col("lang"), Tokenize.toksExpr.as("toks"))
+          .crossJoin(broadcast(Bpe.mergesRow(merges)))
+          .select(
+            col("lang"),
+            size(col("toks")).cast("long").as("nw"),
+            expr("coalesce(graft_bpe_doc_tokens(toks, ms), cast(0 as bigint))").as("nb"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"))
+          .withColumn(
+            "fertility",
+            round(col("n_bpe").cast("double") / greatest(col("n_words"), lit(1L)), 6))
+          .orderBy(col("lang"))
+      },
+      Some(deepFertilityOracleSql(DeepSteps))
     ),
     // --------------------------------------------------------------- q191
     // Tokenizer fertility by language — the multilingual datacard
@@ -439,6 +499,90 @@ object BpeOps {
              FROM d GROUP BY lang ORDER BY lang""")
     )
   )
+
+  /** Learning depth of q196 — deep enough for genuinely multi-level
+    * merge stacks (the 6-step family never stacks past level 3); the
+    * per-round cost is vocab-bound, so depth is a round count.
+    * A def — like every shared fragment declared after `entries`
+    * (eager-interpolation rule: as a val this is 0 during `entries`'
+    * init and the oracle silently trains zero steps).
+    */
+  private def DeepSteps: Int = 64
+
+  /** q194 AND q195's shared oracle (train 6 steps, apply the learned
+    * chain, per-lang compression): one definition site so the artifact
+    * round-trip is gated against EXACTLY the in-plan train-then-apply
+    * contract. A def (declared after `entries`): the eager-interpolation
+    * rule.
+    */
+  private def trainApplyOracleSql(steps: Int): String = {
+    val pivots = (1 to steps)
+      .map(t =>
+        s"string_split(b$t.pr, '|')[1] AS a$t, string_split(b$t.pr, '|')[2] AS b$t")
+      .mkString(",\n                 ")
+    val froms = (1 to steps).map(t => s"b$t").mkString(", ")
+    val chain = (1 to steps).foldLeft(Bpe.wrapDuck("w")) { (acc, t) =>
+      s"replace($acc, ' ' || a$t || '  ' || b$t || ' ', ' ' || a$t || b$t || ' ')"
+    }
+    s"""${trainCtesSql(steps)},
+             m AS (SELECT $pivots FROM $froms),
+             d AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
+             r AS (SELECT lang,
+                 CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS nc,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                   w -> ${Bpe.symCountDuck(chain)})), 0) AS BIGINT) AS nl
+               FROM d, m)
+             SELECT lang, CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(sum(nl) AS BIGINT) AS n_learned,
+               round(CAST(sum(nl) AS DOUBLE) / greatest(sum(nc), 1), 6) AS compression
+             FROM r GROUP BY lang ORDER BY lang"""
+  }
+
+  /** q196's oracle: the full training replay at `steps` rounds on the
+    * pre-aggregated (word, freq) VOCABULARY (freq-weighted pair counts
+    * — the exact algorithm Spark's trainMerges runs, unlike q190's
+    * deliberately-different instance-counting replay), then fertility
+    * by applying the learned chain once per DISTINCT word and joining
+    * the per-word costs back to per-language word frequencies.
+    */
+  private def deepFertilityOracleSql(steps: Int): String = {
+    // MATERIALIZED is load-bearing at this depth: each s{t} is
+    // referenced twice (pair counting + merge-back), so DuckDB's
+    // default CTE inlining would expand the 64-step chain
+    // exponentially (observed as thousands of re-opened parquet scans)
+    val stepCtes = (1 to steps).map { t =>
+      val a = s"string_split(b$t.pr, '|')[1]"
+      val b = s"string_split(b$t.pr, '|')[2]"
+      s"""p$t AS (SELECT unnest(${Bpe.pairsDuck}) AS pr, freq
+               FROM (SELECT ${Bpe.symsDuck("s")} AS sy, freq FROM s${t - 1}) q$t),
+             c$t AS (SELECT pr, sum(freq) AS cnt FROM p$t GROUP BY pr),
+             b$t AS MATERIALIZED (SELECT pr, cnt FROM c$t ORDER BY cnt DESC, pr LIMIT 1),
+             s$t AS MATERIALIZED (SELECT replace(s, ' ' || $a || '  ' || $b || ' ',
+                 ' ' || $a || $b || ' ') AS s, freq FROM s${t - 1}, b$t)"""
+    }
+    val pivots = (1 to steps)
+      .map(t =>
+        s"string_split(b$t.pr, '|')[1] AS a$t, string_split(b$t.pr, '|')[2] AS b$t")
+      .mkString(",\n                 ")
+    val froms = (1 to steps).map(t => s"b$t").mkString(", ")
+    val chain = (1 to steps).foldLeft(Bpe.wrapDuck("word")) { (acc, t) =>
+      s"replace($acc, ' ' || a$t || '  ' || b$t || ' ', ' ' || a$t || b$t || ' ')"
+    }
+    s"""WITH t AS (SELECT lang, ${Tokenize.toksSql} AS toks FROM documents),
+             wl AS MATERIALIZED (SELECT lang, unnest(toks) AS word FROM t),
+             v AS (SELECT word, count(*) AS freq FROM wl GROUP BY word),
+             s0 AS MATERIALIZED (SELECT ${Bpe.wrapDuck("word")} AS s, freq FROM v),
+             ${stepCtes.mkString(",\n             ")},
+             m AS (SELECT $pivots FROM $froms),
+             wc AS (SELECT word, CAST(${Bpe.symCountDuck(chain)} AS BIGINT) AS c
+               FROM (SELECT DISTINCT word FROM wl) dw, m),
+             g AS (SELECT lang, word, count(*) AS f FROM wl GROUP BY lang, word),
+             r AS (SELECT g.lang AS lang, sum(g.f) AS nw, sum(g.f * wc.c) AS nb
+               FROM g JOIN wc ON g.word = wc.word GROUP BY g.lang)
+             SELECT lang, CAST(nw AS BIGINT) AS n_words, CAST(nb AS BIGINT) AS n_bpe,
+               round(CAST(nb AS DOUBLE) / greatest(nw, 1), 6) AS fertility
+             FROM r ORDER BY lang"""
+  }
 
   /** q190's training loop as DuckDB CTEs — `WITH t, w, s0,
     * p1..c1..b1, ..., b$steps` where `b$t` is the step-t argmax

@@ -240,6 +240,70 @@ class BpeSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q195 artifact round-trip: re-read table equals the learned table") {
+    val dir = "/root/testdata/sf0.001"
+    // run the query (it writes + re-reads the artifact internally) ...
+    val viaArtifact = graft.SparkEntry
+      .queries("q195_bpe_artifact_roundtrip")(spark, dir)
+      .collect()
+      .map(_.toSeq)
+    // ... then pin the persisted table against a fresh training run
+    val work = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q195_${math.abs(dir.hashCode)}")
+    val persisted = spark.read
+      .parquet(s"$work/merges")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val fresh = Bpe
+      .trainMerges(
+        graft.Engine.table(spark, dir, "documents")
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")),
+        steps = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(persisted.toSeq == fresh.toSeq, "artifact drifted from the learned table")
+    // and applying the loaded table equals the in-plan train-then-apply
+    val direct = graft.SparkEntry
+      .queries("q194_bpe_train_apply")(spark, dir)
+      .collect()
+      .map(_.toSeq)
+    assert(viaArtifact.toSeq == direct.toSeq)
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q196 deep table: 64 distinct merges with genuinely multi-level stacks") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = Bpe
+      .trainMerges(
+        graft.Engine.table(spark, dir, "documents")
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")),
+        steps = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 64)
+    assert(merges.map(m => (m._2, m._3)).distinct.length == 64, "a pair was re-learned")
+    val cnts = merges.sortBy(_._1).map(_._4)
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y }, "best-pair counts rose")
+    assert(cnts.last > 0, "training exhausted the corpus before 64 rounds")
+    // depth: some merge consumes a symbol that itself took >= 2 merges
+    // to build (length >= 3) — the multi-level regime the 6-step family
+    // never reaches
+    assert(merges.exists(m => m._2.length >= 3 || m._3.length >= 3),
+      "no merge stacked past level 2 — not a deep table")
+    val fert = graft.SparkEntry
+      .queries("q196_bpe_deep_fertility")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(fert.nonEmpty)
+    fert.foreach { case (lang, f) =>
+      // >= 1 token per word, and well under the average word length
+      assert(f >= 1.0 && f < 20.0, s"$lang fertility $f implausible")
+    }
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q189 packing is consistent with q188 counts") {
     val dir = "/root/testdata/sf0.001"
     val counts = graft.SparkEntry
