@@ -129,6 +129,17 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("q188: BPE token accounting rides the scan — native encoder, no exchange before the sort") {
+    val p = plan("q188_bpe_tokenize")
+    // the whole computation is narrow per-row work over one documents
+    // scan: the ONLY exchange allowed is the final presentation
+    // orderBy's range exchange — nothing shuffles for the counts
+    assert(p.contains("graft_bpe_doc_tokens"), p.take(1500))
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q188 shuffles for per-row work ($exchanges exchanges):\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
   test("q183: the adjacency cap is a bounded aggregate — no per-src window sort") {
     val p = plan("q183_random_walks")
     // the <=32-neighbor cap must come from the MinKByKey bounded
