@@ -7,43 +7,44 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native BPE merge application — the one-pass greedy merge-rank encoder
-  * that replaces the `replace()`-chain stand-in (queries/BpeOps.scala)
-  * for real vocabulary sizes.
+/** Native BPE merge application — the sparse rule-sweep encoder that
+  * replaces the `replace()`-chain stand-in (queries/BpeOps.scala) for
+  * real vocabulary sizes.
   *
   * The chain form nests one `replace(s, ' a  b ', ' ab ')` per rule: at
   * the shipped 16 rules that is ideal narrow codegen'd work, but at a
   * production tokenizer's ~50k merges a 50k-deep nested expression
   * breaks codegen/JVM method limits, and rule-at-a-time means 50k full
-  * passes over every word. This kernel is the standard encoder shape
-  * instead: a RANK MAP over the merge table, then per word repeatedly
-  * (find the lowest-rank adjacent symbol pair; merge all its occurrences
-  * in one greedy left-to-right pass) until no pair in the stream has a
-  * rank. Cost is O(passes x word length) with passes <= merges APPLIED
-  * (not merges in the table) — a 50k-rule table costs the same as a
-  * 16-rule table on the same word.
+  * passes over every word. This kernel implements EXACTLY the chain's
+  * semantics — rules in table order, one greedy left-to-right pass
+  * each, a passed rule never revisited — while touching only the rules
+  * that can possibly fire: a compiled symbol->rules index seeds a
+  * min-heap cursor with the rules referencing the word's symbols, each
+  * merge pushes the rules referencing its new symbol, and pops at or
+  * behind the cursor are discarded (a pair formed only AFTER its rule's
+  * turn does not fire — the chain's behavior, where the naive "merge
+  * the lowest-rank pair present, repeat" loop genuinely diverges: with
+  * rules [a|a, a|b, a|ab, aab|x, aa|b] on "aabx" the chain leaves
+  * [aab, x] because rule 4's turn passes before rule 5 builds "aab",
+  * while lowest-rank-present would wrongly re-fire rule 4 — the
+  * round-10 review's counterexample, pinned in BpeSpec). Cost is
+  * O(rules referencing the word's symbols + passes x word length) —
+  * table size never enters; a 50k-rule table costs the same as 16 on
+  * the same word.
   *
-  * EQUALITY CONTRACT (BpeSpec pins it): on any merge table satisfying
-  * the parts-before-use invariant — each rule's two symbols are single
-  * characters or the product of EARLIER rules, the invariant every real
-  * BPE merge list and every table learned by `Bpe.trainMerges` has by
-  * construction — this encoder is symbol-for-symbol identical to the
-  * sequential rule-at-a-time chain. Why: a merge only creates adjacency
-  * pairs INVOLVING its freshly built (strictly longer) symbol, and that
-  * symbol is only named by LATER rules; so new instances of rule r's
-  * pair can never appear once rule r's pass has run, in either order of
-  * processing — both algorithms consume ranks in increasing order with
-  * one greedy left-to-right pass each. The DuckDB oracles keep the
-  * chain spelling; the gates hold because of this equivalence.
+  * EQUALITY CONTRACT (BpeSpec pins it): symbol-for-symbol identical to
+  * the sequential replace-chain on ANY merge table — unconditionally;
+  * no invariant on the table is required. The DuckDB oracles keep the
+  * chain spelling; the gates hold because this IS that contract.
   *
   * Merge-table encoding: `array<string>` of `'a|b'` entries in RANK
-  * (table) order — the engine-wide pair spelling (q190's learned output,
-  * the banding buckets). The split is at the FIRST '|', matching
-  * `split(pr, '\\|')[0]/[1]`; symbols containing '|' are ambiguous under
-  * this spelling everywhere in the engine, consistently. A null or
-  * '|'-less entry fails fast rather than drifting. Duplicate pairs keep
-  * their LOWEST rank (identical to the chain, where the later pass finds
-  * nothing left to do).
+  * (table) order — the engine-wide pair spelling (q190's learned
+  * output, the banding buckets). The split is at the FIRST '|',
+  * matching `split(pr, '\\|')[0]/[1]`; a symbol containing '|' is
+  * ambiguous IN THE TABLE SPELLING (consistently with the rest of the
+  * engine) but cannot hang or corrupt the sweep — adjacency is checked
+  * by whole-symbol equality, never by re-concatenated keys. A null or
+  * '|'-less entry fails fast rather than drifting.
   *
   * Symbols are Unicode CODE POINTS, exactly the `regexp_replace(w,
   * '(.)', ' $1 ')` wrap in both engines (Java regex and RE2 both match
@@ -51,16 +52,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernel {
 
-  /** A compiled merge table: parallel (a, b) arrays in rank order plus
-    * the rank lookup map, and the source elements for structural cache
-    * revalidation. Immutable after construction.
+  private val EmptyInts = Array.empty[Int]
+
+  /** A compiled merge table: parallel (a, b) arrays in rank order, the
+    * symbol -> referencing-rule-indices index that makes the sweep
+    * sparse, and the source elements for structural cache revalidation.
+    * Immutable after construction.
     */
   final class Table(val elems: Array[UTF8String]) {
     val a: Array[String] = new Array[String](elems.length)
     val b: Array[String] = new Array[String](elems.length)
-    // pair -> lowest rank; key is the table's own 'a|b' spelling
-    val rank = new java.util.HashMap[String, Integer](elems.length * 2)
+    // symbol -> ascending rule indices whose a or b is that symbol
+    private val refs = new java.util.HashMap[String, Array[Int]](elems.length * 2)
     locally {
+      val grow = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
       var i = 0
       while (i < elems.length) {
         require(elems(i) != null, s"bpe merge table: null entry at rank $i")
@@ -69,9 +74,17 @@ object BpeKernel {
         require(p >= 0, s"bpe merge table: entry '$s' at rank $i has no '|'")
         a(i) = s.substring(0, p)
         b(i) = s.substring(p + 1)
-        rank.putIfAbsent(s, Integer.valueOf(i)): Unit
+        grow.computeIfAbsent(a(i), _ => scala.collection.mutable.ArrayBuffer.empty) += i
+        if (b(i) != a(i))
+          grow.computeIfAbsent(b(i), _ => scala.collection.mutable.ArrayBuffer.empty) += i
         i += 1
       }
+      grow.forEach((k, v) => refs.put(k, v.toArray): Unit)
+    }
+
+    def rulesFor(sym: String): Array[Int] = {
+      val r = refs.get(sym)
+      if (r == null) EmptyInts else r
     }
 
     def sameElems(m: ArrayData): Boolean = {
@@ -97,43 +110,42 @@ object BpeKernel {
     new Table(elems)
   }
 
-  /** Encode `word` in place into a fresh symbol array; returns the
-    * surviving symbols. Greedy merge-rank loop as documented above.
+  /** The sparse chain sweep over one word's symbol array (in place);
+    * returns the surviving symbol count. `syms` must hold the word's
+    * code points in its first `n0` slots.
     */
-  def encode(word: String, t: Table): Array[String] = {
-    // split into code points (the '(.)' wrap unit in both engines)
-    val nCp = word.codePointCount(0, word.length)
-    var syms = new Array[String](nCp)
-    var ci = 0
-    var off = 0
-    while (off < word.length) {
-      val cp = word.codePointAt(off)
-      val w = Character.charCount(cp)
-      syms(ci) = word.substring(off, off + w)
-      ci += 1
-      off += w
-    }
-    var n = nCp
-    var done = n < 2
-    while (!done) {
-      // lowest-rank adjacent pair present
-      var best = Int.MaxValue
-      var i = 0
-      while (i < n - 1) {
-        val r = t.rank.get(syms(i) + "|" + syms(i + 1))
-        if (r != null && r.intValue() < best) best = r.intValue()
-        i += 1
+  private def sweep(syms: Array[String], n0: Int, t: Table): Int = {
+    var n = n0
+    if (n < 2) return n
+    // seed the cursor heap with every rule referencing an initial symbol
+    val heap = new java.util.PriorityQueue[Integer]()
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) {
+      if (seen.add(syms(i))) {
+        val rs = t.rulesFor(syms(i))
+        var j = 0
+        while (j < rs.length) { heap.add(Integer.valueOf(rs(j))): Unit; j += 1 }
       }
-      if (best == Int.MaxValue) done = true
-      else {
-        // one greedy left-to-right pass merging (a, b), in place
-        val pa = t.a(best)
-        val pb = t.b(best)
-        val merged = pa + pb
+      i += 1
+    }
+    var cursor = -1
+    while (!heap.isEmpty && n >= 2) {
+      val r = heap.poll().intValue()
+      // duplicates (pushed from both symbols) and rules whose turn in
+      // the chain already passed (pair formed by a LATER rule) are
+      // discarded — the chain never revisits a rule
+      if (r > cursor) {
+        cursor = r
+        val pa = t.a(r)
+        val pb = t.b(r)
+        // one greedy left-to-right pass merging (pa, pb), in place
         var w = 0
+        var merged: String = null
         i = 0
         while (i < n) {
           if (i + 1 < n && syms(i) == pa && syms(i + 1) == pb) {
+            if (merged == null) merged = pa + pb
             syms(w) = merged
             i += 2
           } else {
@@ -143,10 +155,48 @@ object BpeKernel {
           w += 1
         }
         n = w
-        if (n < 2) done = true
+        if (merged != null && seen.add(merged)) {
+          val rs = t.rulesFor(merged)
+          var j = 0
+          // only rules AFTER the cursor can still fire — skip the rest
+          while (j < rs.length) {
+            if (rs(j) > cursor) heap.add(Integer.valueOf(rs(j))): Unit
+            j += 1
+          }
+        }
       }
     }
+    n
+  }
+
+  private def splitCodePoints(word: String): Array[String] = {
+    val nCp = word.codePointCount(0, word.length)
+    val syms = new Array[String](nCp)
+    var ci = 0
+    var off = 0
+    while (off < word.length) {
+      val cp = word.codePointAt(off)
+      val w = Character.charCount(cp)
+      syms(ci) = word.substring(off, off + w)
+      ci += 1
+      off += w
+    }
+    syms
+  }
+
+  /** Encode `word`: the surviving symbols under the chain contract. */
+  def encode(word: String, t: Table): Array[String] = {
+    val syms = splitCodePoints(word)
+    val n = sweep(syms, syms.length, t)
     if (n == syms.length) syms else java.util.Arrays.copyOf(syms, n)
+  }
+
+  /** Surviving symbol COUNT only — the doc-accounting hot path, which
+    * skips the output array trim [[encode]] pays.
+    */
+  def encodeCount(word: String, t: Table): Int = {
+    val syms = splitCodePoints(word)
+    sweep(syms, syms.length, t)
   }
 }
 
@@ -221,7 +271,8 @@ case class BpeEncode(left: Expression, right: Expression) extends BpeExprBase {
   * BPE token count — sum over its token array of each word's surviving
   * symbol count under the merge table. The document-level form exists
   * so the HOT PATH pays ONE cache lookup per document (not one per
-  * token via a `transform` lambda) and no per-word array allocation;
+  * token via a `transform` lambda) and counts symbols in place without
+  * materializing each word's output array;
   * it equals `aggregate(transform(toks, w -> size(graft_bpe_encode(w,
   * merges))), 0L, +)` exactly, including that form's null semantics: a
   * null token element nulls the document total (`size(null)` is null
@@ -249,7 +300,7 @@ case class BpeDocTokens(left: Expression, right: Expression) extends BpeExprBase
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) return null
-      total += BpeKernel.encode(toks.getUTF8String(i).toString, t).length
+      total += BpeKernel.encodeCount(toks.getUTF8String(i).toString, t)
       i += 1
     }
     java.lang.Long.valueOf(total)

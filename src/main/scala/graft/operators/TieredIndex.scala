@@ -88,7 +88,12 @@ object TieredIndex {
     */
   final case class Maintenance(action: String, segmentsIn: Int, bytesIn: Long)
 
-  private final case class Seg(kind: String, name: String)
+  // kind in base|tier|delta; bytes is the segment's on-disk size,
+  // recorded at commit time so per-batch maintain() reads sizes from
+  // the manifest instead of stat-walking every segment (O(manifest
+  // lines), not O(index files) — the no-op case must stay a no-op on a
+  // terabyte index)
+  private final case class Seg(kind: String, name: String, bytes: Long)
 
   // ---------------------------------------------------------------- io
 
@@ -110,8 +115,8 @@ object TieredIndex {
       .toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(kind, seg) = line.split(" ", 2)
-        Seg(kind, seg)
+        val Array(kind, seg, bytes) = line.split(" ", 3)
+        Seg(kind, seg, bytes.toLong)
       }
   }
 
@@ -129,35 +134,55 @@ object TieredIndex {
   /** Write the new manifest fully, then atomically swap CURRENT (POSIX
     * rename — the pointer commit). A crash before the swap leaves the
     * previous generation live and the new files as GC-able orphans.
+    * After the swap, manifests numbered strictly BETWEEN the old and
+    * new pointer are purged: under the single-writer contract they can
+    * only be crashed mutations that never committed — left in place
+    * they would masquerade as the "previous generation" to a later
+    * maintain() once the pointer moves past them (their segments are
+    * swept by maintain's referenced-set GC).
     */
   private def commit(dir: String, newSegs: Seq[Seg]): Unit = {
+    val oldN =
+      if (Files.exists(currentPath(dir))) manifestNum(currentManifest(dir)) else -1
     val name = f"manifest-${nextNumber(dir, "manifest-")}%05d"
+    val newN = manifestNum(name)
     Files.write(
       Paths.get(dir, name),
-      newSegs.map(s => s"${s.kind} ${s.name}").mkString("\n").getBytes(StandardCharsets.UTF_8))
+      newSegs.map(s => s"${s.kind} ${s.name} ${s.bytes}").mkString("\n").getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(dir, "CURRENT.tmp")
     Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentPath(dir), StandardCopyOption.ATOMIC_MOVE): Unit
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .filter(m => m.startsWith("manifest-") && {
+        val n = manifestNum(m)
+        n > oldN && n < newN
+      })
+      .foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
   }
 
-  private def segBytes(dir: String, s: Seg): Long = {
+  private def segBytes(dir: String, name: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
       else f.length
-    walk(new java.io.File(dir, s.name))
+    walk(new java.io.File(dir, name))
   }
 
+  /** Write a range-clustered, sorted segment and return its entry —
+    * bytes measured by walking the FRESH segment only (the one write
+    * whose size is not yet known).
+    */
   private def writeSegment(
       df: DataFrame,
       dir: String,
+      kind: String,
       files: Int,
-      clusterCols: Seq[Column]): String = {
+      clusterCols: Seq[Column]): Seg = {
     val name = f"seg-${nextNumber(dir, "seg-")}%05d"
     df.repartitionByRange(files, clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)
       .write
       .parquet(new java.io.File(dir, name).toString)
-    name
+    Seg(kind, name, segBytes(dir, name))
   }
 
   // --------------------------------------------------------------- api
@@ -174,8 +199,7 @@ object TieredIndex {
       clusterCols: Seq[Column]): Unit = {
     graft.Engine.deleteRecursively(new java.io.File(dir))
     Files.createDirectories(Paths.get(dir)): Unit
-    val name = writeSegment(df, dir, targetFiles, clusterCols)
-    commit(dir, Seq(Seg("base", name)))
+    commit(dir, Seq(writeSegment(df, dir, "base", targetFiles, clusterCols)))
   }
 
   /** The current generation as ONE DataFrame — the union of the live
@@ -197,7 +221,7 @@ object TieredIndex {
     val cur = segs(dir)
     val name = f"seg-${nextNumber(dir, "seg-")}%05d"
     df.coalesce(files).write.parquet(new java.io.File(dir, name).toString)
-    commit(dir, cur :+ Seg("delta", name))
+    commit(dir, cur :+ Seg("delta", name, segBytes(dir, name)))
   }
 
   /** One maintenance step: garbage-collect unreferenced files, then
@@ -212,36 +236,41 @@ object TieredIndex {
       clusterCols: Seq[Column],
       policy: Policy = Policy(),
       force: Boolean = false): Maintenance = {
-    // ---- GC: keep the current + previous manifests and every segment
-    // they reference; everything else (older generations, orphans from
-    // a crashed mutation) is unlinked here — the one deleting site.
+    // ---- GC: an orphan manifest (number > CURRENT's — a mutation that
+    // wrote its files but crashed before the pointer swap) is dead by
+    // definition under the single-writer contract: drop it FIRST so it
+    // can neither shadow the real previous generation in the retention
+    // set nor keep its half-baked segments alive. Then keep the current
+    // + true-previous manifests and every segment they reference;
+    // everything else is unlinked here — the one deleting site.
     val cur = currentManifest(dir)
     val curN = manifestNum(cur)
     val allManifests = Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("manifest-")).toSeq
-    val prev = allManifests.filter(manifestNum(_) < curN).sortBy(manifestNum).lastOption
+    val (orphans, committed) = allManifests.partition(manifestNum(_) > curN)
+    orphans.foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
+    val prev = committed.filter(manifestNum(_) < curN).sortBy(manifestNum).lastOption
     val keepM = Set(cur) ++ prev
     val referenced = keepM.flatMap(readManifest(dir, _)).map(_.name)
-    allManifests.filterNot(keepM).foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
+    committed.filterNot(keepM).foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
     Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("seg-") && !referenced(n))
       .foreach(n => graft.Engine.deleteRecursively(new java.io.File(dir, n)))
 
-    // ---- policy
+    // ---- policy (sizes from the manifest — no filesystem walks)
     val cs = segs(dir)
     val bases = cs.filter(_.kind == "base")
     val tiers = cs.filter(_.kind == "tier")
     val deltas = cs.filter(_.kind == "delta")
-    val baseBytes = math.max(1L, bases.map(segBytes(dir, _)).sum)
-    val smallBytes = (tiers ++ deltas).map(segBytes(dir, _)).sum
+    val baseBytes = math.max(1L, bases.map(_.bytes).sum)
+    val smallBytes = (tiers ++ deltas).map(_.bytes).sum
 
     def compactInto(kind: String, in: Seq[Seg], keep: Seq[Seg], action: String): Maintenance = {
-      val bytes = in.map(segBytes(dir, _)).sum
+      val bytes = in.map(_.bytes).sum
       val files =
         math.max(if (kind == "base") policy.baseTargetFiles else 1, (bytes / policy.fileBytes).toInt)
       val paths = in.map(s => new java.io.File(dir, s.name).toString)
-      val name = writeSegment(spark.read.parquet(paths: _*), dir, files, clusterCols)
-      commit(dir, keep :+ Seg(kind, name))
+      commit(dir, keep :+ writeSegment(spark.read.parquet(paths: _*), dir, kind, files, clusterCols))
       Maintenance(action, in.size, bytes)
     }
 

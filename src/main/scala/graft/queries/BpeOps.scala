@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * a learned table read from a column (q194/q195), and a ~50k-merge
   * real vocabulary (BpeSpec's smoke test). The replace-chain spelling
   * below remains as the cross-engine CONTRACT: it is what the DuckDB
-  * oracles execute, and the native encoder is symbol-identical to it on
-  * any parts-before-use table (the invariant real merge lists and
-  * trainMerges outputs both carry — see BpeKernel's equivalence note).
+  * oracles execute, and the native encoder implements EXACTLY that
+  * contract — a sparse rule-order sweep, symbol-identical to the chain
+  * on ANY table (see BpeKernel's semantics note; the naive
+  * lowest-rank-present loop is NOT equivalent on tables where one
+  * symbol has two derivations).
   *
   * Encoding contract (cross-engine exact, one definition site):
   *   - a word becomes a symbol stream rendered as a STRING, every
@@ -116,14 +118,14 @@ object Bpe {
   def symCountDuck(encoded: String): String = s"len(${symsDuck(encoded)})"
 
   /** Spark SQL: a doc's total BPE token count over its `toks` array —
-    * the NATIVE one-pass greedy merge-rank encoder
-    * (functions/BpeEncode.scala), which is symbol-identical to the
-    * replace-chain on any parts-before-use table (BpeSpec pins the
-    * equality; the DuckDB oracles keep the chain spelling) but extends
-    * to a real ~50k-merge vocabulary where a 50k-deep nested replace
-    * breaks codegen and costs 50k passes per word. The `coalesce`
-    * mirrors the oracle's NULL handling: a NULL `text` tokenizes to a
-    * NULL array, and both engines must report 0 tokens for it.
+    * the NATIVE sparse rule-sweep encoder (functions/BpeEncode.scala),
+    * symbol-identical to the replace-chain on ANY table (BpeSpec pins
+    * the equality; the DuckDB oracles keep the chain spelling) but
+    * extending to a real ~50k-merge vocabulary where a 50k-deep nested
+    * replace breaks codegen and costs 50k passes per word. The
+    * `coalesce` mirrors the oracle's NULL handling: a NULL `text`
+    * tokenizes to a NULL array, and both engines must report 0 tokens
+    * for it.
     */
   def docTokensSpark(toksCol: String): String =
     s"coalesce(graft_bpe_doc_tokens($toksCol, $mergesSql), cast(0 as bigint))"

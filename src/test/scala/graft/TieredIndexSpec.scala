@@ -100,13 +100,17 @@ class TieredIndexSpec extends AnyFunSuite {
     keyed(0 until 10).write.parquet(s"$dir/seg-90000")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "manifest-90000"),
-      "base seg-90000".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "base seg-90000 1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // a restarted reader sees the committed generation, not the orphan
     assert(TieredIndex.read(spark, dir).count() == 820)
+    // a restart append must not resurrect the orphan either (the GC's
+    // "previous generation" has to be the real previous COMMITTED one,
+    // not the crashed mutation's higher-numbered manifest)
+    TieredIndex.append(spark, dir, keyed(820 until 825))
     TieredIndex.maintain(spark, dir, Seq(col("k")), force = true): Unit
     assert(!new java.io.File(dir, "seg-90000").exists, "orphan segment not GC'd")
     assert(!new java.io.File(dir, "manifest-90000").exists, "orphan manifest not GC'd")
-    assert(TieredIndex.read(spark, dir).count() == 820)
+    assert(TieredIndex.read(spark, dir).count() == 825)
   }
 
   test("major compaction is size-triggered and rebuilds one sized base") {

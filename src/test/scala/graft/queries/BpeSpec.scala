@@ -154,6 +154,76 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-derivation table: native == chain where lowest-rank-present diverges") {
+    import spark.implicits._
+    // round-10 review counterexample: 'aab' has TWO derivations
+    // (a+ab at rank 2, aa+b at rank 4) with a consumer rule (aab+x,
+    // rank 3) between them. The chain leaves [aab, x] — rule 3's turn
+    // passes before rule 4 builds 'aab'. The textbook "merge the
+    // lowest-rank pair present, repeat" loop would wrongly revisit
+    // rank 3 afterwards and emit [aabx]. The native sweep must match
+    // the chain (the engine's contract, what every oracle runs).
+    val table = Seq("a|a", "a|b", "a|ab", "aab|x", "aa|b")
+    val got = Seq("aabx")
+      .toDF("w")
+      .withColumn("ms", typedLit(table))
+      .select(expr("graft_bpe_encode(w, ms)").as("syms"))
+      .head()
+      .getSeq[String](0)
+    assert(got == Seq("aab", "x"), s"native diverged from the chain: $got")
+    // and on a larger random sample over the same alphabet, arbitrary
+    // tables (NO parts-before-use restriction — the contract is
+    // unconditional) still match the list-walk chain
+    def refChain(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toList
+      for ((a, b) <- merges) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 10) {
+      // arbitrary multi-char symbols — dual derivations arise freely
+      val alpha = "ab"
+      def sym() = (0 until (1 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(2))).mkString
+      val tbl = Vector.fill(6 + rnd.nextInt(6))((sym(), sym())).distinct
+      val words = Seq.fill(120)(
+        (0 until (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(2))).mkString)
+      val rows = words
+        .toDF("w")
+        .withColumn("ms", typedLit(tbl.map { case (a, b) => s"$a|$b" }))
+        .select(col("w"), expr("graft_bpe_encode(w, ms)").as("syms"))
+        .collect()
+      rows.foreach { r =>
+        val w = r.getString(0)
+        assert(r.getSeq[String](1) == refChain(w, tbl), s"trial $trial drift on '$w' tbl=$tbl")
+      }
+    }
+  }
+
+  test("'|'-bearing symbols cannot hang the sweep") {
+    import spark.implicits._
+    // the table spelling is ambiguous for symbols containing '|'
+    // (documented, engine-wide), but adjacency is checked by
+    // whole-symbol equality — a rule whose re-concatenated key would
+    // "match" a stream it can never merge must terminate as a no-op
+    // (the pre-review greedy loop span forever here)
+    val got = Seq("x|a")
+      .toDF("w")
+      .withColumn("ms", typedLit(Seq("||a")))
+      .select(expr("graft_bpe_encode(w, ms)").as("syms"))
+      .head()
+      .getSeq[String](0)
+    assert(got == Seq("x", "|", "a"), s"unexpected symbols: $got")
+  }
+
   test("~50k-merge vocabulary: native encoder runs at full scale") {
     import spark.implicits._
     // the table size the chain structurally cannot reach (a 50k-deep
