@@ -166,9 +166,12 @@ object Bpe {
     * freq-weighted sums, which equal instance counts exactly, but each
     * round rescans |vocab| symbol streams instead of |corpus| (the
     * round-9 change that took q190 from the bench's top cost to
-    * sub-second; at 100 TB the vocab/corpus ratio is ~1e-6). Caller
-    * guarantees the corpus has at least `steps` mergeable pair
-    * generations (exhaustion would surface as a null merge row).
+    * sub-second; at 100 TB the vocab/corpus ratio is ~1e-6). A corpus
+    * with fewer than `steps` mergeable pair generations fails LOUDLY:
+    * the learned rows carry a lazy raise_error guard, so exhaustion
+    * (an all-null argmax row) aborts the consuming query with a clear
+    * message instead of null-cascading through the merge-back (no
+    * extra action per round — the guard rides the existing plan).
     * Returns (step, a, b, cnt).
     */
   def trainMerges(words: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
@@ -190,7 +193,11 @@ object Bpe {
           split(col("m.pr"), "\\|").getItem(1).as("b"),
           col("m.cnt").as("cnt"))
         .localCheckpoint(eager = false) // consumed twice: output + merge-back
-      learned += best.select(lit(t.toLong).as("step"), col("a"), col("b"), col("cnt"))
+      val guard = (c: org.apache.spark.sql.Column) =>
+        when(c.isNotNull, c).otherwise(raise_error(lit(
+          s"bpe training exhausted: no mergeable pair at step $t — " +
+            "corpus vocabulary too small for the requested depth")))
+      learned += best.select(lit(t.toLong).as("step"), guard(col("a")).as("a"), guard(col("b")).as("b"), col("cnt"))
       vocab = vocab
         .crossJoin(broadcast(best))
         .select(

@@ -277,6 +277,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "n", 3L), (2L, "an", "d", 3L), (3L, "h", "e", 3L), (4L, "t", "he", 3L)))
   }
 
+  test("training exhaustion fails loudly, not with a null cascade") {
+    import spark.implicits._
+    // 'ab' exhausts after one merge: step 2's argmax row is all-null,
+    // and the lazy raise_error guard must surface a clear message when
+    // the learned table is consumed (silent null merge-back was the
+    // pre-guard failure mode)
+    val ex = intercept[Exception] {
+      Bpe.trainMerges(Seq("ab", "ab").toDF("word"), steps = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("bpe training exhausted")), ex.toString.take(300))
+  }
+
   test("q190 on the corpus: distinct merges with non-increasing counts") {
     val dir = "/root/testdata/sf0.001"
     val merges = graft.SparkEntry
