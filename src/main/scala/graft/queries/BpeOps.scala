@@ -470,6 +470,42 @@ object BpeOps {
       },
       Some(deepFertilityOracleSql(DeepSteps))
     ),
+    // --------------------------------------------------------------- q197
+    // The token SEQUENCE itself — every other gate in the family hashes
+    // COUNTS; this one hash-gates the encoder's full output, symbol by
+    // symbol with (word, symbol) positions, against the DuckDB chain:
+    // the strongest cross-engine pin the native sweep has (a count can
+    // survive a compensating double error; a positioned symbol stream
+    // cannot). Deterministic 1-in-20 doc subset keeps the row count
+    // sequence-sized; everything is narrow explode work riding the
+    // scan — at 100 TB this IS the tokenize-and-materialize export
+    // shape (doc -> positioned token ids), minus only the id lookup.
+    QueryDef(
+      "q197_bpe_token_stream",
+      (s, dir) =>
+        Engine
+          .table(s, dir, "documents")
+          .filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), Tokenize.toksExpr.as("toks"))
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("wi0", "w")))
+          .select(
+            col("doc_id"),
+            col("wi0").cast("long").as("wi"),
+            posexplode(expr(s"graft_bpe_encode(w, ${Bpe.mergesSql})")).as(Seq("si0", "sym")))
+          .select(
+            col("doc_id"), col("wi"), col("si0").cast("long").as("si"), col("sym"))
+          .orderBy(col("doc_id"), col("wi"), col("si")),
+      Some(s"""WITH t AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents
+               WHERE doc_id % 20 = 0),
+             wq AS (SELECT doc_id, unnest(toks) AS w,
+                 unnest(range(len(toks))) AS wi FROM t),
+             sq AS (SELECT doc_id, wi,
+                 ${Bpe.symsDuck(Bpe.encodeDuck("w"))} AS sy FROM wq)
+             SELECT doc_id, CAST(wi AS BIGINT) AS wi,
+               CAST(unnest(range(len(sy))) AS BIGINT) AS si,
+               unnest(sy) AS sym
+             FROM sq ORDER BY doc_id, wi, si""")
+    ),
     // --------------------------------------------------------------- q191
     // Tokenizer fertility by language — the multilingual datacard
     // metric (BPE tokens per word): a tokenizer whose merges were
