@@ -139,6 +139,26 @@ object Layout {
     pmod(v, lit(100))
   }
 
+  /** Dialect-shared SQL replay of the md5-nibble decode for hex char `i`
+    * (1-based) of an already-computed md5 hex column `h` — ONE
+    * definition site for every DuckDB oracle that replays [[shardOf]] /
+    * [[pctBucket]]: DuckDB has no conv(), so the ascii() CASE chain is
+    * the engine-portable decode, kept arithmetically identical to the
+    * Column form above.
+    */
+  def nibbleSql(h: String, i: Int): String =
+    s"(CASE WHEN ascii(substr($h, $i, 1)) <= 57 THEN ascii(substr($h, $i, 1)) - 48" +
+      s" ELSE ascii(substr($h, $i, 1)) - 87 END)"
+
+  /** SQL replay of [[shardOf]] over a precomputed md5 hex column `h`. */
+  def shardOfSql(h: String, nShards: Int): String =
+    s"((${nibbleSql(h, 1)} * 16 + ${nibbleSql(h, 2)}) % $nShards)"
+
+  /** SQL replay of [[pctBucket]] over a precomputed md5 hex column `h`. */
+  def pctBucketSql(h: String): String =
+    s"((${nibbleSql(h, 1)} * 4096 + ${nibbleSql(h, 2)} * 256 + " +
+      s"${nibbleSql(h, 3)} * 16 + ${nibbleSql(h, 4)}) % 100)"
+
   /** Write `in` as hive-partitioned training shards (`shard=NN/`) keyed
     * by `shardOf(key)` — the export step of a curation pipeline. One
     * shuffle on the shard id; each shard directory is independently

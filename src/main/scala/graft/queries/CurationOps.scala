@@ -576,10 +576,7 @@ object CurationOps {
                FROM documents),
              sh AS (
                SELECT lang, n_chars, len(toks) AS ntok,
-                 ((CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
-                        ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
-                + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
-                        ELSE ascii(substr(h, 2, 1)) - 87 END)) % 16 AS shard
+                 ${graft.operators.Layout.shardOfSql("h", 16)} AS shard
                FROM t)
              SELECT lang, shard, count(*) AS n_docs,
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
@@ -663,20 +660,10 @@ object CurationOps {
                SELECT ${Tokenize.toksSql} AS toks,
                  md5(CAST(doc_id AS VARCHAR)) AS h
                FROM documents),
-             n AS (
-               SELECT toks,
-                 (CASE WHEN ascii(substr(h, 1, 1)) <= 57 THEN ascii(substr(h, 1, 1)) - 48
-                       ELSE ascii(substr(h, 1, 1)) - 87 END) * 4096
-               + (CASE WHEN ascii(substr(h, 2, 1)) <= 57 THEN ascii(substr(h, 2, 1)) - 48
-                       ELSE ascii(substr(h, 2, 1)) - 87 END) * 256
-               + (CASE WHEN ascii(substr(h, 3, 1)) <= 57 THEN ascii(substr(h, 3, 1)) - 48
-                       ELSE ascii(substr(h, 3, 1)) - 87 END) * 16
-               + (CASE WHEN ascii(substr(h, 4, 1)) <= 57 THEN ascii(substr(h, 4, 1)) - 48
-                       ELSE ascii(substr(h, 4, 1)) - 87 END) AS v
-               FROM t),
              b AS (
-               SELECT len(toks) AS ntok, v % 100 AS bucket
-               FROM n),
+               SELECT len(toks) AS ntok,
+                 ${graft.operators.Layout.pctBucketSql("h")} AS bucket
+               FROM t),
              sp AS (
                SELECT CASE WHEN bucket < 90 THEN 'train'
                            WHEN bucket < 95 THEN 'val'
@@ -1666,6 +1653,110 @@ object CurationOps {
              FROM e JOIN t ON e.epoch = t.epoch
              ORDER BY e.epoch, source"""
       }
+    ),
+    // --------------------------------------------------------------- q199
+    // Token-budget epoch PLANNER — the allocation step between a mixture
+    // (q193's weights) and a training run: given a total token budget
+    // (here 3x the corpus's natural tokens — a multi-epoch run) and the
+    // tau=0.5 flattened target weights, emit per source the target token
+    // allocation, the implied epoch count (how many passes over that
+    // source the sampler must make), the published max-epoch cap
+    // (~4 epochs before repetition hurts, per the Muennighoff
+    // data-constrained scaling analysis), and the deficit the cap leaves
+    // unfilled — the number the run planner rebalances with. Arithmetic
+    // is the q193 convention end-to-end: integer milli-unit powers via
+    // correctly-rounded sqrt, exact integer totals, then ONE IEEE double
+    // multiply-divide per derived column, rounded identically in both
+    // engines (round-half-up on positives). One tiny per-source
+    // aggregate + a broadcast single-row total — nothing but the source
+    // hash-agg ever shuffles, at any corpus size.
+    QueryDef(
+      "q199_token_budget",
+      (s, dir) => {
+        val ps = Engine
+          .table(s, dir, "documents")
+          .withColumn("toks", toksExpr)
+          .groupBy(col("source"))
+          .agg(sum(size(col("toks"))).cast("long").as("n_tokens"))
+          .withColumn(
+            "p",
+            expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+          .localCheckpoint(eager = false) // the totals row re-reads the aggregate
+        val totals = ps.agg(
+          sum(col("p")).as("tp"),
+          (sum(col("n_tokens")) * 3L).as("budget"))
+        ps.crossJoin(broadcast(totals))
+          .select(
+            col("source"),
+            col("n_tokens"),
+            round(col("p").cast("double") / col("tp"), 6).as("weight"),
+            expr("CAST(round(CAST(budget AS DOUBLE) * p / tp, 0) AS BIGINT)")
+              .as("target_tokens"))
+          .withColumn("epochs", round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+          .withColumn("epochs_capped", least(col("epochs"), lit(4.0)))
+          .withColumn(
+            "deficit_tokens",
+            col("target_tokens") - least(col("target_tokens"), col("n_tokens") * 4L))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ps AS (
+               SELECT source, CAST(sum(len(${Tokenize.toksSql})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             wp AS (SELECT source, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS p
+               FROM ps),
+             t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+                 CAST(sum(n_tokens) * 3 AS BIGINT) AS budget FROM wp),
+             b AS (SELECT source, n_tokens,
+                 round(CAST(p AS DOUBLE) / tp, 6) AS weight,
+                 CAST(round(CAST(budget AS DOUBLE) * p / tp, 0) AS BIGINT) AS target_tokens
+               FROM wp, t)
+             SELECT source, n_tokens, weight, target_tokens,
+               round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+               least(round(CAST(target_tokens AS DOUBLE) / n_tokens, 6), 4.0) AS epochs_capped,
+               target_tokens - least(target_tokens, n_tokens * 4) AS deficit_tokens
+             FROM b ORDER BY source""")
+    ),
+    // --------------------------------------------------------------- q200
+    // Deterministic EPOCH SHUFFLE manifest — the global-shuffle step
+    // between curation and the data loader: training wants each epoch
+    // to visit documents in a different, uniformly-mixed order, and
+    // wants that order REPRODUCIBLE from the data alone (restarts,
+    // backfills, and audits must agree with no RNG state). Each doc
+    // keeps its stable q125 shard (unsalted shardOf — data placement
+    // never moves between epochs; only in-shard order changes) and gets
+    // an epoch-salted md5 order key; its position is the q182
+    // DISTRIBUTED per-shard rank (range-exchange + local rank + tiny
+    // broadcast offsets), never a 16-task window funnel. A loader
+    // replays epoch e by re-deriving ord with salt 'ep<e>|' — no stored
+    // permutation. One narrow map + the rank's range exchange at any
+    // scale.
+    QueryDef(
+      "q200_epoch_shuffle",
+      (s, dir) => {
+        val d = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("shard", graft.operators.Layout.shardOf(col("doc_id"), 16))
+          .withColumn("ord", md5(concat(lit("ep1|"), col("doc_id").cast("string"))))
+        graft.operators.Ranks
+          .distributedRank(d, Seq("shard"), Seq(col("ord"), col("doc_id")))
+          .select(col("shard"), col("rnk").as("pos"), col("doc_id"), col("ord"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""WITH d AS (
+               SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS h,
+                 md5('ep1|' || CAST(doc_id AS VARCHAR)) AS ord
+               FROM documents),
+             sh AS (SELECT doc_id, ord,
+                 ${graft.operators.Layout.shardOfSql("h", 16)} AS shard
+               FROM d)
+             SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+                 AS pos,
+               doc_id, ord
+             FROM sh ORDER BY shard, pos""")
     )
   )
 

@@ -1474,6 +1474,85 @@ object DedupOps {
                CAST(coalesce(multi_buckets, 0) AS BIGINT) AS multi_buckets
              FROM cfgs LEFT JOIN fl ON cfgs.config = fl.config
              LEFT JOIN st ON cfgs.config = st.config ORDER BY config""")
+    ),
+    // --------------------------------------------------------------- q198
+    // LEAKAGE-SAFE train/val/test split — the correction q130's
+    // doc-level split cannot make: hashing doc_id sends near-duplicate
+    // documents to DIFFERENT splits (~18% of paired docs under 90/5/5),
+    // so validation scores are inflated by memorized near-copies of
+    // training text. Here the split key is the near-dup CLUSTER id
+    // (large-star/small-star components over the q52 verified-pair
+    // graph; unpaired docs are their own singleton cluster), so an
+    // entire cluster lands in one split BY CONSTRUCTION — the property
+    // published dedup-aware eval splits require. The audit reports, per
+    // split, the volume plus `moved_docs`: docs whose cluster-level
+    // split differs from their q130 doc-level one — exactly the docs
+    // that would have leaked. Scale shape: components are the bounded
+    // fan-in star rounds (pairs only — the corpus never enters the CC
+    // iteration), the cluster map joins back hash-on-doc_id, the split
+    // draw is a narrow md5-nibble map, and the audit is a 3-row
+    // aggregate.
+    QueryDef(
+      "q198_leakage_split",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        val comp = starComponents(pairs).withColumnRenamed("id", "doc_id")
+        val keyed = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("comp"), col("doc_id")))
+        val b = keyed
+          .withColumn("bucket", graft.operators.Layout.pctBucket(col("ckey")))
+          .withColumn("dbucket", graft.operators.Layout.pctBucket(col("doc_id")))
+          .withColumn(
+            "split",
+            when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+          .withColumn(
+            "dsplit",
+            when(col("dbucket") < 90, "train").when(col("dbucket") < 95, "val").otherwise("test"))
+        b.groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("ckey")).as("n_clusters"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(when(col("split") =!= col("dsplit"), 1L).otherwise(0L)).as("moved_docs"))
+          .orderBy(col("split"))
+      },
+      // the same clusters by transitive closure (the q58/q134 oracle
+      // machinery), then the same two nibble draws per doc
+      Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             e AS (SELECT id_a AS src, id_b AS dst FROM v
+                   UNION ALL SELECT id_b, id_a FROM v),
+             reach(src, dst) AS (
+               SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             compt AS (
+               SELECT n.id, least(n.id, min(r.dst)) AS comp
+               FROM (SELECT DISTINCT src AS id FROM e) n
+               JOIN reach r ON r.src = n.id GROUP BY n.id),
+             k AS (SELECT d.doc_id, d.n_chars, coalesce(compt.comp, d.doc_id) AS ckey
+               FROM documents d LEFT JOIN compt ON compt.id = d.doc_id),
+             hh AS (SELECT doc_id, n_chars, ckey,
+                 md5(CAST(ckey AS VARCHAR)) AS hc,
+                 md5(CAST(doc_id AS VARCHAR)) AS hd
+               FROM k),
+             bb AS (SELECT doc_id, n_chars, ckey,
+                 ${graft.operators.Layout.pctBucketSql("hc")} AS bucket,
+                 ${graft.operators.Layout.pctBucketSql("hd")} AS dbucket
+               FROM hh),
+             sp AS (SELECT ckey, n_chars,
+                 CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+                 CASE WHEN dbucket < 90 THEN 'train'
+                      WHEN dbucket < 95 THEN 'val' ELSE 'test' END AS dsplit
+               FROM bb)
+             SELECT split, count(*) AS n_docs,
+               CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN split <> dsplit THEN 1 ELSE 0 END) AS BIGINT) AS moved_docs
+             FROM sp GROUP BY split ORDER BY split""")
     )
   )
 

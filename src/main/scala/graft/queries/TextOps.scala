@@ -1347,6 +1347,66 @@ object TextOps {
                     WHEN rnk <= (2 * n + 2) // 3 THEN 'middle'
                     ELSE 'tail' END AS bucket
              FROM r ORDER BY doc_id""")
+    ),
+    // --------------------------------------------------------------- q201
+    // Classifier-vs-rules CALIBRATION curve — the QA step a filtering
+    // pipeline runs before trusting a scored classifier (q169) at a new
+    // threshold: rank the corpus by logit, cut it into exact global
+    // deciles, and report per decile how often an INDEPENDENT signal —
+    // a minimal rule gate (the three cheapest Gopher A1.1 thresholds:
+    // alphabetic share, stop-word hits, length floor; the stop-hit
+    // floor is 1, not Gopher's 2, because q169's 8-word stop list
+    // yields 0-1 hits on the synthetic corpus — threshold scaled to
+    // keep the signal non-vacuous, same spirit as the ppm unit
+    // scaling) — agrees. A
+    // monotone rule_keep_ppm curve says the score ranks quality the way
+    // the rules do; a flat one says the threshold is arbitrary — and at
+    // sf0.01 the curve is neither: it RISES through the mid deciles and
+    // COLLAPSES at the top, because the stand-in logit's +10*ttr_ppm
+    // term inflates very short documents (TTR ~ 1 when every word is
+    // distinct) that the 50-word floor rejects — precisely the
+    // length-bias pathology this audit exists to catch before anyone
+    // trusts a high-score cut. The
+    // decile is ((rnk - 1) * 10) div n over the q182 DISTRIBUTED rank
+    // (range-exchange, local rank, broadcast offsets — a global
+    // ORDER BY window would funnel the corpus through one task), and
+    // the curve itself is a 10-row aggregate. Exact integer ppm — no FP.
+    QueryDef(
+      "q201_score_calibration",
+      (s, dir) => {
+        val q = qualityScore(Engine.table(s, dir, "documents"))
+        graft.operators.Ranks
+          .distributedRank(q, Nil, Seq(col("logit_micro"), col("doc_id")))
+          .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+          .groupBy(col("decile"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("logit_micro")).as("min_logit"),
+            max(col("logit_micro")).as("max_logit"),
+            expr("CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) * 1000000" +
+              " div count(1) AS BIGINT)").as("clf_keep_ppm"),
+            expr("CAST(sum(CASE WHEN alpha_ppm >= 800000 AND stop_hits >= 1" +
+              " AND n_words >= 50 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+              .as("rule_keep_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH q AS ($qualityScoreOracle),
+             r AS (SELECT q.*,
+                 row_number() OVER (ORDER BY logit_micro, doc_id) AS rn,
+                 count(*) OVER () AS nn
+               FROM q),
+             d AS (SELECT CAST((rn - 1) * 10 // nn AS BIGINT) AS decile,
+                 logit_micro, verdict, alpha_ppm, stop_hits, n_words
+               FROM r)
+             SELECT decile, count(*) AS n_docs,
+               CAST(min(logit_micro) AS BIGINT) AS min_logit,
+               CAST(max(logit_micro) AS BIGINT) AS max_logit,
+               CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS clf_keep_ppm,
+               CAST(sum(CASE WHEN alpha_ppm >= 800000 AND stop_hits >= 1
+                 AND n_words >= 50 THEN 1 ELSE 0 END)
+                 * 1000000 // count(*) AS BIGINT) AS rule_keep_ppm
+             FROM d GROUP BY decile ORDER BY decile""")
     )
   )
 
