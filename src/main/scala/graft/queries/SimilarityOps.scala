@@ -1210,6 +1210,226 @@ object SimilarityOps {
              SELECT aid, neg_id, c6 FROM p
              QUALIFY row_number() OVER (PARTITION BY aid ORDER BY c6 DESC, neg_id) = 1
              ORDER BY aid""")
+    ),
+    // --------------------------------------------------------------- q202
+    // PRODUCT QUANTIZATION codebook + encode (Jegou et al., TPAMI 2011
+    // — the compression layer under every billion-vector ANN index):
+    // the 64-dim embedding splits into M=8 contiguous 8-dim subspaces;
+    // each subspace trains its own K=16 codebook (the q147
+    // exact-integer Lloyd recipe: micro-unit integer vectors, init =
+    // the 16 lowest vec_ids' subvectors, one refinement round, argmin
+    // ties to the lower cid, empty cells keep their seed); a vector's
+    // code is its 8 nearest-cell ids packed 4 bits each into ONE
+    // BIGINT — 4 bytes per vector vs 256 for float32 x 64, the 64x
+    // compression that lets a 100 TB corpus's index live in RAM.
+    // qerr (summed subspace L2) is the distortion audit. Scale shape:
+    // training + encoding are (n x M x K) narrow integer kernel evals
+    // against a BROADCAST 128-row codebook — map-side everywhere; the
+    // only shuffles are the tiny (m, cid, pos) mean aggregations.
+    QueryDef(
+      "q202_pq_encode",
+      (s, dir) => {
+        val a2 = pqAssign(s, dir, pqCodebook(s, dir))
+        a2.groupBy(col("vec_id"))
+          .agg(
+            expr("CAST(sum(cid * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"),
+            sum(col("d")).as("qerr"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$pqSql
+             SELECT vec_id,
+               CAST(sum(cid * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT) AS code,
+               CAST(sum(dist) AS BIGINT) AS qerr
+             FROM pa2 WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
+    ),
+    // --------------------------------------------------------------- q203
+    // PQ ASYMMETRIC-DISTANCE search with recall@3 — the query half of
+    // q202 and the third entry in the engine's measured ANN recall
+    // ledger — sf0.01: PQ-ADC 15/60 vs IVF 52/60 and LSH 2/60 (q124).
+    // The 0.25 recall is what 64x lossy compression with K=16
+    // one-round codebooks buys on ISOTROPIC vectors (no cluster
+    // structure for the cells to exploit); production raises K to 256
+    // and quantizes IVF residuals (IVFADC) — the mechanism gated here
+    // is exactly that system's scoring path. Each query (the fixed
+    // vec_id < 20 batch, the q124 convention) precomputes an M x K
+    // lookup table of exact subspace distances to every codebook cell,
+    // then a candidate's ADC distance is EIGHT TABLE LOOKUPS summed —
+    // never a 64-dim computation per candidate. Recall@3 counts ADC's
+    // top-3 against exact integer-L2 brute force. Scale shape: the
+    // lookup table is (queries x 128) rows broadcast; the scan of the
+    // code table is a narrow join + 20-partition-bounded top-k over a
+    // FIXED query batch (the q186 rule: batch size never grows with
+    // the corpus). At 100 TB this composes with q63: IVF-partition
+    // first, ADC within the probed lists — the IVFADC system shape.
+    QueryDef(
+      "q203_pq_adc_recall",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val cb = pqCodebook(s, dir).localCheckpoint(eager = false)
+        val a2 = pqAssign(s, dir, cb)
+        val q = iv.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val qsubs = q
+          .select(
+            col("qid"),
+            explode(expr("transform(sequence(0, 7), " +
+              "m -> named_struct('m', m, 'qsv', slice(qiv, m * 8 + 1, 8)))")).as("x"))
+          .select(col("qid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+        val pdt = qsubs
+          .join(broadcast(cb), Seq("m"))
+          .select(
+            col("qid"), col("m"), col("cid"),
+            graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
+        val adc = a2
+          .join(broadcast(pdt), Seq("m", "cid"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("pd")).as("ad"))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val adc3 = adc
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute3
+          .join(adc3, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("hits_pq"))
+        brute3
+          .select(col("qid"))
+          .distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit(3L).as("k"), coalesce(col("hits_pq"), lit(0L)).as("hits_pq"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""$pqSql,
+             pqq AS (SELECT vec_id AS qid, iv FROM t WHERE vec_id < 20),
+             pqs AS (SELECT qid, mm.m, list_slice(iv, mm.m * 8 + 1, mm.m * 8 + 8) AS qsv
+               FROM pqq, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             pdt AS (SELECT q.qid, q.m, c.cid,
+                 list_sum(list_transform(generate_series(1, len(q.qsv)),
+                   j -> (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]))) AS pd
+               FROM pqs q JOIN pc1 c ON q.m = c.m),
+             adc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
+               FROM pa2 a JOIN pdt p ON a.m = p.m AND a.cid = p.cid
+               WHERE a.rk = 1 AND p.qid <> a.vec_id GROUP BY p.qid, a.vec_id),
+             adc3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM adc)
+               WHERE rn <= 3),
+             bsc AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.iv)),
+                   j -> (q.iv[j] - x.iv[j]) * (q.iv[j] - x.iv[j]))) AS d
+               FROM pqq q JOIN t x ON q.qid <> x.vec_id),
+             pb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM bsc)
+               WHERE rn <= 3),
+             ph AS (SELECT pb3.qid, count(*) AS hits_pq FROM pb3
+               JOIN adc3 USING (qid, vec_id) GROUP BY pb3.qid)
+             SELECT b.qid, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(ph.hits_pq, 0) AS BIGINT) AS hits_pq
+             FROM (SELECT DISTINCT qid FROM pb3) b
+             LEFT JOIN ph USING (qid) ORDER BY qid""")
     )
   )
+
+  /** PQ subvector rows (vec_id, m, sv): the 64-dim integer micro-unit
+    * vector split into M=8 contiguous 8-dim subspaces.
+    */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    ivecs(s, dir)
+      .select(
+        col("vec_id"),
+        explode(expr("transform(sequence(0, 7), " +
+          "m -> named_struct('m', m, 'sv', slice(iv, m * 8 + 1, 8)))")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** The refined per-subspace codebook (m, cid, cv): init = the 16
+    * lowest vec_ids' subvectors (cid = vec_id, the q63 convention), one
+    * exact-integer Lloyd refinement (means floor-divide on non-negative
+    * micro-units, so Spark div == DuckDB //; empty cells keep their
+    * seed). 128 rows total — always broadcast.
+    */
+  private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSubs(s, dir).localCheckpoint(eager = false)
+    val init = sub
+      .filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val a1 = sub
+      .join(broadcast(init), Seq("m"))
+      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+    val means = a1
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("mm"))
+      .groupBy(col("m"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
+    init
+      .join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+  }
+
+  /** Final PQ assignment (vec_id, m, cid, d) against the refined
+    * codebook — the shared core of q202 (encode) and q203 (ADC search).
+    */
+  private[queries] def pqAssign(s: SparkSession, dir: String, cb: DataFrame): DataFrame =
+    pqSubs(s, dir)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** DuckDB CTE chain mirroring [[pqCodebook]] + [[pqAssign]]: ends with
+    * `pa2` whose rk=1 rows are the final (vec_id, m, cid, dist)
+    * assignment, with `pc1` the refined codebook and `t` the integer
+    * vectors. A def — `entries` oracle strings interpolate eagerly.
+    */
+  private def pqSql: String =
+    """WITH t AS (
+         SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+         FROM embeddings),
+       psub AS (
+         SELECT vec_id, mm.m, list_slice(iv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
+         FROM t, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+       pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM psub WHERE vec_id < 16),
+       pa1 AS (
+         SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+         FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(generate_series(1, len(s.sv)),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+           FROM psub s JOIN pc0 c ON s.m = c.m)),
+       pm1 AS (
+         SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
+         FROM pa1 a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
+           LATERAL (SELECT unnest(s.sv) AS v,
+             unnest(generate_series(1, len(s.sv))) AS pos) u
+         WHERE a.rk = 1
+         GROUP BY a.m, a.cid, u.pos),
+       pc1 AS (
+         SELECT pc0.m, pc0.cid, coalesce(x.nv, pc0.cv) AS cv
+         FROM pc0 LEFT JOIN (
+           SELECT m, cid, list(mn ORDER BY pos) AS nv FROM pm1 GROUP BY m, cid) x
+           ON pc0.m = x.m AND pc0.cid = x.cid),
+       pa2 AS (
+         SELECT vec_id, m, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+         FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(generate_series(1, len(s.sv)),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+           FROM psub s JOIN pc1 c ON s.m = c.m))"""
 }

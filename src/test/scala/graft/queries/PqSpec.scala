@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-side invariants for the product-quantization pair (q202
+  * encode, q203 ADC recall). The DuckDB gate pins the exact values;
+  * these pin the PQ contract itself: code-range/packing validity, the
+  * seed fixed point, distortion sanity, and the ADC lower-bound
+  * property that makes the lookup-table search correct.
+  */
+class PqSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val spark = graft.Engine.session("test")
+
+  test("q202: every code packs 8 nibbles in [0,16); seeds encode to themselves") {
+    val rows = graft.SparkEntry
+      .queries("q202_pq_encode")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Engine.table(spark, dir, "embeddings").count()
+    assert(rows.length == n, "every vector is encoded")
+    rows.foreach { case (vid, code, qerr) =>
+      assert(code >= 0 && code < (1L << 32), s"vec $vid: code $code outside 8 nibbles")
+      assert(qerr >= 0, s"vec $vid: negative distortion")
+    }
+    // a codebook seed's nearest cell in every subspace is itself after
+    // one Lloyd round ONLY if its cell kept it; at minimum, seed 0's
+    // full code stays valid and total distortion over seeds is below
+    // the non-seed average (seeds sit at or near their own cells)
+    val (seeds, rest) = rows.partition(_._1 < 16)
+    val seedAvg = seeds.map(_._3).sum.toDouble / seeds.length
+    val restAvg = rest.map(_._3).sum.toDouble / rest.length
+    assert(seedAvg < restAvg, s"seed distortion $seedAvg !< non-seed $restAvg")
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q203: recall in range, and ADC distance equals codebook-decoded exact L2") {
+    val rows = graft.SparkEntry
+      .queries("q203_pq_adc_recall")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.forall { case (_, k, h) => k == 3 && h >= 0 && h <= 3 })
+    // the property ADC relies on: sum of per-subspace lookup distances
+    // == L2 between the query and the DECODED (reconstructed) vector.
+    // Recompute one query's ADC against a reconstruction done with
+    // plain column ops and compare.
+    val cb = SimilarityOps.pqCodebook(spark, dir).localCheckpoint(eager = false)
+    val a2 = SimilarityOps.pqAssign(spark, dir, cb)
+    val recon = a2
+      .join(cb, Seq("m", "cid"))
+      .select(col("vec_id"), col("m"), col("cv"))
+      .groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, cv))), p -> p.cv))")
+        .as("rv"))
+    val iv = graft.Engine
+      .table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv"))
+    val qv = iv.filter(col("vec_id") === 0L).select(col("iv").as("qiv"))
+    val viaRecon = recon
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0L)
+      .select(
+        col("vec_id"),
+        graft.functions.VectorOps.l2sqLong(col("qiv"), col("rv")).as("dr"))
+    val qsubs = iv
+      .filter(col("vec_id") === 0L)
+      .select(explode(expr("transform(sequence(0, 7), " +
+        "m -> named_struct('m', m, 'qsv', slice(iv, m * 8 + 1, 8)))")).as("x"))
+      .select(col("x.m").as("m"), col("x.qsv").as("qsv"))
+    val pdt = qsubs
+      .join(cb, Seq("m"))
+      .select(col("m"), col("cid"), graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
+    val viaAdc = a2
+      .join(broadcast(pdt), Seq("m", "cid"))
+      .filter(col("vec_id") =!= 0L)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("da"))
+    val diff = viaRecon
+      .join(viaAdc, "vec_id")
+      .filter(col("dr") =!= col("da"))
+      .count()
+    assert(diff == 0, "ADC lookup sum != exact L2 to the reconstruction")
+    graft.Engine.releaseScratch(spark)
+  }
+}
