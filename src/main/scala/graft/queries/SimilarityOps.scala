@@ -1375,7 +1375,10 @@ object SimilarityOps {
       .groupBy(col("m"), col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
     init
-      .join(means, Seq("m", "cid"), "left")
+      // both sides are <=128 rows; without the hint the initial plan
+      // sort-merges this left join (AQE would fix it at runtime, but
+      // the pinned plan should be right from the start)
+      .join(broadcast(means), Seq("m", "cid"), "left")
       .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
   }
 

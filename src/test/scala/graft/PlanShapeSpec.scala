@@ -383,4 +383,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q200: shuffle order comes from the distributed rank, never a shard-window funnel") {
+    val p = plan("q200_epoch_shuffle")
+    // positions must come from Ranks.distributedRank: range exchange on
+    // (shard, ord) + broadcast offsets — a bare Window partitioned by
+    // the 16 shard values would funnel the corpus through 16 sorts
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q202: PQ training/encode joins only against the broadcast codebook") {
+    val p = plan("q202_pq_encode")
+    // every codebook join (init assign, refined assign) broadcasts the
+    // 128-row codebook; the native integer-L2 kernel is in the plan;
+    // nothing sort-merges or enumerates pairs
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("graft_l2sq"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
