@@ -1212,9 +1212,13 @@ object SimilarityOps {
              ORDER BY aid""")
     ),
     // --------------------------------------------------------------- q202
-    // PRODUCT QUANTIZATION codebook + encode (Jegou et al., TPAMI 2011
-    // — the compression layer under every billion-vector ANN index):
-    // the 64-dim embedding splits into M=8 contiguous 8-dim subspaces;
+    // PRODUCT QUANTIZATION with TRAINED codebooks (Jegou et al., TPAMI
+    // 2011) — the upgrade of q145, which encodes against a fixed
+    // stand-in codebook (the 16 lowest vectors, whole-vector entries
+    // reused per subspace) and stops at the codes. Here the codebook is
+    // learned per subspace and the pair q202+q203 is the complete PQ
+    // system: train -> encode -> ADC search -> measured recall. The
+    // 64-dim embedding splits into M=8 contiguous 8-dim subspaces;
     // each subspace trains its own K=16 codebook (the q147
     // exact-integer Lloyd recipe: micro-unit integer vectors, init =
     // the 16 lowest vec_ids' subvectors, one refinement round, argmin
@@ -1243,8 +1247,8 @@ object SimilarityOps {
              FROM pa2 WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
     ),
     // --------------------------------------------------------------- q203
-    // PQ ASYMMETRIC-DISTANCE search with recall@3 — the query half of
-    // q202 and the third entry in the engine's measured ANN recall
+    // PQ ASYMMETRIC-DISTANCE search with recall@3 — the query half PQ
+    // was missing (q145/q202 stop at codes) and the third entry in the engine's measured ANN recall
     // ledger — sf0.01: PQ-ADC 15/60 vs IVF 52/60 and LSH 2/60 (q124).
     // The 0.25 recall is what 64x lossy compression with K=16
     // one-round codebooks buys on ISOTROPIC vectors (no cluster
