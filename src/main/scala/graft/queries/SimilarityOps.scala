@@ -1340,6 +1340,224 @@ object SimilarityOps {
                CAST(coalesce(ph.hits_pq, 0) AS BIGINT) AS hits_pq
              FROM (SELECT DISTINCT qid FROM pb3) b
              LEFT JOIN ph USING (qid) ORDER BY qid""")
+    ),
+    // --------------------------------------------------------------- q204
+    // IVFADC — the COMPOSED system q63 + q202/q203 point at (Jegou et
+    // al.'s billion-vector architecture, the design FAISS ships as
+    // IndexIVFPQ): a coarse 16-cell integer-L2 quantizer partitions the
+    // corpus into inverted lists; PQ codebooks train on the RESIDUALS
+    // (vector minus its coarse centroid — far tighter spread than raw
+    // vectors, so the same 4-byte budget quantizes much finer); a query
+    // probes its 2 nearest lists, computes a PER-PROBE residual lookup
+    // table, and scores only the probed lists' members by 8 table
+    // lookups each. Recall@3 vs exact integer-L2 brute force completes
+    // the measured ANN ledger — sf0.01: 15/60, decomposing as a 52/60
+    // probe ceiling (true neighbors inside the 2 probed lists — the
+    // same 52 q124 measures for exact-scoring IVF) x a 15/52
+    // quantization conversion. Against plain ADC (q203, also 15/60 but
+    // over the FULL corpus), IVFADC holds recall while scoring only
+    // ~2/16 of the candidates — the 8x scan cut is free, which is the
+    // system's whole sales pitch; the conversion rate, not the probes,
+    // is the binding constraint at 4-bit codes (production: K=256 +
+    // more Lloyd rounds). Engine-exactness trap
+    // closed here: residuals are NEGATIVE, and Spark's `div` truncates
+    // toward zero where DuckDB's `//` floors — so residuals carry the
+    // +2^24 offset (cancels in every distance; means stay non-negative
+    // and floor-divide identically). Residual-codebook seeds are
+    // vec_ids 16..31: the 16 coarse cells ARE vectors 0..15, whose own
+    // residuals are exactly zero — seeding from them would collapse the
+    // codebook to one cell. Scale shape: everything joins against
+    // broadcast 16/128/5120-row tables; the corpus-side work is one
+    // coarse argmin + one residual map + the probed-list join — each
+    // query touches ~2/16 of the corpus, the IVF economics.
+    QueryDef(
+      "q204_ivfadc_recall",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val cc = iv
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
+        val ca = iv
+          .crossJoin(broadcast(cc))
+          .withColumn("cd", graft.functions.VectorOps.l2sqLong(col("iv"), col("ccv")))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("cd"), col("ccid"))).as("b"))
+          .select(col("vec_id"), col("b.ccid").as("ccid"))
+        val rv = ca
+          .join(iv, "vec_id")
+          .join(broadcast(cc), "ccid")
+          .select(
+            col("vec_id"), col("ccid"),
+            expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
+          .localCheckpoint(eager = false) // feeds seeds, both assigns, means
+        val rsub = rv
+          .select(
+            col("vec_id"), col("ccid"),
+            explode(expr("transform(sequence(0, 7), " +
+              "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
+          .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
+        val rinit = rsub
+          .filter(col("vec_id") >= 16 && col("vec_id") < 32)
+          .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
+        val a1 = rsub
+          .join(broadcast(rinit), Seq("m"))
+          .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("d"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+        val means = a1
+          .join(rsub, Seq("vec_id", "m"))
+          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy(col("m"), col("cid"), col("pos"))
+          .agg(expr("sum(v) div count(1)").as("mm"))
+          .groupBy(col("m"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
+        val c1 = rinit
+          .join(broadcast(means), Seq("m", "cid"), "left")
+          .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+          .localCheckpoint(eager = false)
+        val a2 = rsub
+          .join(broadcast(c1), Seq("m"))
+          .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("d"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
+        val probes = q
+          .crossJoin(broadcast(cc))
+          .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
+          .withColumn("prn", row_number().over(wP))
+          .filter(col("prn") <= 2)
+          .select(
+            col("qid"), col("ccid"),
+            expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
+        val qsubs = probes
+          .select(
+            col("qid"), col("ccid"),
+            explode(expr("transform(sequence(0, 7), " +
+              "m -> named_struct('m', m, 'qsv', slice(qrv, m * 8 + 1, 8)))")).as("x"))
+          .select(col("qid"), col("ccid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+        val pdt = qsubs
+          .join(broadcast(c1), Seq("m"))
+          .select(
+            col("qid"), col("ccid"), col("m"), col("cid"),
+            graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
+        val adc = a2
+          .join(ca, "vec_id")
+          .join(broadcast(pdt), Seq("ccid", "m", "cid"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("pd")).as("ad"))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val adc3 = adc
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute3
+          .join(adc3, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("hits_ivfadc"))
+        brute3
+          .select(col("qid"))
+          .distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(
+            col("qid"), lit(3L).as("k"),
+            coalesce(col("hits_ivfadc"), lit(0L)).as("hits_ivfadc"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH t AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE vec_id < 16),
+             wca AS (SELECT vec_id, ccid FROM (
+                 SELECT t.vec_id, c.ccid,
+                   row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(t.iv)),
+                       j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
+                 FROM t CROSS JOIN wcc c) WHERE rk = 1),
+             wrv AS (SELECT a.vec_id, a.ccid,
+                 list_transform(generate_series(1, len(t.iv)),
+                   j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
+               FROM wca a JOIN t ON a.vec_id = t.vec_id JOIN wcc c ON a.ccid = c.ccid),
+             wsub AS (SELECT vec_id, ccid, mm.m,
+                 list_slice(rv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
+               FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
+               FROM wsub WHERE vec_id >= 16 AND vec_id < 32),
+             wa1 AS (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM wsub s JOIN wini c ON s.m = c.m)),
+             wm1 AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
+               FROM wa1 a JOIN wsub s ON a.vec_id = s.vec_id AND a.m = s.m,
+                 LATERAL (SELECT unnest(s.sv) AS v,
+                   unnest(generate_series(1, len(s.sv))) AS pos) u
+               WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
+             wc1 AS (SELECT wini.m, wini.cid, coalesce(x.nv, wini.cv) AS cv
+               FROM wini LEFT JOIN (
+                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM wm1 GROUP BY m, cid) x
+                 ON wini.m = x.m AND wini.cid = x.cid),
+             wa2 AS (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM wsub s JOIN wc1 c ON s.m = c.m)),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
+             wpr AS (SELECT qid, ccid, qiv FROM (
+                 SELECT q.qid, c.ccid, q.qiv,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     list_sum(list_transform(generate_series(1, len(q.qiv)),
+                       j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
+                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2),
+             wqr AS (SELECT p.qid, p.ccid,
+                 list_transform(generate_series(1, len(p.qiv)),
+                   j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv
+               FROM wpr p JOIN wcc c ON p.ccid = c.ccid),
+             wqs AS (SELECT qid, ccid, mm.m,
+                 list_slice(qrv, mm.m * 8 + 1, mm.m * 8 + 8) AS qsv
+               FROM wqr, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             wpd AS (SELECT q.qid, q.ccid, q.m, c.cid,
+                 list_sum(list_transform(generate_series(1, len(q.qsv)),
+                   j -> (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]))) AS pd
+               FROM wqs q JOIN wc1 c ON q.m = c.m),
+             wadc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
+               FROM wa2 a JOIN wca l ON a.vec_id = l.vec_id
+               JOIN wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
+               WHERE a.rk = 1 AND p.qid <> a.vec_id
+               GROUP BY p.qid, a.vec_id),
+             wad3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+               WHERE rn <= 3),
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3),
+             wh AS (SELECT wb3.qid, count(*) AS hits_ivfadc FROM wb3
+               JOIN wad3 USING (qid, vec_id) GROUP BY wb3.qid)
+             SELECT b.qid, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(wh.hits_ivfadc, 0) AS BIGINT) AS hits_ivfadc
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN wh USING (qid) ORDER BY qid""")
     )
   )
 

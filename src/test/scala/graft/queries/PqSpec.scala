@@ -35,6 +35,28 @@ class PqSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q204: IVFADC recall rows well-formed, never above the exact-IVF ceiling") {
+    val rows = graft.SparkEntry
+      .queries("q204_ivfadc_recall")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.forall { case (_, k, h) => k == 3 && h >= 0 && h <= 3 })
+    // ADC scores probed-list candidates with LOSSY distances, so its
+    // recall sits at or below exact-scoring IVF's. q204's L2 coarse
+    // quantizer and q124's cosine one probe near-identical lists on
+    // this corpus (measured: same 52/60 ceiling), so the ordering is a
+    // stable deterministic pin here, not a theorem across quantizers
+    val ivfadcTotal = rows.map(_._3).sum
+    val ivfExact = graft.SparkEntry
+      .queries("q124_ann_recall")(spark, dir)
+      .collect()
+      .map(_.getLong(3))
+      .sum
+    assert(ivfadcTotal <= ivfExact, s"IVFADC $ivfadcTotal beats its exact ceiling $ivfExact")
+    assert(ivfadcTotal > 0, "vacuous: IVFADC recalled nothing")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q203: recall in range, and ADC distance equals codebook-decoded exact L2") {
     val rows = graft.SparkEntry
       .queries("q203_pq_adc_recall")(spark, dir)
