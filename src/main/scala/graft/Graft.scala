@@ -189,6 +189,20 @@ object Graft {
   def bpeTrainMerges(words: DataFrame, steps: Int): DataFrame =
     queries.Bpe.trainMerges(words, steps)
 
+  /** Trained per-subspace PQ codebook over `{dir}/embeddings.parquet`
+    * (M=8 x K=16, the q202 exact-integer Lloyd recipe) — 128 rows
+    * (m, cid, cv), always broadcast-sized.
+    */
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    queries.SimilarityOps.pqCodebook(spark, dir)
+
+  /** PQ assignment (vec_id, m, cid, d) of every vector against `cb`
+    * (a [[pqCodebook]] result) — pack with
+    * `sum(cid * shiftleft(1L, 4 * m))` for the 4-byte code (q202).
+    */
+  def pqAssign(spark: SparkSession, dir: String, cb: DataFrame): DataFrame =
+    queries.SimilarityOps.pqAssign(spark, dir, cb)
+
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame).
     *
     * SCRATCH CONTRACT: some registry plans materialize scratch state as

@@ -1578,7 +1578,7 @@ object SimilarityOps {
     * micro-units, so Spark div == DuckDB //; empty cells keep their
     * seed). 128 rows total — always broadcast.
     */
-  private[queries] def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     val sub = pqSubs(s, dir).localCheckpoint(eager = false)
     val init = sub
       .filter(col("vec_id") < 16)
@@ -1607,7 +1607,7 @@ object SimilarityOps {
   /** Final PQ assignment (vec_id, m, cid, d) against the refined
     * codebook — the shared core of q202 (encode) and q203 (ADC search).
     */
-  private[queries] def pqAssign(s: SparkSession, dir: String, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(s: SparkSession, dir: String, cb: DataFrame): DataFrame =
     pqSubs(s, dir)
       .join(broadcast(cb), Seq("m"))
       .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))

@@ -48,4 +48,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(out.count() > 0)
     Graft.releaseScratch(spark)
   }
+
+  test("pqCodebook / pqAssign reachable through the façade with documented shapes") {
+    val cb = Graft.pqCodebook(spark, dir)
+    assert(cb.columns.toSeq == Seq("m", "cid", "cv"))
+    assert(cb.count() == 128) // M=8 x K=16
+    val a = Graft.pqAssign(spark, dir, cb)
+    assert(a.columns.toSeq == Seq("vec_id", "m", "cid", "d"))
+    // every vector gets exactly one cell per subspace
+    val n = Graft.table(spark, dir, "embeddings").count()
+    assert(a.count() == n * 8)
+    Graft.releaseScratch(spark)
+  }
 }
