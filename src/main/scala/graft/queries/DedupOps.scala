@@ -1553,6 +1553,51 @@ object DedupOps {
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                CAST(sum(CASE WHEN split <> dsplit THEN 1 ELSE 0 END) AS BIGINT) AS moved_docs
              FROM sp GROUP BY split ORDER BY split""")
+    ),
+    // --------------------------------------------------------------- q205
+    // Cross-source OVERLAP MATRIX — the datacard statistic that decides
+    // WHERE to spend dedup effort: per unordered source pair, how many
+    // verified near-dup pairs straddle the two sources (and how many
+    // distinct docs on each side are involved). Public corpus reports
+    // (C4 vs Wikipedia contamination, CommonCrawl dump-to-dump overlap)
+    // lead with exactly this table; within-source duplication shows up
+    // on the diagonal (src_a = src_b). Scale shape: the pair list is
+    // the banded/verified q52 graph (never all-pairs); attaching
+    // sources is two hash joins against a NARROW (doc_id, source)
+    // projection; the matrix is a tiny aggregate over pair rows.
+    QueryDef(
+      "q205_source_overlap",
+      (s, dir) => {
+        val src = Engine.table(s, dir, "documents").select(col("doc_id"), col("source"))
+        val pairs = minhashPairs(s, dir)
+          .select(col("id_a"), col("id_b"))
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(
+            least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"),
+            when(col("sa") <= col("sb"), col("id_a")).otherwise(col("id_b")).as("da"),
+            when(col("sa") <= col("sb"), col("id_b")).otherwise(col("id_a")).as("db"))
+        pairs
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(
+            count(lit(1)).as("dup_pairs"),
+            countDistinct(col("da")).as("docs_a"),
+            countDistinct(col("db")).as("docs_b"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""$minhashPairsSql,
+             ss AS (SELECT doc_id, source FROM documents),
+             pp AS (SELECT
+                 least(x.source, y.source) AS src_a,
+                 greatest(x.source, y.source) AS src_b,
+                 CASE WHEN x.source <= y.source THEN v.id_a ELSE v.id_b END AS da,
+                 CASE WHEN x.source <= y.source THEN v.id_b ELSE v.id_a END AS db
+               FROM v JOIN ss x ON v.id_a = x.doc_id JOIN ss y ON v.id_b = y.doc_id)
+             SELECT src_a, src_b, count(*) AS dup_pairs,
+               CAST(count(DISTINCT da) AS BIGINT) AS docs_a,
+               CAST(count(DISTINCT db) AS BIGINT) AS docs_b
+             FROM pp GROUP BY src_a, src_b ORDER BY src_a, src_b""")
     )
   )
 

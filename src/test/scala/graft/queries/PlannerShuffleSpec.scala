@@ -94,6 +94,24 @@ class PlannerShuffleSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q205: unordered pairs normalized, counts consistent with the q52 pair graph") {
+    val rows = graft.SparkEntry
+      .queries("q205_source_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "no overlap found — sf0.01 has verified near-dup pairs")
+    rows.foreach { case (a, b, p, da, db) =>
+      assert(a <= b, s"pair ($a,$b) not normalized")
+      assert(p >= 1 && da >= 1 && db >= 1 && da <= p && db <= p, s"($a,$b): $p/$da/$db")
+    }
+    // the matrix is a partition of the verified pair list: totals match
+    val totalPairs = graft.SparkEntry
+      .queries("q52_minhash_lsh")(spark, dir)
+      .count()
+    assert(rows.map(_._3).sum == totalPairs, "matrix drops or double-counts pairs")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q201: exact deciles, ordered boundaries, monotone classifier rate") {
     val rows = graft.SparkEntry
       .queries("q201_score_calibration")(spark, dir)
