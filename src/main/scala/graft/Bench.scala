@@ -57,6 +57,20 @@ object Bench {
     // costs ~30 s at sf0.1 and buys each query a 4th sample separated by
     // the full list duration.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(4)
+    // AMBIENT-LOAD TRACE: two consecutive driver rounds flagged ~25
+    // sub-second queries as noisy (spread > 2x) while the same-session
+    // canonical profile flagged ~2 — the ambient-load hypothesis needs
+    // MEASUREMENT, not assertion (round-10 verdict #7). One /proc/loadavg
+    // 1-minute sample per pass boundary rides the summary line: a box
+    // whose load swings well above the worker count across passes
+    // explains the spread; a flat low trace would falsify it.
+    def loadAvg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0)
+        finally src.close()
+      } catch { case _: Throwable => "-1" }
+    val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
     val samples = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     (0 until passes).foreach { _ =>
@@ -69,6 +83,7 @@ object Bench {
         Engine.releaseScratch(spark)
         if (ok) samples(name) = samples(name) :+ dt
       }
+      loads += loadAvg()
     }
     // Per query: (min seconds across passes, max/min spread, succeeded).
     // A query that throws in every pass is -1, listed under "errors".
@@ -131,8 +146,12 @@ object Bench {
     // queries_full deliberately does NOT contain the exact
     // "BENCH-QUERIES" marker string — a consumer grepping for the full
     // map without the ^ anchor must not match this summary line.
+    // load = /proc/loadavg 1-min samples at [start, after pass 1, ...,
+    // after pass N] — bounded at passes+1 entries (a handful), so it
+    // cannot outgrow the driver's stdout retention window.
+    val loadTrace = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"top5":$top,"queries_full":"bench_queries.json (full per-query map; also on the earlier BENCH QUERIES stdout line)","errors":$errors,"noisy":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"top5":$top,"queries_full":"bench_queries.json (full per-query map; also on the earlier BENCH QUERIES stdout line)","errors":$errors,"noisy":$noisy,"load":$loadTrace,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

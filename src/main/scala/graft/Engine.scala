@@ -24,6 +24,23 @@ object Engine {
     f.delete(): Unit
   }
 
+  /** Per-PROCESS scratch namespace token. Scratch paths keyed only on
+    * the sf-dir hash collide when two concurrent sessions gate the same
+    * data directory (both delete/rewrite the same tmp path — the q195
+    * race, round-10 verdict #4); one random token per JVM isolates
+    * processes while keeping paths stable WITHIN a session, so repeated
+    * runs of the same query (bench passes, artifact caches) still reuse
+    * their dir.
+    */
+  private val scratchToken: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** The scratch directory for (query tag, data dir) — unique per
+    * process, stable within it. Callers own create/delete of the path.
+    */
+  def scratchDir(tag: String, dir: String): java.io.File =
+    new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${scratchToken}_${math.abs(dir.hashCode)}")
+
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

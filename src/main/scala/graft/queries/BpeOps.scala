@@ -404,8 +404,7 @@ object BpeOps {
     QueryDef(
       "q195_bpe_artifact_roundtrip",
       (s, dir) => {
-        val work = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_q195_${math.abs(dir.hashCode)}")
+        val work = Engine.scratchDir("q195", dir)
         graft.Engine.deleteRecursively(work)
         val artifact = s"$work/merges"
         Bpe

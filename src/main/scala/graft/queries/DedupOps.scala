@@ -709,7 +709,7 @@ object DedupOps {
     QueryDef(
       "q136_dedup_index_persist",
       (s, dir) => {
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft_q136_${math.abs(dir.hashCode)}"
+        val work = Engine.scratchDir("q136", dir).toString
         val indexDir = buildHashIndex(s, dir, work)
         val survivors = incrementalAgainstIndex(s, dir, indexDir)
           // materialize BEFORE the index append: the plan is lazy, and

@@ -511,8 +511,7 @@ object StreamOps {
     QueryDef(
       "q174_stream_incremental_dedup",
       (s, dir) => {
-        val work = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
+        val work = graft.Engine.scratchDir("q174", dir)
         graft.Engine.deleteRecursively(work) // idempotent: survivors/checkpoint/index from a prior run
         // day-0: the standing corpus's hash index as a TIERED index
         // (base generation range-clustered on h; q136's flat builder
@@ -547,7 +546,7 @@ object StreamOps {
             surv
               .select(col("doc_id"), col("lang"), col("source"))
               .write.mode("append").parquet(survDir)
-            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("h")).distinct())
+            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("h")).distinct(), batchId = bid)
             // per-batch index MAINTENANCE: size/tier-aware — a no-op
             // manifest read until a threshold trips, then a MINOR
             // compaction of the accumulated deltas only (O(batch), not
@@ -586,8 +585,7 @@ object StreamOps {
     QueryDef(
       "q176_stream_fuzzy_dedup",
       (s, dir) => {
-        val work = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
+        val work = graft.Engine.scratchDir("q176", dir)
         graft.Engine.deleteRecursively(work)
         val bandsExpr = graft.functions.TextHashOps.bandBuckets(col("sig"), 4, 2)
         def buckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -644,7 +642,7 @@ object StreamOps {
               // materialize BEFORE the index append (q174's rationale)
               .localCheckpoint()
             surv.select(col("doc_id"), col("lang"), col("source")).write.mode("append").parquet(survDir)
-            graft.operators.TieredIndex.append(ss, indexDir, bk.select(col("bucket")).distinct())
+            graft.operators.TieredIndex.append(ss, indexDir, bk.select(col("bucket")).distinct(), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
             graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("bucket"))): Unit
@@ -696,8 +694,7 @@ object StreamOps {
     QueryDef(
       "q181_stream_ingest_recipe",
       (s, dir) => {
-        val work = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft_q181_${math.abs(dir.hashCode)}")
+        val work = graft.Engine.scratchDir("q181", dir)
         graft.Engine.deleteRecursively(work)
         // day-0: the standing corpus through the SAME gate; index = its
         // survivors' distinct clean-token hashes as a TIERED index
@@ -738,7 +735,7 @@ object StreamOps {
                 col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
                 col("n_words"), col("logit_micro"))
               .write.mode("append").parquet(survDir)
-            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("cm")).distinct())
+            graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("cm")).distinct(), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
             graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("cm"))): Unit

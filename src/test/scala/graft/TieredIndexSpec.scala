@@ -113,6 +113,33 @@ class TieredIndexSpec extends AnyFunSuite {
     assert(TieredIndex.read(spark, dir).count() == 825)
   }
 
+  test("a replayed foreachBatch append is a no-op (exactly-once watermark)") {
+    val dir = tmp("replay")
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    TieredIndex.append(spark, dir, keyed(100 until 120), batchId = 0L)
+    TieredIndex.append(spark, dir, keyed(120 until 140), batchId = 1L)
+    val segsBefore = TieredIndex.currentSegments(dir)
+    val rowsBefore = TieredIndex.read(spark, dir).count()
+    // foreachBatch is at-least-once: a crash after batch 1's append
+    // replays batch 1 — the watermark in the manifest must no-op it
+    TieredIndex.append(spark, dir, keyed(120 until 140), batchId = 1L)
+    assert(TieredIndex.currentSegments(dir) == segsBefore, "replay appended a new segment")
+    assert(TieredIndex.read(spark, dir).count() == rowsBefore, "replay duplicated rows")
+    // ... and a compaction must carry the watermark forward, so a
+    // replay arriving AFTER a maintenance cycle still no-ops
+    TieredIndex.maintain(spark, dir, Seq(col("k")), force = true): Unit
+    TieredIndex.append(spark, dir, keyed(120 until 140), batchId = 1L)
+    assert(TieredIndex.read(spark, dir).count() == rowsBefore, "post-compaction replay duplicated rows")
+    // the NEXT batch still appends normally
+    TieredIndex.append(spark, dir, keyed(140 until 150), batchId = 2L)
+    assert(TieredIndex.read(spark, dir).count() == rowsBefore + 10)
+    // non-streaming callers (batchId = -1) keep unconditional appends
+    TieredIndex.append(spark, dir, keyed(150 until 160))
+    TieredIndex.append(spark, dir, keyed(150 until 160))
+    assert(TieredIndex.read(spark, dir).count() == rowsBefore + 30)
+    Engine.releaseScratch(spark)
+  }
+
   test("major compaction is size-triggered and rebuilds one sized base") {
     val dir = tmp("major")
     TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
