@@ -1374,87 +1374,11 @@ object SimilarityOps {
       "q204_ivfadc_recall",
       (s, dir) => {
         val iv = ivecs(s, dir)
-        val cc = iv
-          .filter(col("vec_id") < 16)
-          .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
-        val ca = iv
-          .crossJoin(broadcast(cc))
-          .withColumn("cd", graft.functions.VectorOps.l2sqLong(col("iv"), col("ccv")))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("cd"), col("ccid"))).as("b"))
-          .select(col("vec_id"), col("b.ccid").as("ccid"))
-        val rv = ca
-          .join(iv, "vec_id")
-          .join(broadcast(cc), "ccid")
-          .select(
-            col("vec_id"), col("ccid"),
-            expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
-          .localCheckpoint(eager = false) // feeds seeds, both assigns, means
-        val rsub = rv
-          .select(
-            col("vec_id"), col("ccid"),
-            explode(expr("transform(sequence(0, 7), " +
-              "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
-          .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
-        val rinit = rsub
-          .filter(col("vec_id") >= 16 && col("vec_id") < 32)
-          .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
-        val a1 = rsub
-          .join(broadcast(rinit), Seq("m"))
-          .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("d"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
-        val means = a1
-          .join(rsub, Seq("vec_id", "m"))
-          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy(col("m"), col("cid"), col("pos"))
-          .agg(expr("sum(v) div count(1)").as("mm"))
-          .groupBy(col("m"), col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
-        val c1 = rinit
-          .join(broadcast(means), Seq("m", "cid"), "left")
-          .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
-          .localCheckpoint(eager = false)
-        val a2 = rsub
-          .join(broadcast(c1), Seq("m"))
-          .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("d"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+        val (cc, ca, c1, a2) = ivfadcTrain(s, dir, k = 16, rounds = 1)
         val q = iv
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
-        val probes = q
-          .crossJoin(broadcast(cc))
-          .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
-          .withColumn("prn", row_number().over(wP))
-          .filter(col("prn") <= 2)
-          .select(
-            col("qid"), col("ccid"),
-            expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
-        val qsubs = probes
-          .select(
-            col("qid"), col("ccid"),
-            explode(expr("transform(sequence(0, 7), " +
-              "m -> named_struct('m', m, 'qsv', slice(qrv, m * 8 + 1, 8)))")).as("x"))
-          .select(col("qid"), col("ccid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
-        val pdt = qsubs
-          .join(broadcast(c1), Seq("m"))
-          .select(
-            col("qid"), col("ccid"), col("m"), col("cid"),
-            graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
-        val adc = a2
-          .join(ca, "vec_id")
-          .join(broadcast(pdt), Seq("ccid", "m", "cid"))
-          .filter(col("qid") =!= col("vec_id"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("pd")).as("ad"))
-        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
-        val adc3 = adc
-          .withColumn("rn", row_number().over(wA))
-          .filter(col("rn") <= 3)
+        val adc3 = ivfadcProbe(q, cc, c1, a2.join(ca, "vec_id"))
           .select(col("qid"), col("vec_id"))
         val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
         val brute3 = broadcast(q)
@@ -1478,70 +1402,7 @@ object SimilarityOps {
             coalesce(col("hits_ivfadc"), lit(0L)).as("hits_ivfadc"))
           .orderBy(col("qid"))
       },
-      Some(s"""WITH t AS (
-               SELECT vec_id, list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
-               FROM embeddings),
-             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE vec_id < 16),
-             wca AS (SELECT vec_id, ccid FROM (
-                 SELECT t.vec_id, c.ccid,
-                   row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                     list_sum(list_transform(generate_series(1, len(t.iv)),
-                       j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
-                 FROM t CROSS JOIN wcc c) WHERE rk = 1),
-             wrv AS (SELECT a.vec_id, a.ccid,
-                 list_transform(generate_series(1, len(t.iv)),
-                   j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
-               FROM wca a JOIN t ON a.vec_id = t.vec_id JOIN wcc c ON a.ccid = c.ccid),
-             wsub AS (SELECT vec_id, ccid, mm.m,
-                 list_slice(rv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
-               FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-             wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
-               FROM wsub WHERE vec_id >= 16 AND vec_id < 32),
-             wa1 AS (SELECT vec_id, m, cid,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
-               FROM (SELECT s.vec_id, s.m, c.cid,
-                   list_sum(list_transform(generate_series(1, len(s.sv)),
-                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM wsub s JOIN wini c ON s.m = c.m)),
-             wm1 AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
-               FROM wa1 a JOIN wsub s ON a.vec_id = s.vec_id AND a.m = s.m,
-                 LATERAL (SELECT unnest(s.sv) AS v,
-                   unnest(generate_series(1, len(s.sv))) AS pos) u
-               WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
-             wc1 AS (SELECT wini.m, wini.cid, coalesce(x.nv, wini.cv) AS cv
-               FROM wini LEFT JOIN (
-                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM wm1 GROUP BY m, cid) x
-                 ON wini.m = x.m AND wini.cid = x.cid),
-             wa2 AS (SELECT vec_id, m, cid,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
-               FROM (SELECT s.vec_id, s.m, c.cid,
-                   list_sum(list_transform(generate_series(1, len(s.sv)),
-                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM wsub s JOIN wc1 c ON s.m = c.m)),
-             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
-             wpr AS (SELECT qid, ccid, qiv FROM (
-                 SELECT q.qid, c.ccid, q.qiv,
-                   row_number() OVER (PARTITION BY q.qid ORDER BY
-                     list_sum(list_transform(generate_series(1, len(q.qiv)),
-                       j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
-                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2),
-             wqr AS (SELECT p.qid, p.ccid,
-                 list_transform(generate_series(1, len(p.qiv)),
-                   j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv
-               FROM wpr p JOIN wcc c ON p.ccid = c.ccid),
-             wqs AS (SELECT qid, ccid, mm.m,
-                 list_slice(qrv, mm.m * 8 + 1, mm.m * 8 + 8) AS qsv
-               FROM wqr, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-             wpd AS (SELECT q.qid, q.ccid, q.m, c.cid,
-                 list_sum(list_transform(generate_series(1, len(q.qsv)),
-                   j -> (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]))) AS pd
-               FROM wqs q JOIN wc1 c ON q.m = c.m),
-             wadc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
-               FROM wa2 a JOIN wca l ON a.vec_id = l.vec_id
-               JOIN wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
-               WHERE a.rk = 1 AND p.qid <> a.vec_id
-               GROUP BY p.qid, a.vec_id),
+      Some(s"""${ivfadcSql(16, 1)},
              wad3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
                WHERE rn <= 3),
@@ -1556,6 +1417,156 @@ object SimilarityOps {
                JOIN wad3 USING (qid, vec_id) GROUP BY wb3.qid)
              SELECT b.qid, CAST(3 AS BIGINT) AS k,
                CAST(coalesce(wh.hits_ivfadc, 0) AS BIGINT) AS hits_ivfadc
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN wh USING (qid) ORDER BY qid""")
+    ),
+    // --------------------------------------------------------------- q206
+    // PERSISTED IVFADC INDEX — build once, probe many (the round-10
+    // verdict's #1 production-shape gap: q202/q203/q204 retrain their
+    // codebooks inside every query, where a real vector store trains
+    // once and serves probes from the artifact — the q136/q195
+    // build->probe split applied to the ANN family). The builder
+    // persists the complete q204 system as three parquet artifacts
+    // under a COMPLETE-marker-committed directory: the 16-row coarse
+    // quantizer, the 128-row residual codebook, and the codes table —
+    // one row per corpus vector holding its coarse list id and its
+    // residual PQ code PACKED 4 bits x 8 subspaces into one BIGINT (4
+    // bytes/vector, the artifact a 100 TB corpus serves from RAM),
+    // range-clustered on ccid so each probe's list membership read is
+    // stats-pruned to ~2/16 of the files (the codes table IS the
+    // inverted lists). The PROBE query re-reads the artifacts, unpacks
+    // codes with integer div/mod (non-negative, so Spark div == DuckDB
+    // //), and answers the fixed query batch — per-query M x K lookup
+    // table, candidates scored by 8 table lookups, top-3 by ADC
+    // distance with deterministic (ad, vec_id) tiebreaks. Output is
+    // the SEARCH RESULT itself (qid, rn, vec_id, ad) — a stronger pin
+    // than a recall count (positioned neighbors + exact integer
+    // distances cannot hide compensating errors). The oracle replays
+    // train+probe in one plan: the gate therefore proves
+    // write -> read -> unpack -> probe loses NOTHING vs training
+    // inline. Scale/perf shape: the artifact persists per (process,
+    // sf-dir), so bench passes after the first measure PROBE-ONLY cost
+    // — the lifecycle's whole point (PERF.md quantifies the split).
+    QueryDef(
+      "q206_ivfadc_probe",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir)
+        val cc = s.read.parquet(s"$idx/coarse")
+        val cb = s.read.parquet(s"$idx/codebook")
+        val codes = s.read
+          .parquet(s"$idx/codes")
+          .select(
+            col("vec_id"), col("ccid"),
+            explode(expr("transform(sequence(0, 7), m -> named_struct('m', m, " +
+              "'cid', (code div shiftleft(CAST(1 AS BIGINT), 4 * m)) % 16))")).as("x"))
+          .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
+        val q = ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcProbe(q, cc, cb, codes).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcSql(16, 1)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+               SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q207
+    // DEEP product quantization — K=256-capable 8-bit codes with TWO
+    // exact-integer Lloyd rounds (the round-10 ledger's binding
+    // constraint was the 4-bit/one-round codebook's 15/52 quantization
+    // conversion; production PQ is 8 bits/cell, Jegou et al.'s K*=256).
+    // Same recipe as q202 at (K=16, 1 round), one definition site
+    // (pqCodebookDeep): seeds = the K lowest vec_ids' subvectors (K
+    // adapts as min(256, n) by construction — the filter, not a
+    // require), means floor-divide on non-negative micro-units, empty
+    // cells keep their PREVIOUS round's value, argmin ties to the
+    // lower cid. The code is 8 cells x 8 bits spelled as a 16-char hex
+    // string in subspace order (%02x per cell — the K=256-capable
+    // packing; 4-bit arithmetic packing cannot hold cid 255 x 8 slots
+    // in a signed BIGINT without sign traps, and hex spelling is
+    // byte-identical across engines). qerr (summed subspace L2) is the
+    // distortion audit: vs q202's 4-bit codebook it must drop — the
+    // "64x compression, finer cells" trade made visible in one gated
+    // number. Scale shape: identical to q202 — narrow kernel evals
+    // against a broadcast (now 2048-row) codebook, map-side everywhere.
+    QueryDef(
+      "q207_pq_deep_encode",
+      (s, dir) => {
+        val cb = pqCodebookDeep(s, dir, k = 256, rounds = 2)
+        pqAssign(s, dir, cb)
+          .groupBy(col("vec_id"))
+          .agg(
+            expr("concat_ws('', transform(array_sort(collect_list(struct(m, cid))), " +
+              "p -> format_string('%02x', p.cid)))").as("code_hex"),
+            sum(col("d")).as("qerr"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""${pqDeepSql(256, 2)}
+             SELECT vec_id,
+               string_agg(printf('%02x', cid), '' ORDER BY m) AS code_hex,
+               CAST(sum(dist) AS BIGINT) AS qerr
+             FROM pfa WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""")
+    ),
+    // --------------------------------------------------------------- q208
+    // DEEP IVFADC recall — q204's system with the q207-depth residual
+    // codebook (K=256-capable seeds, 2 Lloyd rounds): the measured
+    // answer to the round-10 ledger's finding that the CONVERSION rate
+    // (true neighbors inside the probed lists that ADC actually
+    // ranks into the top-3: 15/52 at 4-bit codes), not the probe
+    // ceiling (52/60), binds recall. Finer residual cells must lift
+    // conversion toward the ceiling at the same 2-probe scan cost —
+    // the gated sf0.01 row is the proof (PERF.md records the measured
+    // ledger: probe ceiling x conversion per index family). Everything
+    // else is q204 verbatim, one definition site for train and probe.
+    QueryDef(
+      "q208_ivfadc_deep_recall",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val (cc, ca, cb, a2) = ivfadcTrain(s, dir, k = 256, rounds = 2)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val adc3 = ivfadcProbe(q, cc, cb, a2.join(ca, "vec_id"))
+          .select(col("qid"), col("vec_id"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute3
+          .join(adc3, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("hits_deep"))
+        brute3
+          .select(col("qid"))
+          .distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(
+            col("qid"), lit(3L).as("k"),
+            coalesce(col("hits_deep"), lit(0L)).as("hits_deep"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""${ivfadcSql(256, 2)},
+             wad3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+               WHERE rn <= 3),
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3),
+             wh AS (SELECT wb3.qid, count(*) AS hits_deep FROM wb3
+               JOIN wad3 USING (qid, vec_id) GROUP BY wb3.qid)
+             SELECT b.qid, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(wh.hits_deep, 0) AS BIGINT) AS hits_deep
              FROM (SELECT DISTINCT qid FROM wb3) b
              LEFT JOIN wh USING (qid) ORDER BY qid""")
     )
@@ -1576,32 +1587,52 @@ object SimilarityOps {
     * lowest vec_ids' subvectors (cid = vec_id, the q63 convention), one
     * exact-integer Lloyd refinement (means floor-divide on non-negative
     * micro-units, so Spark div == DuckDB //; empty cells keep their
-    * seed). 128 rows total — always broadcast.
+    * seed). 128 rows total — always broadcast. Delegates to
+    * [[pqCodebookDeep]] at (K=16, 1 round) — one definition site for
+    * the shallow (q202/q203) and deep (q207) recipes.
     */
-  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookDeep(s, dir, k = 16, rounds = 1)
+
+  /** The DEPTH-generalized per-subspace codebook: seeds = the `k`
+    * lowest vec_ids' subvectors (cid = vec_id; K adapts as min(k, n)
+    * by construction), `rounds` exact-integer Lloyd refinements —
+    * means floor-divide on non-negative micro-units (Spark div ==
+    * DuckDB //), argmin ties to the lower cid, a cell empty in round r
+    * keeps its round r-1 value (NOT necessarily its seed — the oracle
+    * chain coalesces per round identically). M x K rows — broadcast at
+    * every use (K=256 is 2048 rows, still trivially broadcastable).
+    */
+  private[graft] def pqCodebookDeep(
+      s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
     val sub = pqSubs(s, dir).localCheckpoint(eager = false)
-    val init = sub
-      .filter(col("vec_id") < 16)
+    var cb = sub
+      .filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-    val a1 = sub
-      .join(broadcast(init), Seq("m"))
-      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
-    val means = a1
-      .join(sub, Seq("vec_id", "m"))
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy(col("m"), col("cid"), col("pos"))
-      .agg(expr("sum(v) div count(1)").as("mm"))
-      .groupBy(col("m"), col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
-    init
-      // both sides are <=128 rows; without the hint the initial plan
-      // sort-merges this left join (AQE would fix it at runtime, but
-      // the pinned plan should be right from the start)
-      .join(broadcast(means), Seq("m", "cid"), "left")
-      .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+    for (_ <- 1 to rounds) {
+      val a = sub
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+      val means = a
+        .join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("mm"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
+      cb = cb
+        // both sides are <= M x K rows; without the hint the initial
+        // plan sort-merges this left join (AQE would fix it at runtime,
+        // but the pinned plan should be right from the start)
+        .join(broadcast(means), Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        // consumed by the next round's assign AND the final assign
+        .localCheckpoint(eager = false)
+    }
+    cb
   }
 
   /** Final PQ assignment (vec_id, m, cid, d) against the refined
@@ -1657,4 +1688,275 @@ object SimilarityOps {
              list_sum(list_transform(generate_series(1, len(s.sv)),
                j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
            FROM psub s JOIN pc1 c ON s.m = c.m))"""
+
+  // ------------------------------------------------------- IVFADC system
+
+  /** IVFADC TRAINING — one definition site for q204 (K=16, 1 Lloyd
+    * round), q208 (K=256-capable, 2 rounds) and the q206 artifact
+    * builder. Coarse 16-cell integer-L2 quantizer (cells = vec_ids
+    * 0..15) partitions the corpus into inverted lists; residuals =
+    * vector - coarse centroid + 2^24 (residuals are NEGATIVE and Spark
+    * `div` truncates toward zero where DuckDB `//` floors — the offset
+    * keeps every mean input non-negative and cancels in all
+    * distances); the per-subspace residual PQ codebook seeds from
+    * vec_ids 16..16+k (the coarse cells' OWN residuals are exactly
+    * zero — seeding from them collapses the codebook; K adapts as
+    * min(k, n-16) by construction) and refines through `rounds`
+    * exact-integer Lloyd rounds (empty cells keep their previous
+    * value). Returns (coarse (ccid, ccv), coarse assignment (vec_id,
+    * ccid), residual codebook (m, cid, cv), residual assignment
+    * (vec_id, m, cid)) — everything joins against broadcast
+    * 16/(M x K)-row tables; corpus-side work is one coarse argmin, one
+    * residual map, and one assign per round.
+    */
+  private[graft] def ivfadcTrain(
+      s: SparkSession, dir: String, k: Int, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val iv = ivecs(s, dir)
+    val cc = iv
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
+    val ca = iv
+      .crossJoin(broadcast(cc))
+      .withColumn("cd", graft.functions.VectorOps.l2sqLong(col("iv"), col("ccv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd"), col("ccid"))).as("b"))
+      .select(col("vec_id"), col("b.ccid").as("ccid"))
+    val rv = ca
+      .join(iv, "vec_id")
+      .join(broadcast(cc), "ccid")
+      .select(
+        col("vec_id"), col("ccid"),
+        expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
+      .localCheckpoint(eager = false) // feeds seeds, every assign, means
+    val rsub = rv
+      .select(
+        col("vec_id"), col("ccid"),
+        explode(expr("transform(sequence(0, 7), " +
+          "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
+      .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
+    var cb = rsub
+      .filter(col("vec_id") >= 16 && col("vec_id") < (16 + k))
+      .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
+    def assign(codebook: DataFrame): DataFrame = rsub
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+    for (_ <- 1 to rounds) {
+      val means = assign(cb)
+        .join(rsub, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("mm"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
+      cb = cb
+        .join(broadcast(means), Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint(eager = false) // next round's assign + final assign + output
+    }
+    (cc, ca, cb, assign(cb))
+  }
+
+  /** The IVFADC PROBE path — one definition site for q204/q208 (inline
+    * -trained index) and q206 (artifact-read index): each query probes
+    * its 2 nearest coarse cells, precomputes a PER-PROBE residual
+    * M x K lookup table against the broadcast codebook, and scores
+    * ONLY the probed lists' members by 8 table lookups each (~2/16 of
+    * the corpus — the IVF economics). `q` = (qid, qiv); `codes` =
+    * (vec_id, ccid, m, cid). Returns the per-query top-3 (qid, rn,
+    * vec_id, ad) under deterministic (ad, vec_id) ordering.
+    */
+  private[graft] def ivfadcProbe(
+      q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
+    val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
+    val probes = q
+      .crossJoin(broadcast(cc))
+      .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= 2)
+      .select(
+        col("qid"), col("ccid"),
+        expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
+    val qsubs = probes
+      .select(
+        col("qid"), col("ccid"),
+        explode(expr("transform(sequence(0, 7), " +
+          "m -> named_struct('m', m, 'qsv', slice(qrv, m * 8 + 1, 8)))")).as("x"))
+      .select(col("qid"), col("ccid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+    val pdt = qsubs
+      .join(broadcast(cb), Seq("m"))
+      .select(
+        col("qid"), col("ccid"), col("m"), col("cid"),
+        graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
+    val adc = codes
+      .join(broadcast(pdt), Seq("ccid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("ad"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+    adc
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
+  }
+
+  /** Build-once persisted IVFADC index (q206): trains the q204 system
+    * and commits three artifacts under one directory — `coarse/` (ccid,
+    * ccv), `codebook/` (m, cid, cv), and `codes/` (vec_id, ccid, code)
+    * with the residual PQ code packed 4 bits x 8 subspaces into one
+    * non-negative BIGINT (4 bytes of information per vector),
+    * range-clustered + sorted on (ccid, vec_id) so the codes table IS
+    * the inverted lists (a probe's membership read stats-prunes to its
+    * 2 lists). The COMPLETE marker is written LAST — the pointer-commit
+    * discipline (TieredIndex): a crashed build leaves no half-index a
+    * reader could resolve, and the next call rebuilds from scratch.
+    * Idempotent per (process, sf-dir): repeat calls — bench passes,
+    * probe-many workloads — return the existing artifact untouched.
+    */
+  private[graft] def buildIvfAdcIndex(s: SparkSession, dir: String): String = {
+    val root = graft.Engine.scratchDir("annidx", dir)
+    val done = new java.io.File(root, "COMPLETE")
+    if (!done.exists) {
+      graft.Engine.deleteRecursively(root)
+      val (cc, ca, cb, a2) = ivfadcTrain(s, dir, k = 16, rounds = 1)
+      cc.coalesce(1).write.parquet(s"$root/coarse")
+      cb.coalesce(1).write.parquet(s"$root/codebook")
+      a2.join(ca, "vec_id")
+        .groupBy(col("vec_id"), col("ccid"))
+        .agg(expr("CAST(sum(cid * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"))
+        .repartitionByRange(4, col("ccid"), col("vec_id"))
+        .sortWithinPartitions(col("ccid"), col("vec_id"))
+        .write.parquet(s"$root/codes")
+      done.createNewFile(): Unit
+    }
+    root.toString
+  }
+
+  /** DuckDB replay of [[ivfadcTrain]] + the probe path at (k, rounds) —
+    * the chain ends at `wadc` (qid, vec_id, ad), with `t` (integer
+    * vectors) and `wq` (the query batch) still in scope for recall
+    * consumers. ONE definition site for q204 (16, 1), q206 (16, 1 —
+    * the artifact gate replays train+probe inline, proving the
+    * write -> read -> unpack round-trip loses nothing) and q208
+    * (256, 2). MATERIALIZED on the multiply-referenced CTEs (wca,
+    * wsub, per-round codebooks) — the q196 lesson: default inlining
+    * re-expands iterative chains exponentially. A def — `entries`
+    * oracle strings interpolate eagerly.
+    */
+  private def ivfadcSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "wini" else s"wc${r - 1}"
+      s"""wa$r AS (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM wsub s JOIN $prev c ON s.m = c.m)),
+             wm$r AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
+               FROM wa$r a JOIN wsub s ON a.vec_id = s.vec_id AND a.m = s.m,
+                 LATERAL (SELECT unnest(s.sv) AS v,
+                   unnest(generate_series(1, len(s.sv))) AS pos) u
+               WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
+             wc$r AS MATERIALIZED (SELECT $prev.m, $prev.cid, coalesce(x.nv, $prev.cv) AS cv
+               FROM $prev LEFT JOIN (
+                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM wm$r GROUP BY m, cid) x
+                 ON $prev.m = x.m AND $prev.cid = x.cid)"""
+    }
+    val fin = s"wc$rounds"
+    s"""WITH t AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE vec_id < 16),
+             wca AS MATERIALIZED (SELECT vec_id, ccid FROM (
+                 SELECT t.vec_id, c.ccid,
+                   row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                     list_sum(list_transform(generate_series(1, len(t.iv)),
+                       j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
+                 FROM t CROSS JOIN wcc c) WHERE rk = 1),
+             wrv AS (SELECT a.vec_id, a.ccid,
+                 list_transform(generate_series(1, len(t.iv)),
+                   j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
+               FROM wca a JOIN t ON a.vec_id = t.vec_id JOIN wcc c ON a.ccid = c.ccid),
+             wsub AS MATERIALIZED (SELECT vec_id, ccid, mm.m,
+                 list_slice(rv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
+               FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
+               FROM wsub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
+             ${roundCtes.mkString(",\n             ")},
+             wfa AS (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM wsub s JOIN $fin c ON s.m = c.m)),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
+             wpr AS (SELECT qid, ccid, qiv FROM (
+                 SELECT q.qid, c.ccid, q.qiv,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     list_sum(list_transform(generate_series(1, len(q.qiv)),
+                       j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
+                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2),
+             wqr AS (SELECT p.qid, p.ccid,
+                 list_transform(generate_series(1, len(p.qiv)),
+                   j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv
+               FROM wpr p JOIN wcc c ON p.ccid = c.ccid),
+             wqs AS (SELECT qid, ccid, mm.m,
+                 list_slice(qrv, mm.m * 8 + 1, mm.m * 8 + 8) AS qsv
+               FROM wqr, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             wpd AS (SELECT q.qid, q.ccid, q.m, c.cid,
+                 list_sum(list_transform(generate_series(1, len(q.qsv)),
+                   j -> (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]))) AS pd
+               FROM wqs q JOIN $fin c ON q.m = c.m),
+             wadc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
+               FROM wfa a JOIN wca l ON a.vec_id = l.vec_id
+               JOIN wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
+               WHERE a.rk = 1 AND p.qid <> a.vec_id
+               GROUP BY p.qid, a.vec_id)"""
+  }
+
+  /** DuckDB replay of [[pqCodebookDeep]] + [[pqAssign]] at (k, rounds)
+    * — ends at `pfa` whose rk=1 rows are the final (vec_id, m, cid,
+    * dist) assignment. q207's oracle; structurally the depth
+    * generalization of [[pqSql]] (kept verbatim for q202/q203 — their
+    * gated hashes must not move). A def — eager interpolation rule.
+    */
+  private def pqDeepSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "pb0" else s"pb${r - 1}"
+      s"""pa$r AS (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM psub s JOIN $prev c ON s.m = c.m)),
+             pm$r AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
+               FROM pa$r a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
+                 LATERAL (SELECT unnest(s.sv) AS v,
+                   unnest(generate_series(1, len(s.sv))) AS pos) u
+               WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
+             pb$r AS MATERIALIZED (SELECT $prev.m, $prev.cid, coalesce(x.nv, $prev.cv) AS cv
+               FROM $prev LEFT JOIN (
+                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM pm$r GROUP BY m, cid) x
+                 ON $prev.m = x.m AND $prev.cid = x.cid)"""
+    }
+    s"""WITH t AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             psub AS MATERIALIZED (
+               SELECT vec_id, mm.m, list_slice(iv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
+               FROM t, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             pb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM psub WHERE vec_id < $k),
+             ${roundCtes.mkString(",\n             ")},
+             pfa AS (SELECT vec_id, m, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM psub s JOIN pb$rounds c ON s.m = c.m))"""
+  }
 }

@@ -108,4 +108,42 @@ class PqSpec extends AnyFunSuite {
     assert(diff == 0, "ADC lookup sum != exact L2 to the reconstruction")
     graft.Engine.releaseScratch(spark)
   }
+
+  test("q206: the persisted index is built once and probe-equal to inline training") {
+    val dir = "/root/testdata/sf0.001"
+    val run = graft.SparkEntry.queries("q206_ivfadc_probe")
+    // first call builds the artifact (COMPLETE marker committed last)
+    val first = run(spark, dir).collect().map(_.toSeq).toSeq
+    val idx = SimilarityOps.buildIvfAdcIndex(spark, dir)
+    val marker = new java.io.File(idx, "COMPLETE")
+    assert(marker.exists, "no COMPLETE marker after build")
+    val stamp = marker.lastModified
+    // second call must SKIP the build (artifact reuse — the
+    // probe-many lifecycle) and read identical results back
+    val second = run(spark, dir).collect().map(_.toSeq).toSeq
+    assert(marker.lastModified == stamp, "probe call rebuilt the index")
+    assert(second == first, "artifact re-read changed the probe result")
+    // probing the artifact must equal probing the inline-trained parts
+    // (write -> read -> unpack loses nothing)
+    val (cc, ca, cb, a2) = SimilarityOps.ivfadcTrain(spark, dir, k = 16, rounds = 1)
+    val q = graft.Engine
+      .table(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv"))
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val inline = SimilarityOps
+      .ivfadcProbe(q, cc, cb, a2.join(ca, "vec_id"))
+      .orderBy(col("qid"), col("rn"))
+      .collect().map(_.toSeq).toSeq
+    assert(inline == first, "artifact probe != inline-trained probe")
+    // a torn build (marker removed) is invisible: the next call
+    // rebuilds from scratch and converges to the same rows
+    assert(marker.delete())
+    val rebuilt = run(spark, dir).collect().map(_.toSeq).toSeq
+    assert(rebuilt == first, "rebuild after a torn build diverged")
+    graft.Engine.releaseScratch(spark)
+  }
 }
