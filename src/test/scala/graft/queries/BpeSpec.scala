@@ -334,6 +334,16 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(got == Seq((1L, "a", "n", 3L), (2L, "an", "d", 3L), (3L, "h", "e", 3L), (4L, "t", "he", 3L)))
+    // the incremental maintenance observable (q209): n_affected counts
+    // VOCABULARY entries touched per round — round 1 merges (a, n)
+    // inside 'and' only (1 of 3 vocab entries), round 3's (h, e) sits
+    // in both 'the' and 'then'
+    val stats = Bpe
+      .trainMergesStats(words, steps = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+      .toSeq
+    assert(stats == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)), s"n_affected drifted: $stats")
   }
 
   test("training exhaustion fails loudly, not with a null cascade") {
