@@ -34,12 +34,44 @@ object Engine {
     */
   private val scratchToken: String = java.util.UUID.randomUUID().toString.take(8)
 
+  // every scratch path this process handed out, deleted at JVM exit —
+  // per-process tokens would otherwise leak each run's trees in tmpdir
+  // forever (no later process knows the token). Hard kills skip the
+  // hook; the stale-sibling sweep below reclaims those.
+  private val scratchCreated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchCreated.forEach(p => deleteRecursively(new java.io.File(p)))
+    }))
+    true
+  }
+
   /** The scratch directory for (query tag, data dir) — unique per
-    * process, stable within it. Callers own create/delete of the path.
+    * process, stable within it. Callers own create/delete of the path;
+    * the path itself is deleted at JVM exit, and stale same-(tag, dir)
+    * trees left by hard-killed processes (different token, untouched
+    * for 6+ hours) are swept here so tmpdir growth is bounded to the
+    * live processes' working sets.
     */
-  def scratchDir(tag: String, dir: String): java.io.File =
-    new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${scratchToken}_${math.abs(dir.hashCode)}")
+  def scratchDir(tag: String, dir: String): java.io.File = {
+    require(scratchHookInstalled)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_${tag}_"
+    val suffix = s"_${math.abs(dir.hashCode)}"
+    Option(base.listFiles).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val n = f.getName
+      // the age floor keeps this from deleting a CONCURRENT session's
+      // live tree (the race the token exists to prevent); a swept
+      // artifact dir is always rebuildable — correctness never depends
+      // on scratch surviving
+      if (n.startsWith(prefix) && n.endsWith(suffix) && !n.contains(scratchToken) &&
+        System.currentTimeMillis - f.lastModified > 6L * 3600 * 1000)
+        deleteRecursively(f)
+    }
+    val out = new java.io.File(base, s"$prefix$scratchToken$suffix")
+    scratchCreated.add(out.getPath): Unit
+    out
+  }
 
   def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession

@@ -120,6 +120,27 @@ object TieredIndex {
       }
   }
 
+  /** The CURRENT generation in one manifest read: (segments, highest
+    * committed streaming batch id — -1 before any batch-tagged append).
+    */
+  private def state(dir: String): (Seq[Seg], Long) = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files
+      .readAllLines(Paths.get(dir, currentManifest(dir)), StandardCharsets.UTF_8)
+      .asScala
+      .toSeq
+    val batch = lines
+      .collectFirst { case l if l.startsWith("batch ") => l.stripPrefix("batch ").trim.toLong }
+      .getOrElse(-1L)
+    val ss = lines
+      .filter(l => l.nonEmpty && !l.startsWith("batch "))
+      .map { line =>
+        val Array(kind, seg, bytes) = line.split(" ", 3)
+        Seg(kind, seg, bytes.toLong)
+      }
+    (ss, batch)
+  }
+
   /** The highest streaming batch id whose append committed into the
     * CURRENT generation (-1 before any batch-tagged append). The
     * exactly-once handle: `foreachBatch` is AT-LEAST-ONCE, so a crashed
@@ -129,14 +150,7 @@ object TieredIndex {
     * results were already correct because the indexes are consumed as
     * sets, but the duplicate rows stayed in the index forever).
     */
-  def lastBatch(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    Files
-      .readAllLines(Paths.get(dir, currentManifest(dir)), StandardCharsets.UTF_8)
-      .asScala
-      .collectFirst { case l if l.startsWith("batch ") => l.stripPrefix("batch ").trim.toLong }
-      .getOrElse(-1L)
-  }
+  def lastBatch(dir: String): Long = state(dir)._2
 
   private def segs(dir: String): Seq[Seg] = readManifest(dir, currentManifest(dir))
 
@@ -161,9 +175,34 @@ object TieredIndex {
     import java.nio.file.StandardOpenOption._
     val ch = java.nio.channels.FileChannel.open(p, CREATE, WRITE, TRUNCATE_EXISTING)
     try {
-      ch.write(java.nio.ByteBuffer.wrap(bytes)): Unit
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      // write(2) may return short (signal, ENOSPC boundary): a single
+      // unchecked write could fsync-and-commit a TRUNCATED manifest or
+      // pointer — loop until drained before forcing
+      while (buf.hasRemaining) ch.write(buf): Unit
       ch.force(true)
     } finally ch.close()
+  }
+
+  /** fsync every regular file under a freshly-written segment, then the
+    * segment directory itself. Spark's parquet writer does not force
+    * its output: without this, a power loss after the (fsync'd) pointer
+    * swap could leave CURRENT durably referencing torn segment data —
+    * the one hole the manifest/pointer fsyncs alone cannot close.
+    * O(segment files), paid once per segment write.
+    */
+  private def fsyncTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(fsyncTree)
+      fsyncDir(f.getPath)
+    } else if (f.isFile) {
+      import java.nio.file.StandardOpenOption._
+      try {
+        val ch = java.nio.channels.FileChannel.open(f.toPath, WRITE)
+        try ch.force(true)
+        finally ch.close()
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** fsync the directory entry table (Linux: a directory opened READ
@@ -235,6 +274,7 @@ object TieredIndex {
       .sortWithinPartitions(clusterCols: _*)
       .write
       .parquet(new java.io.File(dir, name).toString)
+    fsyncTree(new java.io.File(dir, name))
     Seg(kind, name, segBytes(dir, name))
   }
 
@@ -284,14 +324,17 @@ object TieredIndex {
       df: DataFrame,
       files: Int = 1,
       batchId: Long = -1L): Unit = {
-    if (batchId >= 0 && batchId <= lastBatch(dir)) return
-    val cur = segs(dir)
+    // one manifest read serves the replay guard, the segment list, and
+    // the commit watermark (append is the per-micro-batch hot path)
+    val (cur, committed) = state(dir)
+    if (batchId >= 0 && batchId <= committed) return
     val name = f"seg-${nextNumber(dir, "seg-")}%05d"
     df.coalesce(files).write.parquet(new java.io.File(dir, name).toString)
+    fsyncTree(new java.io.File(dir, name))
     commit(
       dir,
       cur :+ Seg("delta", name, segBytes(dir, name)),
-      batch = math.max(batchId, lastBatch(dir)))
+      batch = math.max(batchId, committed))
   }
 
   /** One maintenance step: garbage-collect unreferenced files, then

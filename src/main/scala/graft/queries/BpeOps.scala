@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * below remains as the cross-engine CONTRACT: it is what the DuckDB
   * oracles execute, and the native encoder implements EXACTLY that
   * contract — a sparse rule-order sweep, symbol-identical to the chain
-  * on ANY table (see BpeKernel's semantics note; the naive
+  * on ANY space-free-symbol table (see BpeKernel's contract note; the naive
   * lowest-rank-present loop is NOT equivalent on tables where one
   * symbol has two derivations).
   *
@@ -119,7 +119,7 @@ object Bpe {
 
   /** Spark SQL: a doc's total BPE token count over its `toks` array —
     * the NATIVE sparse rule-sweep encoder (functions/BpeEncode.scala),
-    * symbol-identical to the replace-chain on ANY table (BpeSpec pins
+    * symbol-identical to the replace-chain on ANY space-free-symbol table (BpeSpec pins
     * the equality; the DuckDB oracles keep the chain spelling) but
     * extending to a real ~50k-merge vocabulary where a 50k-deep nested
     * replace breaks codegen and costs 50k passes per word. The

@@ -1596,27 +1596,48 @@ object SimilarityOps {
 
   /** The DEPTH-generalized per-subspace codebook: seeds = the `k`
     * lowest vec_ids' subvectors (cid = vec_id; K adapts as min(k, n)
-    * by construction), `rounds` exact-integer Lloyd refinements —
-    * means floor-divide on non-negative micro-units (Spark div ==
-    * DuckDB //), argmin ties to the lower cid, a cell empty in round r
-    * keeps its round r-1 value (NOT necessarily its seed — the oracle
-    * chain coalesces per round identically). M x K rows — broadcast at
-    * every use (K=256 is 2048 rows, still trivially broadcastable).
+    * by construction), `rounds` exact-integer Lloyd refinements via
+    * [[lloydRefine]]. M x K rows — broadcast at every use (K=256 is
+    * 2048 rows, still trivially broadcastable).
     */
   private[graft] def pqCodebookDeep(
       s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
     val sub = pqSubs(s, dir).localCheckpoint(eager = false)
-    var cb = sub
-      .filter(col("vec_id") < k)
-      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    lloydRefine(
+      sub,
+      sub.filter(col("vec_id") < k)
+        .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv")),
+      rounds)
+  }
+
+  /** Per-(vec_id, m) argmin assignment of subvector rows against a
+    * broadcast codebook — ties to the lower cid; `d` is the winning
+    * exact-integer squared L2. THE one Spark spelling of the Lloyd
+    * assignment, shared by the PQ family (q202/q203/q207 via
+    * [[pqAssign]]) and the IVFADC family (q204/q206/q208 via
+    * [[ivfadcTrain]]) — its invariants (tie-break, exact-integer
+    * kernel) must never fork between the two (round-11 review item).
+    * Extra columns on `sub` ride along untouched.
+    */
+  private def lloydAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** `rounds` exact-integer Lloyd refinements of `seed` over subvector
+    * rows `sub` — THE one Spark spelling of the refinement round
+    * (assign -> floor-divided means on non-negative micro-units, so
+    * Spark div == DuckDB // -> empty cells keep their PREVIOUS round's
+    * value, not necessarily their seed; the oracle chains coalesce per
+    * round identically).
+    */
+  private def lloydRefine(sub: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+    var cb = seed
     for (_ <- 1 to rounds) {
-      val a = sub
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
-      val means = a
+      val means = lloydAssign(sub, cb)
         .join(sub, Seq("vec_id", "m"))
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("m"), col("cid"), col("pos"))
@@ -1636,15 +1657,11 @@ object SimilarityOps {
   }
 
   /** Final PQ assignment (vec_id, m, cid, d) against the refined
-    * codebook — the shared core of q202 (encode) and q203 (ADC search).
+    * codebook — the shared core of q202 (encode) and q203 (ADC search);
+    * [[lloydAssign]] on the raw subvector rows.
     */
   private[graft] def pqAssign(s: SparkSession, dir: String, cb: DataFrame): DataFrame =
-    pqSubs(s, dir)
-      .join(broadcast(cb), Seq("m"))
-      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cid").as("cid"), col("best.d").as("d"))
+    lloydAssign(pqSubs(s, dir), cb)
 
   /** DuckDB CTE chain mirroring [[pqCodebook]] + [[pqAssign]]: ends with
     * `pa2` whose rk=1 rows are the final (vec_id, m, cid, dist)
@@ -1735,29 +1752,11 @@ object SimilarityOps {
         explode(expr("transform(sequence(0, 7), " +
           "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
       .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
-    var cb = rsub
+    val seed = rsub
       .filter(col("vec_id") >= 16 && col("vec_id") < (16 + k))
       .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
-    def assign(codebook: DataFrame): DataFrame = rsub
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("d", graft.functions.VectorOps.l2sqLong(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
-    for (_ <- 1 to rounds) {
-      val means = assign(cb)
-        .join(rsub, Seq("vec_id", "m"))
-        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("cid"), col("pos"))
-        .agg(expr("sum(v) div count(1)").as("mm"))
-        .groupBy(col("m"), col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), p -> p.mm)").as("nv"))
-      cb = cb
-        .join(broadcast(means), Seq("m", "cid"), "left")
-        .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
-        .localCheckpoint(eager = false) // next round's assign + final assign + output
-    }
-    (cc, ca, cb, assign(cb))
+    val cb = lloydRefine(rsub, seed, rounds)
+    (cc, ca, cb, lloydAssign(rsub, cb).select(col("vec_id"), col("m"), col("cid")))
   }
 
   /** The IVFADC PROBE path — one definition site for q204/q208 (inline
@@ -1846,25 +1845,47 @@ object SimilarityOps {
     * re-expands iterative chains exponentially. A def — `entries`
     * oracle strings interpolate eagerly.
     */
-  private def ivfadcSql(k: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = if (r == 1) "wini" else s"wc${r - 1}"
-      s"""wa$r AS (SELECT vec_id, m, cid,
+  /** `steps` Lloyd-round CTE triples (assign/means/codebook) over
+    * subvector rows `sub`, seeded from `seed`, CTE names prefixed
+    * `aP/mP/cP` — THE one DuckDB spelling of the refinement round
+    * ([[lloydRefine]]'s mirror), shared by [[ivfadcSql]] (wa/wm/wc)
+    * and [[pqDeepSql]] (pa/pm/pb) so the floor-division, (dist, cid)
+    * tie-break, and empty-cell-coalesce invariants cannot fork.
+    */
+  private def lloydRoundCtesSql(
+      steps: Int, sub: String, seed: String, aP: String, mP: String, cP: String): String =
+    (1 to steps).map { r =>
+      val prev = if (r == 1) seed else s"$cP${r - 1}"
+      s"""$aP$r AS (SELECT vec_id, m, cid,
                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
                FROM (SELECT s.vec_id, s.m, c.cid,
                    list_sum(list_transform(generate_series(1, len(s.sv)),
                      j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM wsub s JOIN $prev c ON s.m = c.m)),
-             wm$r AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
-               FROM wa$r a JOIN wsub s ON a.vec_id = s.vec_id AND a.m = s.m,
+                 FROM $sub s JOIN $prev c ON s.m = c.m)),
+             $mP$r AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
+               FROM $aP$r a JOIN $sub s ON a.vec_id = s.vec_id AND a.m = s.m,
                  LATERAL (SELECT unnest(s.sv) AS v,
                    unnest(generate_series(1, len(s.sv))) AS pos) u
                WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
-             wc$r AS MATERIALIZED (SELECT $prev.m, $prev.cid, coalesce(x.nv, $prev.cv) AS cv
+             $cP$r AS MATERIALIZED (SELECT $prev.m, $prev.cid, coalesce(x.nv, $prev.cv) AS cv
                FROM $prev LEFT JOIN (
-                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM wm$r GROUP BY m, cid) x
+                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM $mP$r GROUP BY m, cid) x
                  ON $prev.m = x.m AND $prev.cid = x.cid)"""
-    }
+    }.mkString(",\n             ")
+
+  /** The final assignment CTE against the refined codebook `cb` —
+    * rk=1 rows are (vec_id, m, cid, dist); [[lloydAssign]]'s mirror.
+    */
+  private def lloydFinalAssignSql(name: String, sub: String, cb: String): String =
+    s"""$name AS (SELECT vec_id, m, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+               FROM (SELECT s.vec_id, s.m, c.cid,
+                   list_sum(list_transform(generate_series(1, len(s.sv)),
+                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
+                 FROM $sub s JOIN $cb c ON s.m = c.m))"""
+
+  private def ivfadcSql(k: Int, rounds: Int): String = {
+    val roundCtes = lloydRoundCtesSql(rounds, "wsub", "wini", "wa", "wm", "wc")
     val fin = s"wc$rounds"
     s"""WITH t AS (
                SELECT vec_id, list_transform(embedding,
@@ -1886,13 +1907,8 @@ object SimilarityOps {
                FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
              wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
                FROM wsub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
-             ${roundCtes.mkString(",\n             ")},
-             wfa AS (SELECT vec_id, m, cid,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
-               FROM (SELECT s.vec_id, s.m, c.cid,
-                   list_sum(list_transform(generate_series(1, len(s.sv)),
-                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM wsub s JOIN $fin c ON s.m = c.m)),
+             $roundCtes,
+             ${lloydFinalAssignSql("wfa", "wsub", fin)},
              wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
              wpr AS (SELECT qid, ccid, qiv FROM (
                  SELECT q.qid, c.ccid, q.qiv,
@@ -1924,25 +1940,7 @@ object SimilarityOps {
     * generalization of [[pqSql]] (kept verbatim for q202/q203 — their
     * gated hashes must not move). A def — eager interpolation rule.
     */
-  private def pqDeepSql(k: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = if (r == 1) "pb0" else s"pb${r - 1}"
-      s"""pa$r AS (SELECT vec_id, m, cid,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
-               FROM (SELECT s.vec_id, s.m, c.cid,
-                   list_sum(list_transform(generate_series(1, len(s.sv)),
-                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM psub s JOIN $prev c ON s.m = c.m)),
-             pm$r AS (SELECT a.m, a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS mn
-               FROM pa$r a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
-                 LATERAL (SELECT unnest(s.sv) AS v,
-                   unnest(generate_series(1, len(s.sv))) AS pos) u
-               WHERE a.rk = 1 GROUP BY a.m, a.cid, u.pos),
-             pb$r AS MATERIALIZED (SELECT $prev.m, $prev.cid, coalesce(x.nv, $prev.cv) AS cv
-               FROM $prev LEFT JOIN (
-                 SELECT m, cid, list(mn ORDER BY pos) AS nv FROM pm$r GROUP BY m, cid) x
-                 ON $prev.m = x.m AND $prev.cid = x.cid)"""
-    }
+  private def pqDeepSql(k: Int, rounds: Int): String =
     s"""WITH t AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
@@ -1951,12 +1949,6 @@ object SimilarityOps {
                SELECT vec_id, mm.m, list_slice(iv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
                FROM t, (SELECT unnest(generate_series(0, 7)) AS m) mm),
              pb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM psub WHERE vec_id < $k),
-             ${roundCtes.mkString(",\n             ")},
-             pfa AS (SELECT vec_id, m, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
-               FROM (SELECT s.vec_id, s.m, c.cid,
-                   list_sum(list_transform(generate_series(1, len(s.sv)),
-                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
-                 FROM psub s JOIN pb$rounds c ON s.m = c.m))"""
-  }
+             ${lloydRoundCtesSql(rounds, "psub", "pb0", "pa", "pm", "pb")},
+             ${lloydFinalAssignSql("pfa", "psub", s"pb$rounds")}"""
 }
