@@ -346,6 +346,25 @@ class BpeSpec extends AnyFunSuite {
     assert(stats == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)), s"n_affected drifted: $stats")
   }
 
+  test("incremental trainer == full-recount trainer, merge for merge") {
+    import spark.implicits._
+    // the two dispatches of the trainer (recount = shallow path,
+    // delta maintenance = depth path, see trainMerges' scaladoc) must
+    // learn IDENTICAL tables — same argmaxes, same tie-breaks, same
+    // counts — on any corpus; 24 steps over a random 5-letter-alphabet
+    // vocabulary exercises multi-level stacks and count collisions
+    val rnd = new scala.util.Random(7)
+    val words = Seq
+      .fill(400)((0 until (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      .toDF("word")
+    val recount = Bpe.trainMerges(words, steps = 24).collect().map(_.toSeq).toSeq
+    val incr = Bpe
+      .trainMergesStats(words, steps = 24)
+      .select(col("step"), col("a"), col("b"), col("cnt"))
+      .collect().map(_.toSeq).toSeq
+    assert(incr == recount, "delta-maintained training diverged from the recount")
+  }
+
   test("training exhaustion fails loudly, not with a null cascade") {
     import spark.implicits._
     // 'ab' exhausts after one merge: step 2's argmax row is all-null,
