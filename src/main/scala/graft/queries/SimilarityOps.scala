@@ -1636,7 +1636,7 @@ object SimilarityOps {
     */
   private def lloydRefine(sub: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
     var cb = seed
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val means = lloydAssign(sub, cb)
         .join(sub, Seq("vec_id", "m"))
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
@@ -1650,8 +1650,13 @@ object SimilarityOps {
         // but the pinned plan should be right from the start)
         .join(broadcast(means), Seq("m", "cid"), "left")
         .select(col("m"), col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
-        // consumed by the next round's assign AND the final assign
-        .localCheckpoint(eager = false)
+      // intermediate rounds are consumed twice (next assign + their
+      // own means chain) — checkpoint them; the FINAL codebook's reuse
+      // pattern is the caller's to decide (q203 and ivfadcTrain add
+      // their own, q202/q207's single consumption must not pay one —
+      // the refactor briefly checkpointed it unconditionally and q202
+      // took +0.5 s at sf0.1)
+      if (r < rounds) cb = cb.localCheckpoint(eager = false)
     }
     cb
   }
@@ -1755,7 +1760,9 @@ object SimilarityOps {
     val seed = rsub
       .filter(col("vec_id") >= 16 && col("vec_id") < (16 + k))
       .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
-    val cb = lloydRefine(rsub, seed, rounds)
+    // the refined codebook feeds the final assign, the probe lookup
+    // tables, and (q206) the artifact write — materialize once
+    val cb = lloydRefine(rsub, seed, rounds).localCheckpoint(eager = false)
     (cc, ca, cb, lloydAssign(rsub, cb).select(col("vec_id"), col("m"), col("cid")))
   }
 
