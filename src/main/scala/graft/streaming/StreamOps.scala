@@ -543,9 +543,13 @@ object StreamOps {
               // would make the lazy anti-join see this batch's own
               // hashes and drop everything
               .localCheckpoint()
+            // exactly-once under foreachBatch retries, like the index
+            // append below: each batch owns a deterministic subdir and
+            // OVERWRITES it, so a replayed batch replaces its own
+            // output instead of appending duplicate survivor rows
             surv
               .select(col("doc_id"), col("lang"), col("source"))
-              .write.mode("append").parquet(survDir)
+              .write.mode("overwrite").parquet(s"$survDir/b$bid")
             graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("h")).distinct(), batchId = bid)
             // per-batch index MAINTENANCE: size/tier-aware — a no-op
             // manifest read until a threshold trips, then a MINOR
@@ -561,7 +565,7 @@ object StreamOps {
         // the index sits at its bounded steady-state file count for the
         // next ingest window — StreamIncrementalSpec pins it
         graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("h")), force = true): Unit
-        s.read.parquet(survDir).orderBy(col("doc_id"))
+        s.read.option("recursiveFileLookup", "true").parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.DedupOps.incrementalOracleSql)
     ),
@@ -641,7 +645,8 @@ object StreamOps {
               .join(dropped, Seq("doc_id"), "left_anti")
               // materialize BEFORE the index append (q174's rationale)
               .localCheckpoint()
-            surv.select(col("doc_id"), col("lang"), col("source")).write.mode("append").parquet(survDir)
+            // per-batch overwrite dir = exactly-once on retry (q174's rationale)
+            surv.select(col("doc_id"), col("lang"), col("source")).write.mode("overwrite").parquet(s"$survDir/b$bid")
             graft.operators.TieredIndex.append(ss, indexDir, bk.select(col("bucket")).distinct(), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
@@ -652,7 +657,7 @@ object StreamOps {
         // end-of-window maintenance — StreamIncrementalSpec pins the
         // bounded steady-state file count + per-segment clustering
         graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("bucket")), force = true): Unit
-        s.read.parquet(survDir).orderBy(col("doc_id"))
+        s.read.option("recursiveFileLookup", "true").parquet(survDir).orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang, source, ${graft.queries.Tokenize.toksSql} AS toks
                FROM documents),
@@ -734,7 +739,8 @@ object StreamOps {
               .select(
                 col("doc_id"), col("lang"), col("source"), col("pii_ppm"),
                 col("n_words"), col("logit_micro"))
-              .write.mode("append").parquet(survDir)
+              // per-batch overwrite dir = exactly-once on retry (q174's rationale)
+              .write.mode("overwrite").parquet(s"$survDir/b$bid")
             graft.operators.TieredIndex.append(ss, indexDir, surv.select(col("cm")).distinct(), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
@@ -745,7 +751,7 @@ object StreamOps {
         // end-of-window maintenance — StreamIncrementalSpec pins the
         // bounded steady-state file count + per-segment clustering
         graft.operators.TieredIndex.maintain(s, indexDir, Seq(col("cm")), force = true): Unit
-        s.read.parquet(survDir).orderBy(col("doc_id"))
+        s.read.option("recursiveFileLookup", "true").parquet(survDir).orderBy(col("doc_id"))
       },
       Some(graft.queries.CurationOps.ingestRecipeOracleSql)
     ),
