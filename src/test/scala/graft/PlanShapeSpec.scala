@@ -404,4 +404,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q206: the probe answers from the artifact — one embeddings scan, broadcast-only joins") {
+    val p = plan("q206_ivfadc_probe")
+    // build->probe split, physically: training never appears in the
+    // probe plan. The corpus is served ONLY from the persisted index —
+    // all three FileScans read the annidx artifact (coarse, codebook,
+    // codes); the single non-artifact input is the checkpointed 20-row
+    // query batch (one ExistingRDD), never an embeddings.parquet scan
+    assert(!p.contains("embeddings.parquet"), p.take(3000))
+    assert("FileScan".r.findAllIn(p).size == 3, p.take(3000))
+    assert("annidx".r.findAllIn(p).size == 3, p.take(3000))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 1, p.take(3000))
+    // the per-probe M x K lookup table broadcasts onto the codes table
+    // (the one data-sized join); nothing sort-merges or goes cartesian
+    // (the 16-row coarse quantizer rides a broadcast nested loop)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
