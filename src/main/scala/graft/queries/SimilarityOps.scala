@@ -396,15 +396,20 @@ object SimilarityOps {
     * centroid-mean division floors identically in both engines and the
     * offset cancels in distances) — shared by q147/q148.
     */
-  private def ivecs(s: SparkSession, dir: String): DataFrame =
-    Engine
-      .table(s, dir, "embeddings")
-      .select(
-        col("vec_id"),
-        expr("transform(cast(embedding as array<double>), " +
-          "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv")
-      )
-      .localCheckpoint(eager = false)
+  private[graft] def ivecs(s: SparkSession, dir: String): DataFrame =
+    toIv(Engine.table(s, dir, "embeddings")).localCheckpoint(eager = false)
+
+  /** Float embedding -> exact-integer micro-unit vector (vec_id, iv) —
+    * THE one spelling of the quantization every integer-L2 kernel
+    * assumes; [[ivecs]] applies it to the table, the q210 streaming
+    * appends apply it per micro-batch.
+    */
+  private[graft] def toIv(df: DataFrame): DataFrame =
+    df.select(
+      col("vec_id"),
+      expr("transform(cast(embedding as array<double>), " +
+        "x -> cast(floor(x * 1000000 + 0.5d) as bigint) + 16777216L)").as("iv")
+    )
 
   /** SemDeDup's scale knob: target within-cluster population. k grows
     * as ceil(n / 256) (floor 16) so cluster size — and the
@@ -1453,13 +1458,7 @@ object SimilarityOps {
         val idx = buildIvfAdcIndex(s, dir)
         val cc = s.read.parquet(s"$idx/coarse")
         val cb = s.read.parquet(s"$idx/codebook")
-        val codes = s.read
-          .parquet(s"$idx/codes")
-          .select(
-            col("vec_id"), col("ccid"),
-            explode(expr("transform(sequence(0, 7), m -> named_struct('m', m, " +
-              "'cid', (code div shiftleft(CAST(1 AS BIGINT), 4 * m)) % 16))")).as("x"))
-          .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
+        val codes = unpackCodes(s.read.parquet(s"$idx/codes"))
         val q = ivecs(s, dir)
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -1733,30 +1732,19 @@ object SimilarityOps {
     */
   private[graft] def ivfadcTrain(
       s: SparkSession, dir: String, k: Int, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfadcTrainIv(ivecs(s, dir), k, rounds)
+
+  /** [[ivfadcTrain]] over an explicit vector frame — the q210 streaming
+    * family trains on the day-0 standing population only and freezes
+    * the result, so the training input must be the caller's to filter.
+    */
+  private[graft] def ivfadcTrainIv(
+      iv: DataFrame, k: Int, rounds: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val iv = ivecs(s, dir)
-    val cc = iv
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
-    val ca = iv
-      .crossJoin(broadcast(cc))
-      .withColumn("cd", graft.functions.VectorOps.l2sqLong(col("iv"), col("ccv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("cd"), col("ccid"))).as("b"))
-      .select(col("vec_id"), col("b.ccid").as("ccid"))
-    val rv = ca
-      .join(iv, "vec_id")
-      .join(broadcast(cc), "ccid")
-      .select(
-        col("vec_id"), col("ccid"),
-        expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
-      .localCheckpoint(eager = false) // feeds seeds, every assign, means
-    val rsub = rv
-      .select(
-        col("vec_id"), col("ccid"),
-        explode(expr("transform(sequence(0, 7), " +
-          "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
-      .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
+    val cc = coarseCells(iv)
+    val ca = coarseAssign(iv, cc)
+    val rsub = residualSubs(iv, ca, cc)
     val seed = rsub
       .filter(col("vec_id") >= 16 && col("vec_id") < (16 + k))
       .select(col("m"), (col("vec_id") - 16L).as("cid"), col("sv").as("cv"))
@@ -1765,6 +1753,82 @@ object SimilarityOps {
     val cb = lloydRefine(rsub, seed, rounds).localCheckpoint(eager = false)
     (cc, ca, cb, lloydAssign(rsub, cb).select(col("vec_id"), col("m"), col("cid")))
   }
+
+  /** The 16 coarse cells of a vector frame (its vec_ids < 16) — for the
+    * incremental family the frame is the day-0 corpus, so arrivals can
+    * never shift the cells.
+    */
+  private def coarseCells(iv: DataFrame): DataFrame =
+    iv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
+
+  /** Coarse argmin assignment (vec_id, ccid) against the broadcast
+    * cells — exact-integer L2, ties to the lower ccid ([[lloydAssign]]'s
+    * tie rule, coarse edition; the oracle's wca mirrors both).
+    */
+  private def coarseAssign(iv: DataFrame, cc: DataFrame): DataFrame =
+    iv.crossJoin(broadcast(cc))
+      .withColumn("cd", graft.functions.VectorOps.l2sqLong(col("iv"), col("ccv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd"), col("ccid"))).as("b"))
+      .select(col("vec_id"), col("b.ccid").as("ccid"))
+
+  /** Residual subvector rows (vec_id, ccid, m, sv) under assignment
+    * `ca`: residual = vector - centroid + 2^24 (residuals are NEGATIVE
+    * and Spark `div` truncates toward zero where DuckDB `//` floors —
+    * the offset keeps every mean input non-negative and cancels in all
+    * distances). The residual frame is checkpointed: every consumer
+    * (seeds, each Lloyd round, final assign) re-reads it.
+    */
+  private def residualSubs(iv: DataFrame, ca: DataFrame, cc: DataFrame): DataFrame = {
+    val rv = ca
+      .join(iv, "vec_id")
+      .join(broadcast(cc), "ccid")
+      .select(
+        col("vec_id"), col("ccid"),
+        expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
+      .localCheckpoint(eager = false)
+    rv.select(
+        col("vec_id"), col("ccid"),
+        explode(expr("transform(sequence(0, 7), " +
+          "m -> named_struct('m', m, 'sv', slice(rv, m * 8 + 1, 8)))")).as("x"))
+      .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.sv").as("sv"))
+  }
+
+  /** FROZEN-codebook IVFADC encode — (vec_id, ccid, m, cid) of `iv`
+    * against an already-trained coarse quantizer + residual codebook,
+    * with zero training: the q210 streaming appends run this per
+    * micro-batch on the arrivals, against the day-0 artifacts read
+    * back from disk. Same argmin/tie/offset invariants as training's
+    * own final assign, by construction (shared helpers).
+    */
+  private[graft] def ivfadcEncode(iv: DataFrame, cc: DataFrame, cb: DataFrame): DataFrame = {
+    val ca = coarseAssign(iv, cc)
+    lloydAssign(residualSubs(iv, ca, cc), cb)
+      .join(ca, "vec_id")
+      .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+  }
+
+  /** Pack a per-subspace assignment (vec_id, ccid, m, cid) into the
+    * 4-bit x 8 non-negative BIGINT code — the q206 artifact format and
+    * the q210 append rows; [[unpackCodes]] is its exact inverse.
+    */
+  private[graft] def packCodes(enc: DataFrame): DataFrame =
+    enc
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(expr("CAST(sum(cid * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"))
+
+  /** Unpack (vec_id, ccid, code) artifact rows back to (vec_id, ccid,
+    * m, cid) — integer div/mod on non-negative codes, so Spark div ==
+    * DuckDB //.
+    */
+  private[graft] def unpackCodes(codes: DataFrame): DataFrame =
+    codes
+      .select(
+        col("vec_id"), col("ccid"),
+        explode(expr("transform(sequence(0, 7), m -> named_struct('m', m, " +
+          "'cid', (code div shiftleft(CAST(1 AS BIGINT), 4 * m)) % 16))")).as("x"))
+      .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
 
   /** The IVFADC PROBE path — one definition site for q204/q208 (inline
     * -trained index) and q206 (artifact-read index): each query probes
@@ -1830,9 +1894,7 @@ object SimilarityOps {
       val (cc, ca, cb, a2) = ivfadcTrain(s, dir, k = 16, rounds = 1)
       cc.coalesce(1).write.parquet(s"$root/coarse")
       cb.coalesce(1).write.parquet(s"$root/codebook")
-      a2.join(ca, "vec_id")
-        .groupBy(col("vec_id"), col("ccid"))
-        .agg(expr("CAST(sum(cid * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"))
+      packCodes(a2.join(ca, "vec_id"))
         .repartitionByRange(4, col("ccid"), col("vec_id"))
         .sortWithinPartitions(col("ccid"), col("vec_id"))
         .write.parquet(s"$root/codes")
@@ -1891,14 +1953,27 @@ object SimilarityOps {
                      j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist
                  FROM $sub s JOIN $cb c ON s.m = c.m))"""
 
-  private def ivfadcSql(k: Int, rounds: Int): String = {
-    val roundCtes = lloydRoundCtesSql(rounds, "wsub", "wini", "wa", "wm", "wc")
+  /** `trainWhere` (optional, a predicate on vec_id) restricts the
+    * TRAINING population — coarse cells, PQ seeds, and every Lloyd
+    * round aggregate over it — while the frozen-codebook encode (wfa),
+    * the coarse assignment (wca), and the probe chain still cover ALL
+    * vectors: q210's incremental contract (day-0 trains, arrivals only
+    * encode). Empty = train on everything (q204/q206/q208).
+    */
+  private def ivfadcSql(k: Int, rounds: Int, trainWhere: String = ""): String = {
+    val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
+    val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
     val fin = s"wc$rounds"
+    val ccWhere =
+      if (trainWhere.isEmpty) "vec_id < 16" else s"vec_id < 16 AND ($trainWhere)"
+    val subtCte =
+      if (trainWhere.isEmpty) ""
+      else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
     s"""WITH t AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
                FROM embeddings),
-             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE vec_id < 16),
+             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE $ccWhere),
              wca AS MATERIALIZED (SELECT vec_id, ccid FROM (
                  SELECT t.vec_id, c.ccid,
                    row_number() OVER (PARTITION BY t.vec_id ORDER BY
@@ -1912,8 +1987,8 @@ object SimilarityOps {
              wsub AS MATERIALIZED (SELECT vec_id, ccid, mm.m,
                  list_slice(rv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
                FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-             wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
-               FROM wsub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
+             ${subtCte}wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
+               FROM $trainSub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
              $roundCtes,
              ${lloydFinalAssignSql("wfa", "wsub", fin)},
              wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
@@ -1940,6 +2015,20 @@ object SimilarityOps {
                WHERE a.rk = 1 AND p.qid <> a.vec_id
                GROUP BY p.qid, a.vec_id)"""
   }
+
+  /** q210's oracle: the IVFADC chain trained on the day-0 population
+    * only (vec_id % 5 <> 0) with the frozen encode and the probe still
+    * covering EVERY vector, closed by q206's positioned top-3 SELECT —
+    * one plan replaying the whole build + append + probe lifecycle.
+    * A def — the eager oracle-string interpolation rule.
+    */
+  private[graft] def ivfadcIncrementalOracleSql: String =
+    s"""${ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+               SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc) r
+             WHERE rn <= 3 ORDER BY qid, rn"""
 
   /** DuckDB replay of [[pqCodebookDeep]] + [[pqAssign]] at (k, rounds)
     * — ends at `pfa` whose rk=1 rows are the final (vec_id, m, cid,

@@ -25,12 +25,13 @@ object StreamOps {
     * / lowest-id-earlier rules (range k's ids all precede range k+1's).
     */
   private def stageIncoming(
-      s: org.apache.spark.sql.SparkSession, dir: String, work: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String, work: String,
+      table: String = "documents", idCol: String = "doc_id"): String = {
     val incoming = s"$work/incoming"
     graft.Engine
-      .table(s, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
-      .repartitionByRange(4, col("doc_id"))
+      .table(s, dir, table)
+      .filter(col(idCol) % 5 === 0)
+      .repartitionByRange(4, col(idCol))
       .write
       .parquet(incoming)
     val parts = new java.io.File(incoming)
@@ -816,6 +817,83 @@ object StreamOps {
           .orderBy(col("doc_id"))
       },
       Some(graft.queries.BpeOps.tokenCountsOracleSql)
+    ),
+    // --------------------------------------------------------------- q210
+    // STREAMING appends to the persisted ANN index — q206's build-once
+    // IVFADC artifact made LIVE (FAISS's add() contract on Spark): the
+    // day-0 index trains on the standing population ONLY (vec_id % 5
+    // <> 0) and its quantizers FREEZE as artifacts; today's vectors
+    // (vec_id % 5 = 0) arrive as a file stream, and each micro-batch
+    // encodes its arrivals against the frozen coarse cells + residual
+    // codebook read back from disk — coarse argmin, residual, 8
+    // subspace argmins, 4-bit pack — and appends the 4-byte codes to
+    // the TIERED codes index exactly-once (batchId watermark: a
+    // replayed batch no-ops), with per-batch size-aware maintenance.
+    // The probe then answers the fixed query batch from the UNION
+    // index: base + every arrival, searchable the moment its batch
+    // commits. Freezing the quantizers is what makes ingest O(batch):
+    // arrivals never retrain or touch existing codes (codebook drift
+    // is a REBUILD decision, not an ingest one — the production
+    // split). Gate: the oracle replays the same lifecycle in one plan
+    // (train on the day-0 population, frozen-encode EVERYONE, probe),
+    // so stream-of-appends must lose nothing vs a batch encode, and
+    // the (qid, rn, vec_id, ad) output keeps q206's positioned-
+    // neighbor + exact-integer-distance pin. At 100 TB: per-arrival
+    // cost is O(batch x broadcast codebooks); the probe reads ~2/16
+    // of the clustered codes index; no state store — the index is the
+    // only state.
+    QueryDef(
+      "q210_ivfadc_stream_append",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val work = graft.Engine.scratchDir("q210", dir)
+        graft.Engine.deleteRecursively(work)
+        // day-0: train on the standing population only; freeze the
+        // quantizers as artifacts, seed the codes index with base codes
+        val (cc0, ca0, cb0, a20) =
+          S.ivfadcTrainIv(S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
+        cc0.coalesce(1).write.parquet(s"$work/coarse")
+        cb0.coalesce(1).write.parquet(s"$work/codebook")
+        val codesDir = s"$work/codes_index"
+        graft.operators.TieredIndex.create(
+          s, codesDir, S.packCodes(a20.join(ca0, "vec_id")), 4,
+          Seq(col("ccid"), col("vec_id")))
+        val incoming = stageIncoming(s, dir, work.toString, table = "embeddings", idCol = "vec_id")
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            // frozen-codebook encode of the arrivals: the quantizers
+            // come from the artifacts, never from this batch
+            val enc = S.ivfadcEncode(
+              S.toIv(batch),
+              ss.read.parquet(s"$work/coarse"),
+              ss.read.parquet(s"$work/codebook"))
+            graft.operators.TieredIndex.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+            // per-batch size/tier-aware maintenance (q174's cycle)
+            graft.operators.TieredIndex.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+          }
+          .start()
+        query.awaitTermination()
+        // end-of-window maintenance: bounded steady-state file count
+        graft.operators.TieredIndex.maintain(
+          s, codesDir, Seq(col("ccid"), col("vec_id")), force = true): Unit
+        val q = S.ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        S.ivfadcProbe(
+            q,
+            s.read.parquet(s"$work/coarse"),
+            s.read.parquet(s"$work/codebook"),
+            S.unpackCodes(graft.operators.TieredIndex.read(s, codesDir)))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(graft.queries.SimilarityOps.ivfadcIncrementalOracleSql)
     )
   )
 }

@@ -420,8 +420,9 @@ class BpeSpec extends AnyFunSuite {
       .collect()
       .map(_.toSeq)
     // ... then pin the persisted table against a fresh training run
-    val work = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q195_${math.abs(dir.hashCode)}")
+    // same JVM, same per-process token: resolves to the exact dir the
+    // query wrote (a hand-built path would pin a stale earlier process)
+    val work = graft.Engine.scratchDir("q195", dir)
     val persisted = spark.read
       .parquet(s"$work/merges")
       .collect()

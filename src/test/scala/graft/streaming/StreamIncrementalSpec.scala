@@ -22,8 +22,10 @@ class StreamIncrementalSpec extends AnyFunSuite {
     val survivors =
       graft.SparkEntry.queries("q174_stream_incremental_dedup")(spark, dir).collect()
 
-    val work = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q174_${math.abs(dir.hashCode)}")
+    // same JVM, same per-process token: this resolves to the exact dir
+    // the query just used (a hand-built path would silently pin a stale
+    // leftover from an earlier process — the pre-token naming did)
+    val work = graft.Engine.scratchDir("q174", dir)
 
     // 1. incremental: one committed offset file per micro-batch
     val batches = new java.io.File(s"$work/ckpt/commits")
@@ -100,8 +102,7 @@ class StreamIncrementalSpec extends AnyFunSuite {
       "fuzzy kept a shingleable doc exact-dedup dropped")
     assert(fuzzyIds.size < exactIds.size, "fuzzy tier dropped nothing — vacuous")
 
-    val work = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q176_${math.abs(dir.hashCode)}")
+    val work = graft.Engine.scratchDir("q176", dir)
     // multi-batch replay
     val batches = new java.io.File(s"$work/ckpt/commits")
       .listFiles()
@@ -134,8 +135,7 @@ class StreamIncrementalSpec extends AnyFunSuite {
       graft.SparkEntry.queries("q181_stream_ingest_recipe")(spark, dir).collect()
     assert(survivors.nonEmpty)
 
-    val work = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q181_${math.abs(dir.hashCode)}")
+    val work = graft.Engine.scratchDir("q181", dir)
     // multi-batch replay
     val batches = new java.io.File(s"$work/ckpt/commits")
       .listFiles()
@@ -173,6 +173,48 @@ class StreamIncrementalSpec extends AnyFunSuite {
     // maintenance cycle holds the bounded steady-state layout
     val nIdxFiles = graft.operators.TieredIndex.currentFiles(s"$work/clean_hash_index").length
     assert(nIdxFiles <= 8, s"clean-hash index never compacted: $nIdxFiles files")
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q210: frozen quantizers, complete cumulative codes index, searchable arrivals, replay no-op") {
+    val result = graft.SparkEntry.queries("q210_ivfadc_stream_append")(spark, dir).collect()
+    val work = graft.Engine.scratchDir("q210", dir)
+    val codesDir = s"$work/codes_index"
+
+    // 1. incremental: one committed offset per staged range file
+    val batches = new java.io.File(s"$work/ckpt/commits")
+      .listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected a multi-batch replay, saw $batches micro-batch(es)")
+
+    // 2. the quantizers are FROZEN on the day-0 population: every coarse
+    // cell is a base vector (vec_id < 16 AND % 5 <> 0 — arrivals 0/5/10/15
+    // must never become cells), so ingest cannot have retrained anything
+    val cells = spark.read.parquet(s"$work/coarse")
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.sameElements((0L until 16L).filter(_ % 5 != 0)), cells.mkString(","))
+
+    // 3. the codes index is complete and duplicate-free: one code per
+    // corpus vector — day-0 base codes plus exactly the arrivals
+    val n = graft.Engine.table(spark, dir, "embeddings").count()
+    val idx = graft.operators.TieredIndex.read(spark, codesDir)
+    assert(idx.count() == n, s"codes index holds ${idx.count()} of $n vectors")
+    assert(idx.select(col("vec_id")).distinct().count() == n, "duplicate codes in the index")
+
+    // 4. arrivals are SEARCHABLE: the gated probe output must rank some
+    // appended vector (vec_id % 5 = 0, not a query id) as a neighbor —
+    // the property that makes this ingest, not archival
+    assert(result.exists(r => r.getLong(2) % 5 == 0), "no appended vector ever surfaced as a neighbor")
+
+    // 5. exactly-once: replaying an already-committed batchId is a no-op
+    // (segment list and row count unchanged)
+    val before = graft.operators.TieredIndex.currentFiles(codesDir).map(_.getName).sorted.toSeq
+    graft.operators.TieredIndex.append(
+      spark, codesDir,
+      idx.limit(5),
+      batchId = graft.operators.TieredIndex.lastBatch(codesDir))
+    assert(graft.operators.TieredIndex.currentFiles(codesDir).map(_.getName).sorted.toSeq == before)
+    assert(graft.operators.TieredIndex.read(spark, codesDir).count() == n)
     graft.Engine.releaseScratch(spark)
   }
 }
