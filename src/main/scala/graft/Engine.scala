@@ -69,6 +69,12 @@ object Engine {
         deleteRecursively(f)
     }
     val out = new java.io.File(base, s"$prefix$scratchToken$suffix")
+    // a live long-running owner (e.g. an artifact dir served read-only
+    // across bench passes) never refreshes its mtime by reading — touch
+    // the tree root on every call so the 6h stale floor above measures
+    // time since the owner LAST ASKED for the path, and a concurrent
+    // process can never sweep a live session's tree mid-probe
+    if (out.exists) out.setLastModified(System.currentTimeMillis): Unit
     scratchCreated.add(out.getPath): Unit
     out
   }

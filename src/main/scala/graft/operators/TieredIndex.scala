@@ -201,7 +201,16 @@ object TieredIndex {
         val ch = java.nio.channels.FileChannel.open(f.toPath, WRITE)
         try ch.force(true)
         finally ch.close()
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        // keep going (one unforceable file must not fail the mutation —
+        // the segment data itself is intact), but make the durability
+        // degradation OBSERVABLE: silently swallowing the failure would
+        // let the power-loss guarantee decay with no signal
+        case e: java.io.IOException =>
+          System.err.println(
+            s"TieredIndex: fsync failed for ${f.getPath} (${e.getMessage}) — " +
+              "power-loss durability degraded to process-kill safety for this file")
+      }
     }
   }
 

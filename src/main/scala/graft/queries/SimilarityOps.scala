@@ -1811,12 +1811,19 @@ object SimilarityOps {
 
   /** Pack a per-subspace assignment (vec_id, ccid, m, cid) into the
     * 4-bit x 8 non-negative BIGINT code — the q206 artifact format and
-    * the q210 append rows; [[unpackCodes]] is its exact inverse.
+    * the q210 append rows; [[unpackCodes]] is its exact inverse. Guard:
+    * a cid outside [0, 16) — e.g. a DEEP (K=256) assignment wired here
+    * instead of the hex packing — would silently corrupt codes, so it
+    * fails the job loudly instead (one comparison per row).
     */
   private[graft] def packCodes(enc: DataFrame): DataFrame =
     enc
       .groupBy(col("vec_id"), col("ccid"))
-      .agg(expr("CAST(sum(cid * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"))
+      .agg(expr(
+        "CAST(sum((CASE WHEN cid >= 0 AND cid < 16 THEN cid ELSE " +
+          "CAST(raise_error(concat('packCodes: cid ', CAST(cid AS STRING), " +
+          "' outside the 4-bit range — use the K=256-capable hex packing')) AS BIGINT) END) " +
+          "* shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("code"))
 
   /** Unpack (vec_id, ccid, code) artifact rows back to (vec_id, ccid,
     * m, cid) — integer div/mod on non-negative codes, so Spark div ==

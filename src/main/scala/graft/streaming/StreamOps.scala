@@ -530,6 +530,16 @@ object StreamOps {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // REPLAY GUARD — foreachBatch is at-least-once: if a batch
+            // crashed AFTER its index append committed (watermark
+            // advanced) but BEFORE the streaming checkpoint commit, the
+            // replay's anti-join would see the batch's OWN hashes, surv
+            // would recompute empty, and the overwrite below would
+            // clobber the batch's previously-written correct survivors.
+            // The survivor write commits before the index append, so a
+            // committed watermark implies the survivors are already
+            // durable — skip the whole body.
+            if (bid > graft.operators.TieredIndex.lastBatch(indexDir)) {
             val ss = batch.sparkSession
             // hash the arrivals ONCE (first-of-hash agg + survivors
             // join both consume this — q136's checkpoint rationale)
@@ -559,6 +569,7 @@ object StreamOps {
             // generations reach a fraction of its size. Content-neutral:
             // gate + cumulative-index spec see identical results.
             graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("h"))): Unit
+            }
           }
           .start()
         query.awaitTermination()
@@ -626,6 +637,12 @@ object StreamOps {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // replay guard — a committed watermark implies this batch's
+            // survivors are already durable (q174's rationale): without
+            // it, a replay lands in the window where the bucket index
+            // already holds this batch's buckets, dropExt matches
+            // everything, and the overwrite clobbers correct survivors
+            if (bid > graft.operators.TieredIndex.lastBatch(indexDir)) {
             val ss = batch.sparkSession
             val rows = batch
               .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -652,6 +669,7 @@ object StreamOps {
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
             graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("bucket"))): Unit
+            }
           }
           .start()
         query.awaitTermination()
@@ -724,6 +742,11 @@ object StreamOps {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // replay guard — a committed watermark implies this batch's
+            // survivors are already durable (q174's rationale): without
+            // it, a replay anti-joins against an index that already
+            // holds this batch's hashes and clobbers correct survivors
+            if (bid > graft.operators.TieredIndex.lastBatch(indexDir)) {
             val ss = batch.sparkSession
             // gate the arrivals ONCE (within-batch first-of-hash and
             // the survivors join both consume this)
@@ -746,6 +769,7 @@ object StreamOps {
             // per-batch size/tier-aware maintenance (q174's cycle):
             // deltas-only minors, size-triggered majors; content-neutral
             graft.operators.TieredIndex.maintain(ss, indexDir, Seq(col("cm"))): Unit
+            }
           }
           .start()
         query.awaitTermination()
@@ -867,6 +891,10 @@ object StreamOps {
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // replay guard (q174's rationale) — the append itself
+            // already no-ops on a replayed id; skipping the body spares
+            // the replay the whole frozen-encode recompute as well
+            if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
             val ss = batch.sparkSession
             // frozen-codebook encode of the arrivals: the quantizers
             // come from the artifacts, never from this batch
@@ -877,6 +905,7 @@ object StreamOps {
             graft.operators.TieredIndex.append(ss, codesDir, S.packCodes(enc), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle)
             graft.operators.TieredIndex.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            }
           }
           .start()
         query.awaitTermination()
