@@ -260,10 +260,53 @@ object Bpe {
     * the null pattern as a no-op, so no null cascades into state.
     */
   def trainMergesStats(words: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
+    // AQE is scoped OFF for the training loop (restored in the finally
+    // below): adaptive re-optimization pays off on data-sized shuffle
+    // stages, but this loop's frames are kilobytes at ANY corpus scale
+    // (the pair domain is vocabulary-bound, not corpus-bound) and its
+    // 256 sequential rounds turn the per-stage re-planning into pure
+    // driver overhead — measured at ~26% of the whole query at sf0.1.
+    // The eager checkpoints below keep every heavy action inside this
+    // scope; the value is restored before the learned table is
+    // returned, so the session's scale-out defaults are untouched for
+    // everything else.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = words.sparkSession.conf.get(aqeKey)
+    words.sparkSession.conf.set(aqeKey, "false")
+    try trainMergesStatsLoop(words, steps)
+    finally words.sparkSession.conf.set(aqeKey, aqeWas)
+  }
+
+  private def trainMergesStatsLoop(
+      words: org.apache.spark.sql.DataFrame, steps: Int): org.apache.spark.sql.DataFrame = {
+    // BOTH state frames are single-partitioned for the whole loop, and
+    // every per-round stage then plans with ZERO exchanges: the frames
+    // are kilobytes (~961 rows each on this corpus) while the loop runs
+    // `steps` SEQUENTIAL rounds, so at 256 rounds the wall cost is
+    // per-round scheduling/re-planning, not data (measured x1.14 at
+    // sf1). A SinglePartition child satisfies every distribution
+    // requirement (clustered AND all-tuples), so once the state is
+    // coalesce(1)-ed, the in-loop groupBy/argmax-agg plan WITHOUT an
+    // exchange — each round is one narrow task chain, and AQE (whose
+    // per-stage re-optimization was measured at ~26% of this query) has
+    // no stage boundaries left to re-plan inside the loop. A real ~50k-
+    // word vocab would raise the partition count with its size — the
+    // knob is the frame's partitioning, not the algorithm.
+    //
+    // `best` stays an AGGREGATE on purpose: an aggregate is a size-
+    // estimation BARRIER. Spelling it as filter(rank = 1) instead lets
+    // SizeInBytesOnlyStats flow the previous round's estimate through
+    // the cross join, whose stats MULTIPLY — the BigInt digit count
+    // then compounds Fibonacci-style across rounds and by round ~30 the
+    // driver is doing million-digit multiplications inside the stats
+    // visitor on every localCheckpoint (measured: the loop never
+    // finished; thread dump showed BigInteger.multiplyToomCook3 under
+    // LogicalRDD.rewriteStatsAndConstraints).
     var vocab = words
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
       .select(expr(wrapSpark("word")).as("s"), col("freq"))
+      .coalesce(1)
       .localCheckpoint(eager = false) // re-read every round
     // the ONE full pair count — every later round maintains it by deltas
     var counts = vocab
@@ -330,6 +373,10 @@ object Bpe {
       counts = counts
         .select(col("pr"), col("cnt").as("f"))
         .unionAll(deltas)
+        // coalesce BEFORE the groupBy: the union's three single-
+        // partition legs merge narrowly, and the aggregate on a
+        // SinglePartition child plans with no exchange at all
+        .coalesce(1)
         .groupBy(col("pr"))
         .agg(sum(col("f")).as("cnt"))
         .filter(col("cnt") > 0)
