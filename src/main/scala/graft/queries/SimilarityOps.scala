@@ -1715,7 +1715,8 @@ object SimilarityOps {
   /** IVFADC TRAINING — one definition site for q204 (K=16, 1 Lloyd
     * round), q208 (K=256-capable, 2 rounds) and the q206 artifact
     * builder. Coarse 16-cell integer-L2 quantizer (cells = vec_ids
-    * 0..15) partitions the corpus into inverted lists; residuals =
+    * 0..15 Lloyd-trained `coarseRounds` deep, see [[coarseCells]])
+    * partitions the corpus into inverted lists; residuals =
     * vector - coarse centroid + 2^24 (residuals are NEGATIVE and Spark
     * `div` truncates toward zero where DuckDB `//` floors — the offset
     * keeps every mean input non-negative and cancels in all
@@ -1731,18 +1732,20 @@ object SimilarityOps {
     * residual map, and one assign per round.
     */
   private[graft] def ivfadcTrain(
-      s: SparkSession, dir: String, k: Int, rounds: Int)
+      s: SparkSession, dir: String, k: Int, rounds: Int, coarseRounds: Int = 2)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    ivfadcTrainIv(ivecs(s, dir), k, rounds)
+    ivfadcTrainIv(ivecs(s, dir), k, rounds, coarseRounds)
 
   /** [[ivfadcTrain]] over an explicit vector frame — the q210 streaming
     * family trains on the day-0 standing population only and freezes
     * the result, so the training input must be the caller's to filter.
     */
   private[graft] def ivfadcTrainIv(
-      iv: DataFrame, k: Int, rounds: Int)
+      iv: DataFrame, k: Int, rounds: Int, coarseRounds: Int = 2)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cc = coarseCells(iv)
+    // trained cells are a computed plan consumed three ways (coarse
+    // assign, residual map, the caller's probe) — materialize once
+    val cc = coarseCells(iv, coarseRounds).localCheckpoint(eager = false)
     val ca = coarseAssign(iv, cc)
     val rsub = residualSubs(iv, ca, cc)
     val seed = rsub
@@ -1754,13 +1757,37 @@ object SimilarityOps {
     (cc, ca, cb, lloydAssign(rsub, cb).select(col("vec_id"), col("m"), col("cid")))
   }
 
-  /** The 16 coarse cells of a vector frame (its vec_ids < 16) — for the
-    * incremental family the frame is the day-0 corpus, so arrivals can
-    * never shift the cells.
+  /** The 16 coarse cells of a vector frame, Lloyd-TRAINED: seeds = the
+    * frame's vec_ids < 16 (raw vectors — for the incremental family
+    * the frame is the day-0 corpus, so arrivals can never shift the
+    * cells), refined by `rounds` exact-integer Lloyd rounds over the
+    * FULL 64-dim vectors — [[lloydRefine]] at M = 1, the same single
+    * definition site as every residual codebook, so the floor-division
+    * / (dist, cid) tie-break / empty-cell-coalesce invariants cannot
+    * fork between the coarse and fine levels. MEASURED at sf0.01
+    * (refuting the hypothesis that raw cells capped the probe
+    * ceiling): the 2-probe ceiling does NOT move with training —
+    * 52/60 raw, 49 at 1 round, 52 at 2, 49 at 3; on this isotropic
+    * corpus true neighbors straddle list boundaries wherever the
+    * cells sit (q211 gates the trained number cross-engine). What
+    * training DOES buy is smaller residuals (cells move to population
+    * means), i.e. finer residual quantization at the same code
+    * budget: deep (K=256, 2-round) ADC conversion measured 25/60 ->
+    * 31/60, re-ranked recall 50 -> 51 (q208/q212). 2 rounds is the
+    * adopted family default.
     */
-  private def coarseCells(iv: DataFrame): DataFrame =
-    iv.filter(col("vec_id") < 16)
+  private def coarseCells(iv: DataFrame, rounds: Int): DataFrame = {
+    val raw = iv
+      .filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("iv").as("ccv"))
+    if (rounds <= 0) raw
+    else
+      lloydRefine(
+        iv.select(col("vec_id"), lit(0).as("m"), col("iv").as("sv")),
+        raw.select(lit(0).as("m"), col("ccid").as("cid"), col("ccv").as("cv")),
+        rounds)
+        .select(col("cid").as("ccid"), col("cv").as("ccv"))
+  }
 
   /** Coarse argmin assignment (vec_id, ccid) against the broadcast
     * cells — exact-integer L2, ties to the lower ccid ([[lloydAssign]]'s
@@ -1847,7 +1874,8 @@ object SimilarityOps {
     * vec_id, ad) under deterministic (ad, vec_id) ordering.
     */
   private[graft] def ivfadcProbe(
-      q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
+      q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
+      topN: Int = 3): DataFrame = {
     val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
     val probes = q
       .crossJoin(broadcast(cc))
@@ -1876,7 +1904,7 @@ object SimilarityOps {
     val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
     adc
       .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= topN)
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
   }
 
@@ -1967,7 +1995,8 @@ object SimilarityOps {
     * vectors: q210's incremental contract (day-0 trains, arrivals only
     * encode). Empty = train on everything (q204/q206/q208).
     */
-  private def ivfadcSql(k: Int, rounds: Int, trainWhere: String = ""): String = {
+  private def ivfadcSql(
+      k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2): String = {
     val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
     val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
     val fin = s"wc$rounds"
@@ -1976,11 +2005,26 @@ object SimilarityOps {
     val subtCte =
       if (trainWhere.isEmpty) ""
       else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
+    // the COARSE quantizer: raw vec_ids 0..15 as cells at coarseRounds
+    // = 0, else the same cells Lloyd-refined over the FULL vectors as
+    // ONE subspace (m = 0) — the [[coarseCells]] mirror, spelled with
+    // the shared round fragment so the two levels cannot fork. The
+    // training population is the coarse level's too (csub carries
+    // trainWhere — q210's day-0 contract).
+    val csubWhere = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
+    val coarseCtes =
+      if (coarseRounds <= 0)
+        s"wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE $ccWhere)"
+      else
+        s"""gsub AS MATERIALIZED (SELECT vec_id, 0 AS m, iv AS sv FROM t$csubWhere),
+             gini AS (SELECT 0 AS m, vec_id AS cid, iv AS cv FROM t WHERE $ccWhere),
+             ${lloydRoundCtesSql(coarseRounds, "gsub", "gini", "ga", "gm", "gc")},
+             wcc AS MATERIALIZED (SELECT cid AS ccid, cv AS ccv FROM gc$coarseRounds)"""
     s"""WITH t AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
                FROM embeddings),
-             wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE $ccWhere),
+             $coarseCtes,
              wca AS MATERIALIZED (SELECT vec_id, ccid FROM (
                  SELECT t.vec_id, c.ccid,
                    row_number() OVER (PARTITION BY t.vec_id ORDER BY
