@@ -1568,6 +1568,163 @@ object SimilarityOps {
                CAST(coalesce(wh.hits_deep, 0) AS BIGINT) AS hits_deep
              FROM (SELECT DISTINCT qid FROM wb3) b
              LEFT JOIN wh USING (qid) ORDER BY qid""")
+    ),
+    // --------------------------------------------------------------- q211
+    // IVF PROBE-CEILING ledger on the TRAINED coarse quantizer — the
+    // structural recall bound of the whole IVFADC family as a gated
+    // integer: per query, how many of the true (brute-force integer-L2)
+    // top-3 even LIVE inside the 2 probed trained lists. Every ADC/
+    // re-rank number is capped by this; measuring it separates "the
+    // index can't see the neighbor" (a probe/partition problem) from
+    // "the index mis-ranks the neighbor" (a quantization problem).
+    // This query also gates a REFUTATION: the round-11 hypothesis was
+    // that raw seed cells capped the ceiling at 52/60 and Lloyd
+    // training would lift it — measured, the ceiling does NOT move
+    // (52 raw, 49/52/49 at 1/2/3 rounds; on this isotropic corpus true
+    // neighbors straddle list boundaries wherever the cells sit).
+    // Training is still adopted family-wide for what it measurably
+    // does buy: population-mean cells shrink residuals, lifting deep
+    // ADC conversion 25/60 -> 31/60 (q208) at the same code budget.
+    // Scale shape: one corpus-wide coarse argmin against the broadcast
+    // 16-row cells + a 20-query brute side (the fixed labeled recall
+    // contract, corpus-linear) — no pair enumeration.
+    QueryDef(
+      "q211_ivf_probe_ceiling",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val cc = coarseCells(iv, rounds = 2).localCheckpoint(eager = false)
+        val ca = coarseAssign(iv, cc)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
+        val probes = q
+          .crossJoin(broadcast(cc))
+          .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
+          .withColumn("prn", row_number().over(wP))
+          .filter(col("prn") <= 2)
+          .select(col("qid"), col("ccid"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute3
+          .join(ca, "vec_id")
+          .join(probes, Seq("qid", "ccid"), "left_semi")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("hits_ceiling"))
+        brute3
+          .select(col("qid"))
+          .distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(
+            col("qid"), lit(3L).as("k"),
+            coalesce(col("hits_ceiling"), lit(0L)).as("hits_ceiling"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""${ivfCoarseSql("", 2)},
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3),
+             wh AS (SELECT b.qid, count(*) AS hits_ceiling FROM wb3 b
+               JOIN wca a ON b.vec_id = a.vec_id
+               WHERE EXISTS (SELECT 1 FROM wpr p
+                 WHERE p.qid = b.qid AND p.ccid = a.ccid)
+               GROUP BY b.qid)
+             SELECT b.qid, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(wh.hits_ceiling, 0) AS BIGINT) AS hits_ceiling
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN wh USING (qid) ORDER BY qid""")
+    ),
+    // --------------------------------------------------------------- q212
+    // IVFADC + EXACT RE-RANK — production two-stage serving (FAISS's
+    // IndexRefine contract): the deep trained index's ADC stage returns
+    // its top-16 CANDIDATES per query (lossy 4-byte-code distances,
+    // ~2/16 of the corpus scanned), and a refine stage re-ranks just
+    // those 16 by EXACT integer L2 against the original vectors, then
+    // emits top-3. Measured recall@3 at sf0.01: ADC-order 31/60 ->
+    // re-ranked 50/60 against a 52/60 probe ceiling (q211) — the
+    // single biggest recall lever in the family, at a cost of exactly
+    // 16 exact distances per query. Scale shape: the candidate set
+    // (20 x 16 rows) broadcasts into one corpus scan to fetch original
+    // vectors — the refine stage touches only candidate rows, never
+    // re-scans lists (PlanShapeSpec pins broadcast-only, no cartesian).
+    QueryDef(
+      "q212_ivfadc_rerank",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val (cc, ca, cb, a2) = ivfadcTrain(s, dir, k = 256, rounds = 2)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val cand = ivfadcProbe(q, cc, cb, a2.join(ca, "vec_id"), topN = 16)
+          .select(col("qid"), col("vec_id"))
+        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val rr3 = broadcast(cand)
+          .join(iv, "vec_id")
+          .join(broadcast(q), "qid")
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wR))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = brute3
+          .join(rr3, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("hits_rerank"))
+        brute3
+          .select(col("qid"))
+          .distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(
+            col("qid"), lit(3L).as("k"),
+            coalesce(col("hits_rerank"), lit(0L)).as("hits_rerank"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""${ivfadcSql(256, 2)},
+             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+               WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wad16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id),
+             wr3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wrr)
+               WHERE rn <= 3),
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3),
+             wh AS (SELECT wb3.qid, count(*) AS hits_rerank FROM wb3
+               JOIN wr3 USING (qid, vec_id) GROUP BY wb3.qid)
+             SELECT b.qid, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(wh.hits_rerank, 0) AS BIGINT) AS hits_rerank
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN wh USING (qid) ORDER BY qid""")
     )
   )
 
@@ -1995,22 +2152,20 @@ object SimilarityOps {
     * vectors: q210's incremental contract (day-0 trains, arrivals only
     * encode). Empty = train on everything (q204/q206/q208).
     */
-  private def ivfadcSql(
-      k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2): String = {
-    val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
-    val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
-    val fin = s"wc$rounds"
+  /** The shared PREFIX of every coarse-quantizer oracle: integer
+    * vectors `t`, the trained coarse cells `wcc` (raw vec_ids 0..15 at
+    * coarseRounds = 0, else the cells Lloyd-refined over the full
+    * vectors as ONE m = 0 subspace via the shared round fragment — the
+    * [[coarseCells]] mirror, so the two levels cannot fork), the
+    * corpus-wide coarse assignment `wca`, the query batch `wq`, and
+    * each query's 2 probed cells `wpr`. The training population is the
+    * coarse level's too (gsub carries trainWhere — q210's day-0
+    * contract). One definition site for [[ivfadcSql]] (the full ADC
+    * chain) and q211 (the probe-ceiling ledger).
+    */
+  private def ivfCoarseSql(trainWhere: String, coarseRounds: Int): String = {
     val ccWhere =
       if (trainWhere.isEmpty) "vec_id < 16" else s"vec_id < 16 AND ($trainWhere)"
-    val subtCte =
-      if (trainWhere.isEmpty) ""
-      else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
-    // the COARSE quantizer: raw vec_ids 0..15 as cells at coarseRounds
-    // = 0, else the same cells Lloyd-refined over the FULL vectors as
-    // ONE subspace (m = 0) — the [[coarseCells]] mirror, spelled with
-    // the shared round fragment so the two levels cannot fork. The
-    // training population is the coarse level's too (csub carries
-    // trainWhere — q210's day-0 contract).
     val csubWhere = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val coarseCtes =
       if (coarseRounds <= 0)
@@ -2031,6 +2186,24 @@ object SimilarityOps {
                      list_sum(list_transform(generate_series(1, len(t.iv)),
                        j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
                  FROM t CROSS JOIN wcc c) WHERE rk = 1),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
+             wpr AS (SELECT qid, ccid, qiv FROM (
+                 SELECT q.qid, c.ccid, q.qiv,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     list_sum(list_transform(generate_series(1, len(q.qiv)),
+                       j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
+                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2)"""
+  }
+
+  private def ivfadcSql(
+      k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2): String = {
+    val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
+    val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
+    val fin = s"wc$rounds"
+    val subtCte =
+      if (trainWhere.isEmpty) ""
+      else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
+    s"""${ivfCoarseSql(trainWhere, coarseRounds)},
              wrv AS (SELECT a.vec_id, a.ccid,
                  list_transform(generate_series(1, len(t.iv)),
                    j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
@@ -2042,13 +2215,6 @@ object SimilarityOps {
                FROM $trainSub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
              $roundCtes,
              ${lloydFinalAssignSql("wfa", "wsub", fin)},
-             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
-             wpr AS (SELECT qid, ccid, qiv FROM (
-                 SELECT q.qid, c.ccid, q.qiv,
-                   row_number() OVER (PARTITION BY q.qid ORDER BY
-                     list_sum(list_transform(generate_series(1, len(q.qiv)),
-                       j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
-                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2),
              wqr AS (SELECT p.qid, p.ccid,
                  list_transform(generate_series(1, len(p.qiv)),
                    j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv

@@ -405,6 +405,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q212: the exact re-rank stage touches only candidate rows — broadcast fetch, no cartesian") {
+    val p = plan("q212_ivfadc_rerank")
+    // the refine stage's vector fetch joins the tiny (20 x 16-row)
+    // candidate set against the corpus as a BROADCAST — one scan, only
+    // candidate rows survive; nothing enumerates pairs. The native
+    // integer-L2 kernel does every distance (ADC lookup build, exact
+    // re-rank, brute baseline).
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("graft_l2sq"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q206: the probe answers from the artifact — one embeddings scan, broadcast-only joins") {
     val p = plan("q206_ivfadc_probe")
     // build->probe split, physically: training never appears in the

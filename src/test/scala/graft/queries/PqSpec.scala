@@ -109,6 +109,27 @@ class PqSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q211/q212: recall ledger orders as ADC <= re-rank <= probe ceiling") {
+    // the two-stage serving contract: exact re-ranking of ADC's top-16
+    // can only improve on ADC order, and nothing can recall a neighbor
+    // outside the probed lists. STRICT improvement over deep ADC is
+    // the measured point of the refine stage (31/60 -> 50/60 at
+    // sf0.01) — pinned as > rather than >= so a silently disabled
+    // re-rank fails the suite, not just the perf ledger.
+    val adc = graft.SparkEntry
+      .queries("q208_ivfadc_deep_recall")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    val rr = graft.SparkEntry
+      .queries("q212_ivfadc_rerank")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    val ceil = graft.SparkEntry
+      .queries("q211_ivf_probe_ceiling")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(adc < rr, s"re-rank ($rr) did not strictly improve on ADC order ($adc)")
+    assert(rr <= ceil, s"re-rank ($rr) exceeds the probe ceiling ($ceil) — impossible")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q206: the persisted index is built once and probe-equal to inline training") {
     val dir = "/root/testdata/sf0.001"
     val run = graft.SparkEntry.queries("q206_ivfadc_probe")
