@@ -1431,15 +1431,20 @@ object SimilarityOps {
     // codebooks inside every query, where a real vector store trains
     // once and serves probes from the artifact — the q136/q195
     // build->probe split applied to the ANN family). The builder
-    // persists the complete q204 system as three parquet artifacts
-    // under a COMPLETE-marker-committed directory: the 16-row coarse
-    // quantizer, the 128-row residual codebook, and the codes table —
-    // one row per corpus vector holding its coarse list id and its
-    // residual PQ code PACKED 4 bits x 8 subspaces into one BIGINT (4
-    // bytes/vector, the artifact a 100 TB corpus serves from RAM),
-    // range-clustered on ccid so each probe's list membership read is
-    // stats-pruned to ~2/16 of the files (the codes table IS the
-    // inverted lists). The PROBE query re-reads the artifacts, unpacks
+    // persists the complete q204 system as three artifacts under a
+    // COMPLETE-marker-committed directory: the 16-row coarse
+    // quantizer and 128-row residual codebook as plain parquet
+    // (quantizers are immutable once frozen), and the codes table as a
+    // base-only TIERED INDEX — one row per corpus vector holding its
+    // coarse list id and its residual PQ code PACKED 4 bits x 8
+    // subspaces into one BIGINT (4 bytes/vector, the artifact a 100 TB
+    // corpus serves from RAM), range-clustered on ccid so each probe's
+    // list membership read is stats-pruned to ~2/16 of the files (the
+    // codes table IS the inverted lists), and — being a TieredIndex,
+    // not a static dir — the SAME built index accepts q210's
+    // exactly-once streaming appends without a rebuild: one storage
+    // engine serves both lifecycles. The PROBE query re-reads the
+    // artifacts, unpacks
     // codes with integer div/mod (non-negative, so Spark div == DuckDB
     // //), and answers the fixed query batch — per-query M x K lookup
     // table, candidates scored by 8 table lookups, top-3 by ADC
@@ -1458,7 +1463,7 @@ object SimilarityOps {
         val idx = buildIvfAdcIndex(s, dir)
         val cc = s.read.parquet(s"$idx/coarse")
         val cb = s.read.parquet(s"$idx/codebook")
-        val codes = unpackCodes(s.read.parquet(s"$idx/codes"))
+        val codes = unpackCodes(graft.operators.TieredIndex.read(s, s"$idx/codes"))
         val q = ivecs(s, dir)
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -1725,6 +1730,41 @@ object SimilarityOps {
                CAST(coalesce(wh.hits_rerank, 0) AS BIGINT) AS hits_rerank
              FROM (SELECT DISTINCT qid FROM wb3) b
              LEFT JOIN wh USING (qid) ORDER BY qid""")
+    ),
+    // --------------------------------------------------------------- q213
+    // PERSISTED DEEP index, probe-only — the production store gets the
+    // q206 build-once treatment at q208's depth (round-11 verdict #3:
+    // the deep K=256/2-round system — the one a real deployment would
+    // serve — retrained inline on every q208 run). buildIvfAdcIndex
+    // (256, 2) commits the same three-artifact layout with the codes
+    // in the K=256-capable HEX packing (q207's spelling — 4-bit BIGINT
+    // arithmetic cannot hold cid 255 x 8 in a signed long) as a
+    // base-only TieredIndex; the probe answers the fixed query batch
+    // from the artifact alone — per (process, sf-dir) the train cost
+    // is paid once and every later call measures pure probe (PERF.md
+    // quantifies the split vs q208's inline retrain). Output is the
+    // positioned search result (qid, rn, vec_id, ad) — q206's pin,
+    // now at production depth; the oracle replays the whole deep
+    // train+probe chain in one plan, so the gate proves the hex
+    // write -> read -> unpack round-trip loses nothing.
+    QueryDef(
+      "q213_ivfadc_deep_probe",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val cc = s.read.parquet(s"$idx/coarse")
+        val cb = s.read.parquet(s"$idx/codebook")
+        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
+        val q = ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcProbe(q, cc, cb, codes).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcSql(256, 2)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+               SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
     )
   )
 
@@ -2021,6 +2061,31 @@ object SimilarityOps {
           "'cid', (code div shiftleft(CAST(1 AS BIGINT), 4 * m)) % 16))")).as("x"))
       .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
 
+  /** The K=256-capable packing: (vec_id, ccid, m, cid) -> one 16-char
+    * hex string, 8 cells x %02x in subspace order — q207's established
+    * spelling (4-bit arithmetic packing cannot hold cid 255 x 8 slots
+    * in a signed BIGINT without sign traps; hex is byte-identical
+    * across engines). The DEEP persisted index's code format (8 bytes
+    * of information per vector); [[unpackCodesHex]] is its exact
+    * inverse.
+    */
+  private[graft] def packCodesHex(enc: DataFrame): DataFrame =
+    enc
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(m, cid))), " +
+        "p -> format_string('%02x', p.cid)))").as("code_hex"))
+
+  /** Unpack (vec_id, ccid, code_hex) deep-artifact rows back to
+    * (vec_id, ccid, m, cid) — fixed-width substring + base-16 parse.
+    */
+  private[graft] def unpackCodesHex(codes: DataFrame): DataFrame =
+    codes
+      .select(
+        col("vec_id"), col("ccid"),
+        explode(expr("transform(sequence(0, 7), m -> named_struct('m', m, " +
+          "'cid', CAST(conv(substring(code_hex, m * 2 + 1, 2), 16, 10) AS BIGINT)))")).as("x"))
+      .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
+
   /** The IVFADC PROBE path — one definition site for q204/q208 (inline
     * -trained index) and q206 (artifact-read index): each query probes
     * its 2 nearest coarse cells, precomputes a PER-PROBE residual
@@ -2065,31 +2130,48 @@ object SimilarityOps {
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
   }
 
-  /** Build-once persisted IVFADC index (q206): trains the q204 system
-    * and commits three artifacts under one directory — `coarse/` (ccid,
-    * ccv), `codebook/` (m, cid, cv), and `codes/` (vec_id, ccid, code)
-    * with the residual PQ code packed 4 bits x 8 subspaces into one
-    * non-negative BIGINT (4 bytes of information per vector),
-    * range-clustered + sorted on (ccid, vec_id) so the codes table IS
-    * the inverted lists (a probe's membership read stats-prunes to its
-    * 2 lists). The COMPLETE marker is written LAST — the pointer-commit
-    * discipline (TieredIndex): a crashed build leaves no half-index a
-    * reader could resolve, and the next call rebuilds from scratch.
-    * Idempotent per (process, sf-dir): repeat calls — bench passes,
-    * probe-many workloads — return the existing artifact untouched.
+  /** Write the complete IVFADC artifact set for a trained (k, rounds)
+    * system over vector frame `iv` into `root`: `coarse/` (ccid, ccv)
+    * and `codebook/` (m, cid, cv) as plain parquet (quantizers are
+    * immutable once frozen — rebuild-only), and `codes/` as a
+    * base-only TIERED INDEX clustered on (ccid, vec_id) — the codes
+    * table IS the inverted lists (a probe's membership read
+    * stats-prunes to its 2 lists), and because it is a TieredIndex
+    * rather than a static parquet dir, the SAME built index accepts
+    * q210's exactly-once streaming appends and size-aware maintenance
+    * with no rebuild (one storage engine for both lifecycles; file
+    * counts are the index policy's, bytes-derived on compaction).
+    * Shallow (k <= 16) systems pack 4-bit BIGINT codes; deep systems
+    * the K=256-capable hex spelling.
     */
-  private[graft] def buildIvfAdcIndex(s: SparkSession, dir: String): String = {
-    val root = graft.Engine.scratchDir("annidx", dir)
+  private[graft] def writeIvfAdcArtifacts(
+      s: SparkSession, root: String, iv: DataFrame, k: Int, rounds: Int): Unit = {
+    val (cc, ca, cb, a2) = ivfadcTrainIv(iv, k, rounds)
+    cc.coalesce(1).write.parquet(s"$root/coarse")
+    cb.coalesce(1).write.parquet(s"$root/codebook")
+    val enc = a2.join(ca, "vec_id")
+    graft.operators.TieredIndex.create(
+      s, s"$root/codes",
+      if (k <= 16) packCodes(enc) else packCodesHex(enc),
+      4, Seq(col("ccid"), col("vec_id")))
+  }
+
+  /** Build-once persisted IVFADC index (q206 at (16, 1), q213 at
+    * (256, 2)): trains the system and commits the [[writeIvfAdcArtifacts]]
+    * layout under one directory. The COMPLETE marker is written LAST —
+    * the pointer-commit discipline: a crashed build leaves no
+    * half-index a reader could resolve, and the next call rebuilds
+    * from scratch. Idempotent per (process, sf-dir, k): repeat calls —
+    * bench passes, probe-many workloads — return the existing artifact
+    * untouched.
+    */
+  private[graft] def buildIvfAdcIndex(
+      s: SparkSession, dir: String, k: Int = 16, rounds: Int = 1): String = {
+    val root = graft.Engine.scratchDir(s"annidx$k", dir)
     val done = new java.io.File(root, "COMPLETE")
     if (!done.exists) {
       graft.Engine.deleteRecursively(root)
-      val (cc, ca, cb, a2) = ivfadcTrain(s, dir, k = 16, rounds = 1)
-      cc.coalesce(1).write.parquet(s"$root/coarse")
-      cb.coalesce(1).write.parquet(s"$root/codebook")
-      packCodes(a2.join(ca, "vec_id"))
-        .repartitionByRange(4, col("ccid"), col("vec_id"))
-        .sortWithinPartitions(col("ccid"), col("vec_id"))
-        .write.parquet(s"$root/codes")
+      writeIvfAdcArtifacts(s, root.toString, ivecs(s, dir), k, rounds)
       done.createNewFile(): Unit
     }
     root.toString

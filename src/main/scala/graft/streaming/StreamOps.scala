@@ -873,15 +873,15 @@ object StreamOps {
         val work = graft.Engine.scratchDir("q210", dir)
         graft.Engine.deleteRecursively(work)
         // day-0: train on the standing population only; freeze the
-        // quantizers as artifacts, seed the codes index with base codes
-        val (cc0, ca0, cb0, a20) =
-          S.ivfadcTrainIv(S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
-        cc0.coalesce(1).write.parquet(s"$work/coarse")
-        cb0.coalesce(1).write.parquet(s"$work/codebook")
-        val codesDir = s"$work/codes_index"
-        graft.operators.TieredIndex.create(
-          s, codesDir, S.packCodes(a20.join(ca0, "vec_id")), 4,
-          Seq(col("ccid"), col("vec_id")))
+        // quantizers + seed the codes index through the ONE artifact
+        // writer (q206/q213's layout — coarse/codebook parquet, codes
+        // as a base-only TieredIndex), so the streamed appends below
+        // land on exactly the index a batch build produces: one
+        // storage engine, both lifecycles
+        S.writeIvfAdcArtifacts(
+          s, work.toString,
+          S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
+        val codesDir = s"$work/codes"
         val incoming = stageIncoming(s, dir, work.toString, table = "embeddings", idCol = "vec_id")
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)

@@ -179,7 +179,7 @@ class StreamIncrementalSpec extends AnyFunSuite {
   test("q210: frozen quantizers, complete cumulative codes index, searchable arrivals, replay no-op") {
     val result = graft.SparkEntry.queries("q210_ivfadc_stream_append")(spark, dir).collect()
     val work = graft.Engine.scratchDir("q210", dir)
-    val codesDir = s"$work/codes_index"
+    val codesDir = s"$work/codes"
 
     // 1. incremental: one committed offset per staged range file
     val batches = new java.io.File(s"$work/ckpt/commits")
