@@ -1469,12 +1469,7 @@ object SimilarityOps {
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         ivfadcProbe(q, cc, cb, codes).orderBy(col("qid"), col("rn"))
       },
-      Some(s"""${ivfadcSql(16, 1)}
-             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
-               SELECT qid, vec_id, ad,
-                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
-               FROM wadc) r
-             WHERE rn <= 3 ORDER BY qid, rn""")
+      Some(ivfadcProbeOracleSql)
     ),
     // --------------------------------------------------------------- q207
     // DEEP product quantization — K=256-capable 8-bit codes with TWO
@@ -2313,6 +2308,43 @@ object SimilarityOps {
                JOIN wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
                WHERE a.rk = 1 AND p.qid <> a.vec_id
                GROUP BY p.qid, a.vec_id)"""
+  }
+
+  /** The q206 positioned-top-3 probe oracle — full-population (16, 1)
+    * train + probe closed by the (qid, rn, vec_id, ad) SELECT. Shared
+    * verbatim by q215 (a QUERY stream probing the same static
+    * artifact answers each query identically to the batch probe —
+    * same string object, zero drift). A def — eager interpolation
+    * rule.
+    */
+  private[graft] def ivfadcProbeOracleSql: String =
+    s"""${ivfadcSql(16, 1)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+               SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc) r
+             WHERE rn <= 3 ORDER BY qid, rn"""
+
+  /** q214's oracle: the day-0-trained chain (q210's contract) probed
+    * after EVERY micro-batch — for each batch b, the searchable
+    * population is day-0 plus arrivals from batches 0..b (arrival
+    * batch = (vec_id // 5) % 4, the deterministic staging split), and
+    * the per-batch positioned top-3 must match the stream's
+    * between-batch probes exactly. ADC distances are population-
+    * independent (frozen encode), so one wadc serves all four
+    * prefixes. A def — eager interpolation rule.
+    */
+  private[graft] def ivfadcStreamSearchOracleSql: String = {
+    val perBatch = (0 until 4).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id, ad
+             FROM (SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)
+             WHERE rn <= 3"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")}
+             $perBatch
+             ORDER BY batch_id, qid, rn"""
   }
 
   /** q210's oracle: the IVFADC chain trained on the day-0 population

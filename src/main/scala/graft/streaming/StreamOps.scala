@@ -43,6 +43,31 @@ object StreamOps {
     incoming
   }
 
+  /** Stage a frame as `parts` single-file micro-batches under
+    * `work/incoming` with a DETERMINISTIC, SQL-expressible membership:
+    * file k holds the rows where `batchExpr` = k (unlike
+    * [[stageIncoming]]'s range split, whose boundaries come from the
+    * range partitioner's sampling and cannot be replayed by an
+    * oracle). mtimes ascend in k, so the file source's oldest-first
+    * replay makes micro-batch k's id BE k — the q214 per-batch
+    * observables join against the oracle on it.
+    */
+  private def stageBatches(
+      df: org.apache.spark.sql.DataFrame, work: String,
+      batchExpr: org.apache.spark.sql.Column, parts: Int): String = {
+    val incoming = s"$work/incoming"
+    var seen = Set.empty[String]
+    val base = System.currentTimeMillis
+    for (b <- 0 until parts) {
+      df.filter(batchExpr === b).coalesce(1).write.mode("append").parquet(incoming)
+      val fs = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      fs.filterNot(f => seen(f.getName)).foreach(_.setLastModified(base + b * 60000L): Unit)
+      seen = fs.map(_.getName).toSet
+    }
+    incoming
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q90
     QueryDef(
@@ -923,6 +948,126 @@ object StreamOps {
           .orderBy(col("qid"), col("rn"))
       },
       Some(graft.queries.SimilarityOps.ivfadcIncrementalOracleSql)
+    ),
+    // --------------------------------------------------------------- q214
+    // MID-STREAM SEARCHABILITY — the property q210 gates only at
+    // end-of-stream, now gated between every micro-batch: the add()
+    // contract's value is that batch k's vectors are SEARCHABLE at
+    // batch k+1, so after each batch's exactly-once append + per-batch
+    // maintenance, the SAME foreachBatch probes the live index and
+    // persists the positioned top-3 under that batch id. Staging is
+    // the deterministic mod split (arrival batch = (vec_id div 5) % 4)
+    // rather than q174's sampled range split, so the oracle can replay
+    // each PREFIX population exactly: ADC distances are population-
+    // independent (frozen encode), so one oracle-side ADC table
+    // filtered to each prefix reproduces all four probes — 4 gated
+    // probes, 3 of them strictly mid-stream. Exactly-once shape: the
+    // encode+append is watermark-guarded (a replayed batch skips it),
+    // while the probe+write runs unconditionally — at replay time the
+    // index already holds exactly batches <= k, so the overwrite
+    // rewrites identical rows (the probe is deterministic in the
+    // index state its batch committed).
+    QueryDef(
+      "q214_ivfadc_stream_search",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val work = graft.Engine.scratchDir("q214", dir)
+        graft.Engine.deleteRecursively(work)
+        S.writeIvfAdcArtifacts(
+          s, work.toString,
+          S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
+        val codesDir = s"$work/codes"
+        val incoming = stageBatches(
+          graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+          work.toString, expr("(vec_id div 5) % 4"), 4)
+        val probesDir = s"$work/probes"
+        val q = S.ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
+              val enc = S.ivfadcEncode(
+                S.toIv(batch),
+                ss.read.parquet(s"$work/coarse"),
+                ss.read.parquet(s"$work/codebook"))
+              graft.operators.TieredIndex.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+              graft.operators.TieredIndex
+                .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            }
+            // probe the LIVE index this batch just committed into —
+            // batch bid's arrivals must already be hits here
+            S.ivfadcProbe(
+                q,
+                ss.read.parquet(s"$work/coarse"),
+                ss.read.parquet(s"$work/codebook"),
+                S.unpackCodes(graft.operators.TieredIndex.read(ss, codesDir)))
+              .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
+              .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(probesDir)
+          .orderBy(col("batch_id"), col("qid"), col("rn"))
+      },
+      Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql)
+    ),
+    // --------------------------------------------------------------- q215
+    // STREAMING QUERIES over the static ANN artifact — q210/q214's
+    // complement and the other half of production serving: there the
+    // INDEX was live and the query batch fixed; here the index is the
+    // frozen build-once artifact (q206's builder, shared process-wide
+    // cache) and the QUERIES arrive as a stream, probed per
+    // micro-batch (the q149/q192 stream-static pattern applied to
+    // ivfadcProbe). Per-batch cost is O(batch x broadcast quantizers +
+    // 2 probed lists per query); no state store, no index mutation —
+    // the per-batch overwrite dir is exactly-once on replay by itself.
+    // The 4 staged query batches partition the fixed 20-query
+    // contract, so the union of per-batch results answers each query
+    // identically to q206's batch probe — gated by the SAME oracle
+    // string object (zero drift).
+    QueryDef(
+      "q215_ivfadc_stream_queries",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val work = graft.Engine.scratchDir("q215", dir)
+        graft.Engine.deleteRecursively(work)
+        val idx = S.buildIvfAdcIndex(s, dir)
+        val incoming = stageBatches(
+          graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") < 20),
+          work.toString, expr("vec_id div 5"), 4)
+        val probesDir = s"$work/probes"
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            val qb = S.toIv(batch).select(col("vec_id").as("qid"), col("iv").as("qiv"))
+            S.ivfadcProbe(
+                qb,
+                ss.read.parquet(s"$idx/coarse"),
+                ss.read.parquet(s"$idx/codebook"),
+                S.unpackCodes(graft.operators.TieredIndex.read(ss, s"$idx/codes")))
+              .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(probesDir)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(graft.queries.SimilarityOps.ivfadcProbeOracleSql)
     )
   )
 }
