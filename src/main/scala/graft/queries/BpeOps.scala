@@ -196,6 +196,11 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
       .select(expr(wrapSpark("word")).as("s"), col("freq"))
+      // NOT single-partitioned, unlike trainMergesStatsLoop's state:
+      // measured at sf0.1, coalesce(1) here is a slight LOSS (9.1 ->
+      // 9.7 s on q196) — the recount re-explodes the whole vocabulary
+      // every round, so it actually uses the partition parallelism the
+      // delta loop's kilobyte updates cannot
       .localCheckpoint(eager = false) // re-read every round
     val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     for (t <- 1 to steps) {

@@ -1648,11 +1648,11 @@ object SimilarityOps {
     // --------------------------------------------------------------- q212
     // IVFADC + EXACT RE-RANK — production two-stage serving (FAISS's
     // IndexRefine contract): the deep trained index's ADC stage returns
-    // its top-16 CANDIDATES per query (lossy 4-byte-code distances,
+    // its top-16 CANDIDATES per query (lossy quantized-code distances,
     // ~2/16 of the corpus scanned), and a refine stage re-ranks just
     // those 16 by EXACT integer L2 against the original vectors, then
     // emits top-3. Measured recall@3 at sf0.01: ADC-order 31/60 ->
-    // re-ranked 50/60 against a 52/60 probe ceiling (q211) — the
+    // re-ranked 51/60 against a 52/60 probe ceiling (q211) — the
     // single biggest recall lever in the family, at a cost of exactly
     // 16 exact distances per query. Scale shape: the candidate set
     // (20 x 16 rows) broadcasts into one corpus scan to fetch original
@@ -1965,7 +1965,7 @@ object SimilarityOps {
     * training DOES buy is smaller residuals (cells move to population
     * means), i.e. finer residual quantization at the same code
     * budget: deep (K=256, 2-round) ADC conversion measured 25/60 ->
-    * 31/60, re-ranked recall 50 -> 51 (q208/q212). 2 rounds is the
+    * 31/60, re-ranked recall 51/60 (q208/q212). 2 rounds is the
     * adopted family default.
     */
   private def coarseCells(iv: DataFrame, rounds: Int): DataFrame = {
