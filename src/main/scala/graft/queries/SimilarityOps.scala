@@ -1760,6 +1760,151 @@ object SimilarityOps {
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc) r
              WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q216
+    // The COMPLETE SERVING PATH, end to end from the persisted deep
+    // artifact: q213's probe-only read (no training in the query) ->
+    // ADC top-16 candidates -> q212's exact integer-L2 re-rank ->
+    // positioned top-3 WITH the exact distance. This is what a vector
+    // store actually executes per request (FAISS IndexIVFPQ +
+    // IndexRefine over a loaded index); q212 gates the recall of the
+    // same composition but retrains inline and outputs only the
+    // ledger count — here the gate pins the positioned neighbors and
+    // exact distances themselves, probe-only. Per (process, sf-dir)
+    // the deep artifact is shared with q213 (built once, probed
+    // many). Scale shape: artifact-only scans + broadcast joins; the
+    // refine fetch is one broadcast of 320 candidate rows into one
+    // corpus scan.
+    QueryDef(
+      "q216_ivfadc_serve",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val cc = s.read.parquet(s"$idx/coarse")
+        val cb = s.read.parquet(s"$idx/codebook")
+        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
+        val iv = ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val cand = ivfadcProbe(q, cc, cb, codes, topN = 16)
+          .select(col("qid"), col("vec_id"))
+        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        broadcast(cand)
+          .join(iv, "vec_id")
+          .join(broadcast(q), "qid")
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wR).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn"), col("vec_id"), col("d"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcSql(256, 2)},
+             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+               WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wad16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
+               SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wrr) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q217
+    // The nprobe OPERATING CURVE — q187's operating-curve pattern
+    // applied to ANN: recall@3 of the persisted deep index at nprobe
+    // = 1, 2, 4, 8, per query, in one pass. This is the tuning
+    // artifact a production deployment reads to pick its probe count,
+    // and the measured curve is the interesting part: 29/31/30/29 at
+    // sf0.01 — NON-monotone in nprobe, because under LOSSY ADC order
+    // each extra probed list adds quantization-error impostors faster
+    // than it adds true neighbors (the candidate POOL grows
+    // monotonically — q211's ceiling logic — but the top-3 under
+    // approximate distances does not). That is the gated, cross-engine
+    // form of the standard argument for two-stage serving: past a
+    // small nprobe, re-ranking (q212/q216: 51/60), not more probes,
+    // buys recall. One scoring pass at nprobe = 16 (all cells)
+    // carries each candidate's probe rank, so every curve point is a
+    // FILTER over the same scores — the sweep costs one full-corpus
+    // ADC pass (bounded: this is the labeled measurement query; the
+    // serving path stays 2-probe), not four. Output (qid, nprobe, k,
+    // hits); PqSpec pins the nprobe = 2 row equal to q208's ADC
+    // recall — same system through the artifact path.
+    QueryDef(
+      "q217_ann_nprobe_curve",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val cc = s.read.parquet(s"$idx/coarse")
+        val cb = s.read.parquet(s"$idx/codebook")
+        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
+        val iv = ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        // one all-cells scoring pass; every curve point filters it
+        val scores = ivfadcScores(q, cc, cb, codes, nprobe = 16)
+          .localCheckpoint(eager = false)
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false)
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val curve = Seq(1, 2, 4, 8).map { np =>
+          val top3 = scores
+            .filter(col("prn") <= np)
+            .withColumn("rn", row_number().over(wA))
+            .filter(col("rn") <= 3)
+            .select(col("qid"), col("vec_id"))
+          val hits = brute3
+            .join(top3, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("hits"))
+          brute3
+            .select(col("qid"))
+            .distinct()
+            .join(hits, Seq("qid"), "left")
+            .select(
+              col("qid"), lit(np.toLong).as("nprobe"), lit(3L).as("k"),
+              coalesce(col("hits"), lit(0L)).as("hits"))
+        }.reduce(_ unionAll _)
+        curve.orderBy(col("qid"), col("nprobe"))
+      },
+      Some {
+        val perNp = Seq(1, 2, 4, 8).map { np =>
+          s"""SELECT b.qid, CAST($np AS BIGINT) AS nprobe, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN (SELECT wb3.qid, count(*) AS hits FROM wb3
+               JOIN (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+                 FROM wnp WHERE prn <= $np) WHERE rn <= 3) s
+               USING (qid, vec_id) GROUP BY wb3.qid) h USING (qid)"""
+        }.mkString("\n             UNION ALL\n             ")
+        s"""${ivfadcSql(256, 2, nprobe = 16)},
+             wnp AS MATERIALIZED (SELECT a.qid, a.vec_id, a.ad, p.prn
+               FROM wadc a JOIN wca l ON a.vec_id = l.vec_id
+               JOIN wpr p ON p.qid = a.qid AND p.ccid = l.ccid),
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3)
+             $perNp
+             ORDER BY qid, nprobe"""
+      }
     )
   )
 
@@ -2081,45 +2226,57 @@ object SimilarityOps {
           "'cid', CAST(conv(substring(code_hex, m * 2 + 1, 2), 16, 10) AS BIGINT)))")).as("x"))
       .select(col("vec_id"), col("ccid"), col("x.m").as("m"), col("x.cid").as("cid"))
 
-  /** The IVFADC PROBE path — one definition site for q204/q208 (inline
-    * -trained index) and q206 (artifact-read index): each query probes
-    * its 2 nearest coarse cells, precomputes a PER-PROBE residual
-    * M x K lookup table against the broadcast codebook, and scores
-    * ONLY the probed lists' members by 8 table lookups each (~2/16 of
-    * the corpus — the IVF economics). `q` = (qid, qiv); `codes` =
-    * (vec_id, ccid, m, cid). Returns the per-query top-3 (qid, rn,
-    * vec_id, ad) under deterministic (ad, vec_id) ordering.
+  /** The ADC scoring core of the probe path: each query ranks all
+    * coarse cells by exact integer L2, keeps its `nprobe` nearest,
+    * precomputes a PER-PROBE residual M x K lookup table against the
+    * broadcast codebook, and scores the probed lists' members by 8
+    * table lookups each. Returns (qid, vec_id, ad, prn) where `prn`
+    * is the candidate's list's probe rank for that query — the knob
+    * the q217 operating curve sweeps (a candidate lives in exactly one
+    * list, so prn is unique per (qid, vec_id); the min() in the
+    * aggregate just reads it back). `q` = (qid, qiv); `codes` =
+    * (vec_id, ccid, m, cid).
     */
-  private[graft] def ivfadcProbe(
+  private[graft] def ivfadcScores(
       q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
-      topN: Int = 3): DataFrame = {
+      nprobe: Int = 2): DataFrame = {
     val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
     val probes = q
       .crossJoin(broadcast(cc))
       .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
       .withColumn("prn", row_number().over(wP))
-      .filter(col("prn") <= 2)
+      .filter(col("prn") <= nprobe)
       .select(
-        col("qid"), col("ccid"),
+        col("qid"), col("ccid"), col("prn"),
         expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
     val qsubs = probes
       .select(
-        col("qid"), col("ccid"),
+        col("qid"), col("ccid"), col("prn"),
         explode(expr("transform(sequence(0, 7), " +
           "m -> named_struct('m', m, 'qsv', slice(qrv, m * 8 + 1, 8)))")).as("x"))
-      .select(col("qid"), col("ccid"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      .select(col("qid"), col("ccid"), col("prn"), col("x.m").as("m"), col("x.qsv").as("qsv"))
     val pdt = qsubs
       .join(broadcast(cb), Seq("m"))
       .select(
-        col("qid"), col("ccid"), col("m"), col("cid"),
+        col("qid"), col("ccid"), col("prn"), col("m"), col("cid"),
         graft.functions.VectorOps.l2sqLong(col("qsv"), col("cv")).as("pd"))
-    val adc = codes
+    codes
       .join(broadcast(pdt), Seq("ccid", "m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("pd")).as("ad"))
+      .agg(sum(col("pd")).as("ad"), min(col("prn")).as("prn"))
+  }
+
+  /** The IVFADC PROBE path — one definition site for q204/q208 (inline
+    * -trained index) and q206/q213 (artifact-read index): 2 probed
+    * cells ([[ivfadcScores]]), per-query top-N by (ad, vec_id).
+    * Returns (qid, rn, vec_id, ad).
+    */
+  private[graft] def ivfadcProbe(
+      q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
+      topN: Int = 3): DataFrame = {
     val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
-    adc
+    ivfadcScores(q, cc, cb, codes, nprobe = 2)
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= topN)
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
@@ -2240,7 +2397,8 @@ object SimilarityOps {
     * contract). One definition site for [[ivfadcSql]] (the full ADC
     * chain) and q211 (the probe-ceiling ledger).
     */
-  private def ivfCoarseSql(trainWhere: String, coarseRounds: Int): String = {
+  private def ivfCoarseSql(
+      trainWhere: String, coarseRounds: Int, nprobe: Int = 2): String = {
     val ccWhere =
       if (trainWhere.isEmpty) "vec_id < 16" else s"vec_id < 16 AND ($trainWhere)"
     val csubWhere = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
@@ -2264,23 +2422,24 @@ object SimilarityOps {
                        j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
                  FROM t CROSS JOIN wcc c) WHERE rk = 1),
              wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
-             wpr AS (SELECT qid, ccid, qiv FROM (
+             wpr AS (SELECT qid, ccid, qiv, prn FROM (
                  SELECT q.qid, c.ccid, q.qiv,
                    row_number() OVER (PARTITION BY q.qid ORDER BY
                      list_sum(list_transform(generate_series(1, len(q.qiv)),
                        j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
-                 FROM wq q CROSS JOIN wcc c) WHERE prn <= 2)"""
+                 FROM wq q CROSS JOIN wcc c) WHERE prn <= $nprobe)"""
   }
 
   private def ivfadcSql(
-      k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2): String = {
+      k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2,
+      nprobe: Int = 2): String = {
     val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
     val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
     val fin = s"wc$rounds"
     val subtCte =
       if (trainWhere.isEmpty) ""
       else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
-    s"""${ivfCoarseSql(trainWhere, coarseRounds)},
+    s"""${ivfCoarseSql(trainWhere, coarseRounds, nprobe)},
              wrv AS (SELECT a.vec_id, a.ccid,
                  list_transform(generate_series(1, len(t.iv)),
                    j -> t.iv[j] - c.ccv[j] + 16777216) AS rv

@@ -130,6 +130,30 @@ class PqSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q217: the curve's nprobe=2 point equals q208's ADC recall; q216 re-ranks above every point") {
+    // cross-query consistency: q217 probes the PERSISTED deep artifact
+    // while q208 retrains inline — at nprobe = 2 they are the same
+    // system, so the recall totals must agree exactly (a drift here
+    // means the artifact round-trip or the prn plumbing lost
+    // something). And the measured point of the curve: NO nprobe
+    // (1..8) reaches the re-ranked recall — more probes add ADC
+    // impostors faster than true neighbors, re-ranking is the lever.
+    val curve = graft.SparkEntry
+      .queries("q217_ann_nprobe_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val adc = graft.SparkEntry
+      .queries("q208_ivfadc_deep_recall")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(curve(2L) == adc, s"curve@2 (${curve(2L)}) != inline ADC recall ($adc)")
+    val rr = graft.SparkEntry
+      .queries("q212_ivfadc_rerank")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(curve.values.max < rr, s"some nprobe (${curve.values.max}) matched re-rank ($rr)")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q206: the persisted index is built once and probe-equal to inline training") {
     val dir = "/root/testdata/sf0.001"
     val run = graft.SparkEntry.queries("q206_ivfadc_probe")
