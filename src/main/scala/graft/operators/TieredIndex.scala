@@ -184,6 +184,12 @@ object TieredIndex {
     } finally ch.close()
   }
 
+  // one durability-degradation warning per SEGMENT ROOT: a filesystem
+  // that persistently rejects force(true) would otherwise emit one line
+  // per file per segment per batch across a whole streaming window,
+  // burying the signal it exists to surface
+  private val fsyncWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** fsync every regular file under a freshly-written segment, then the
     * segment directory itself. Spark's parquet writer does not force
     * its output: without this, a power loss after the (fsync'd) pointer
@@ -191,9 +197,11 @@ object TieredIndex {
     * the one hole the manifest/pointer fsyncs alone cannot close.
     * O(segment files), paid once per segment write.
     */
-  private def fsyncTree(f: java.io.File): Unit = {
+  private def fsyncTree(f: java.io.File): Unit = fsyncTreeIn(f, f.getPath)
+
+  private def fsyncTreeIn(f: java.io.File, root: String): Unit = {
     if (f.isDirectory) {
-      Option(f.listFiles).getOrElse(Array.empty).foreach(fsyncTree)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(fsyncTreeIn(_, root))
       fsyncDir(f.getPath)
     } else if (f.isFile) {
       import java.nio.file.StandardOpenOption._
@@ -205,11 +213,16 @@ object TieredIndex {
         // keep going (one unforceable file must not fail the mutation —
         // the segment data itself is intact), but make the durability
         // degradation OBSERVABLE: silently swallowing the failure would
-        // let the power-loss guarantee decay with no signal
+        // let the power-loss guarantee decay with no signal. Logged at
+        // most once per segment root — a persistently-unforceable
+        // filesystem keeps the signal readable instead of flooding it.
         case e: java.io.IOException =>
-          System.err.println(
-            s"TieredIndex: fsync failed for ${f.getPath} (${e.getMessage}) — " +
-              "power-loss durability degraded to process-kill safety for this file")
+          if (fsyncWarned.add(root))
+            System.err.println(
+              s"TieredIndex: fsync failed under $root (first: ${f.getPath}, " +
+                s"${e.getMessage}) — power-loss durability degraded to " +
+                "process-kill safety for this segment (further failures " +
+                "under it are not re-logged)")
       }
     }
   }

@@ -271,14 +271,18 @@ object Bpe {
     // (the pair domain is vocabulary-bound, not corpus-bound) and its
     // 256 sequential rounds turn the per-stage re-planning into pure
     // driver overhead — measured at ~26% of the whole query at sf0.1.
-    // The eager checkpoints below keep every heavy action inside this
-    // scope; the value is restored before the learned table is
-    // returned, so the session's scale-out defaults are untouched for
-    // everything else.
+    // The toggle is session-global, so this assumes the session runs
+    // one query at a time (true for the Verify/Bench harness and the
+    // specs — the registry executes serially); a concurrently-planning
+    // query would silently lose AQE for its lifetime. The returned
+    // table is materialized EAGERLY inside the try: without that, the
+    // lazy learned-union (and the tail rounds when steps % 32 != 0)
+    // would actually execute after the finally restores AQE, leaking
+    // part of the loop back into adaptive re-planning.
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = words.sparkSession.conf.get(aqeKey)
     words.sparkSession.conf.set(aqeKey, "false")
-    try trainMergesStatsLoop(words, steps)
+    try trainMergesStatsLoop(words, steps).localCheckpoint()
     finally words.sparkSession.conf.set(aqeKey, aqeWas)
   }
 

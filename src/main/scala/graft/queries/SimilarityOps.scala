@@ -1438,15 +1438,20 @@ object SimilarityOps {
     // base-only TIERED INDEX — one row per corpus vector holding its
     // coarse list id and its residual PQ code PACKED 4 bits x 8
     // subspaces into one BIGINT (4 bytes/vector, the artifact a 100 TB
-    // corpus serves from RAM), range-clustered on ccid so each probe's
-    // list membership read is stats-pruned to ~2/16 of the files (the
-    // codes table IS the inverted lists), and — being a TieredIndex,
+    // corpus serves from RAM), range-clustered on ccid (the codes
+    // table IS the inverted lists), and — being a TieredIndex,
     // not a static dir — the SAME built index accepts q210's
     // exactly-once streaming appends without a rebuild: one storage
-    // engine serves both lifecycles. The PROBE query re-reads the
-    // artifacts, unpacks
-    // codes with integer div/mod (non-negative, so Spark div == DuckDB
-    // //), and answers the fixed query batch — per-query M x K lookup
+    // engine serves both lifecycles. The PROBE (ivfadcProbeIndex)
+    // restricts the packed codes to the probed lists with a LITERAL
+    // pushed ccid predicate — the round-12 fix: the restriction
+    // reaches the Parquet scan itself (PlanShapeSpec pins the pushed
+    // filter), so the ccid-clustered files row-group-prune to ~nprobe/
+    // 16 of the artifact BEFORE the x8 unpack-explode, instead of the
+    // old post-explode BroadcastHashJoin condition that scanned
+    // everything — then unpacks with integer div/mod (non-negative, so
+    // Spark div == DuckDB //) and answers the fixed query batch —
+    // per-query M x K lookup
     // table, candidates scored by 8 table lookups, top-3 by ADC
     // distance with deterministic (ad, vec_id) tiebreaks. Output is
     // the SEARCH RESULT itself (qid, rn, vec_id, ad) — a stronger pin
@@ -1461,13 +1466,10 @@ object SimilarityOps {
       "q206_ivfadc_probe",
       (s, dir) => {
         val idx = buildIvfAdcIndex(s, dir)
-        val cc = s.read.parquet(s"$idx/coarse")
-        val cb = s.read.parquet(s"$idx/codebook")
-        val codes = unpackCodes(graft.operators.TieredIndex.read(s, s"$idx/codes"))
         val q = ivecs(s, dir)
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        ivfadcProbe(q, cc, cb, codes).orderBy(col("qid"), col("rn"))
+        ivfadcProbeIndex(s, idx, q, k = 16).orderBy(col("qid"), col("rn"))
       },
       Some(ivfadcProbeOracleSql)
     ),
@@ -1746,13 +1748,10 @@ object SimilarityOps {
       "q213_ivfadc_deep_probe",
       (s, dir) => {
         val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
-        val cc = s.read.parquet(s"$idx/coarse")
-        val cb = s.read.parquet(s"$idx/codebook")
-        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
         val q = ivecs(s, dir)
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        ivfadcProbe(q, cc, cb, codes).orderBy(col("qid"), col("rn"))
+        ivfadcProbeIndex(s, idx, q, k = 256).orderBy(col("qid"), col("rn"))
       },
       Some(s"""${ivfadcSql(256, 2)}
              SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
@@ -1779,41 +1778,13 @@ object SimilarityOps {
       "q216_ivfadc_serve",
       (s, dir) => {
         val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
-        val cc = s.read.parquet(s"$idx/coarse")
-        val cb = s.read.parquet(s"$idx/codebook")
-        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
         val iv = ivecs(s, dir)
         val q = iv
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        val cand = ivfadcProbe(q, cc, cb, codes, topN = 16)
-          .select(col("qid"), col("vec_id"))
-        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        broadcast(cand)
-          .join(iv, "vec_id")
-          .join(broadcast(q), "qid")
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wR).cast("long"))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("rn"), col("vec_id"), col("d"))
-          .orderBy(col("qid"), col("rn"))
+        ivfadcServe(s, idx, q, iv, k = 256).orderBy(col("qid"), col("rn"))
       },
-      Some(s"""${ivfadcSql(256, 2)},
-             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
-               WHERE rn <= 16),
-             wrr AS (SELECT c.qid, c.vec_id,
-                 list_sum(list_transform(generate_series(1, len(q.qiv)),
-                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM wad16 c JOIN wq q ON c.qid = q.qid
-               JOIN t x ON c.vec_id = x.vec_id)
-             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
-               SELECT qid, vec_id, d,
-                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
-               FROM wrr) r
-             WHERE rn <= 3 ORDER BY qid, rn""")
+      Some(ivfadcServeOracleSql)
     ),
     // --------------------------------------------------------------- q217
     // The nprobe OPERATING CURVE — q187's operating-curve pattern
@@ -2240,12 +2211,7 @@ object SimilarityOps {
   private[graft] def ivfadcScores(
       q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
       nprobe: Int = 2): DataFrame = {
-    val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
-    val probes = q
-      .crossJoin(broadcast(cc))
-      .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
-      .withColumn("prn", row_number().over(wP))
-      .filter(col("prn") <= nprobe)
+    val probes = probeCells(q, cc, nprobe)
       .select(
         col("qid"), col("ccid"), col("prn"),
         expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
@@ -2267,19 +2233,102 @@ object SimilarityOps {
       .agg(sum(col("pd")).as("ad"), min(col("prn")).as("prn"))
   }
 
+  /** Each query's `nprobe` nearest coarse cells — (qid, ccid, prn) with
+    * qiv/ccv still in scope: exact integer L2 against the broadcast
+    * cells, rank ties to the lower ccid. THE one spelling of probe
+    * selection — [[ivfadcScores]] derives its residual tables from it
+    * and [[probedCcids]] its pushed-literal set, so the scan pruning
+    * can never probe different lists than the scorer.
+    */
+  private def probeCells(q: DataFrame, cc: DataFrame, nprobe: Int): DataFrame = {
+    val wP = Window.partitionBy(col("qid")).orderBy(col("qd"), col("ccid"))
+    q.crossJoin(broadcast(cc))
+      .withColumn("qd", graft.functions.VectorOps.l2sqLong(col("qiv"), col("ccv")))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= nprobe)
+  }
+
+  /** The UNION of the query batch's probed cell ids as DRIVER-SIDE
+    * literals — the bounded fetch that turns the probe's inverted-list
+    * restriction into a predicate the Parquet scan can actually use.
+    * Bounded by the index GEOMETRY, not the corpus: <= min(|cells|,
+    * nprobe x |Q|) values (16 at most here), fetched as ONE single-row
+    * aggregate `.head()` — the `DedupOps.sig()` precedent for a
+    * documented scalar driver fetch. The round-12 finding this exists
+    * to close: a restriction expressed only as a BroadcastHashJoin
+    * condition sits ABOVE the x8 unpack-explode and prunes nothing at
+    * the scan (the executed plan showed PushedFilters [IsNotNull]
+    * only), so every probe paid a full codes-artifact read.
+    */
+  private[graft] def probedCcids(q: DataFrame, cc: DataFrame, nprobe: Int): Seq[Long] =
+    probeCells(q, cc, nprobe)
+      .agg(sort_array(collect_set(col("ccid"))).as("cs"))
+      .head()
+      .getSeq[Long](0)
+
   /** The IVFADC PROBE path — one definition site for q204/q208 (inline
-    * -trained index) and q206/q213 (artifact-read index): 2 probed
-    * cells ([[ivfadcScores]]), per-query top-N by (ad, vec_id).
-    * Returns (qid, rn, vec_id, ad).
+    * -trained index) and the artifact families (via
+    * [[ivfadcProbeIndex]]): `nprobe` probed cells ([[ivfadcScores]]),
+    * per-query top-N by (ad, vec_id). Returns (qid, rn, vec_id, ad).
     */
   private[graft] def ivfadcProbe(
       q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
-      topN: Int = 3): DataFrame = {
+      topN: Int = 3, nprobe: Int = 2): DataFrame = {
     val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
-    ivfadcScores(q, cc, cb, codes, nprobe = 2)
+    ivfadcScores(q, cc, cb, codes, nprobe)
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= topN)
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
+  }
+
+  /** PROBE-ONLY serving read of a [[writeIvfAdcArtifacts]] layout — the
+    * one definition site every artifact consumer probes through (q206/
+    * q213/q215/q216 and the streaming append families q210/q214): loads
+    * the frozen quantizers, restricts the PACKED codes to the probed
+    * inverted lists with a LITERAL `ccid IN (...)` filter ([[probedCcids]])
+    * so the predicate reaches the Parquet scan and the ccid-range-
+    * clustered TieredIndex segments row-group-prune to the probed lists
+    * BEFORE the x8 unpack-explode — at 100x corpus scale the probe
+    * reads nprobe/|cells| of the artifact instead of all of it (the
+    * round-12 weak flag; PlanShapeSpec pins the pushed predicate).
+    * Unpacking dispatches on k exactly as the writer packs (<= 16:
+    * 4-bit BIGINT; else hex).
+    */
+  private[graft] def ivfadcProbeIndex(
+      s: SparkSession, root: String, q: DataFrame, k: Int,
+      topN: Int = 3, nprobe: Int = 2): DataFrame = {
+    val cc = s.read.parquet(s"$root/coarse")
+    val cb = s.read.parquet(s"$root/codebook")
+    val packed = graft.operators.TieredIndex
+      .read(s, s"$root/codes")
+      .filter(col("ccid").isin(probedCcids(q, cc, nprobe): _*))
+    val codes = if (k <= 16) unpackCodes(packed) else unpackCodesHex(packed)
+    ivfadcProbe(q, cc, cb, codes, topN, nprobe)
+  }
+
+  /** The COMPLETE two-stage serving request against a persisted
+    * artifact — ADC stage ([[ivfadcProbeIndex]], top-16 candidates from
+    * the probed lists) + refine stage (exact integer L2 of JUST those
+    * candidates against the original vectors `iv`, broadcast fetch,
+    * never a list re-scan) -> positioned top-3 WITH the exact distance:
+    * (qid, rn, vec_id, d). ONE definition site for the batch serve
+    * (q216) and the per-micro-batch query-stream serve (q218), so the
+    * two execution shapes cannot drift.
+    */
+  private[graft] def ivfadcServe(
+      s: SparkSession, root: String, q: DataFrame, iv: DataFrame, k: Int): DataFrame = {
+    val cand = ivfadcProbeIndex(s, root, q, k, topN = 16)
+      .select(col("qid"), col("vec_id"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    broadcast(cand)
+      .join(iv, "vec_id")
+      .join(broadcast(q), "qid")
+      .select(
+        col("qid"), col("vec_id"),
+        graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id"), col("d"))
   }
 
   /** Write the complete IVFADC artifact set for a trained (k, rounds)
@@ -2313,13 +2362,15 @@ object SimilarityOps {
     * layout under one directory. The COMPLETE marker is written LAST —
     * the pointer-commit discipline: a crashed build leaves no
     * half-index a reader could resolve, and the next call rebuilds
-    * from scratch. Idempotent per (process, sf-dir, k): repeat calls —
-    * bench passes, probe-many workloads — return the existing artifact
-    * untouched.
+    * from scratch. Idempotent per (process, sf-dir, k, rounds): repeat
+    * calls — bench passes, probe-many workloads — return the existing
+    * artifact untouched (the cache key carries BOTH training
+    * parameters, so a (256, 0) caller can never resolve a (256, 2)
+    * artifact).
     */
   private[graft] def buildIvfAdcIndex(
       s: SparkSession, dir: String, k: Int = 16, rounds: Int = 1): String = {
-    val root = graft.Engine.scratchDir(s"annidx$k", dir)
+    val root = graft.Engine.scratchDir(s"annidx${k}_$rounds", dir)
     val done = new java.io.File(root, "COMPLETE")
     if (!done.exists) {
       graft.Engine.deleteRecursively(root)
@@ -2482,6 +2533,30 @@ object SimilarityOps {
                SELECT qid, vec_id, ad,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc) r
+             WHERE rn <= 3 ORDER BY qid, rn"""
+
+  /** The q216 end-to-end serving oracle — deep (256, 2) train + probe,
+    * ADC top-16 per query, exact-integer re-rank, positioned top-3
+    * WITH the exact distance. Shared verbatim by q218 (the 4 staged
+    * query micro-batches partition the same fixed 20-query contract,
+    * so the union of per-batch two-stage serves must equal the batch
+    * serve — same string object, zero drift). A def — eager
+    * interpolation rule.
+    */
+  private[graft] def ivfadcServeOracleSql: String =
+    s"""${ivfadcSql(256, 2)},
+             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+               WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wad16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
+               SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wrr) r
              WHERE rn <= 3 ORDER BY qid, rn"""
 
   /** q214's oracle: the day-0-trained chain (q210's contract) probed

@@ -39,7 +39,15 @@ object StreamOps {
       .filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName) // part-00000 = lowest doc_id range
     val base = parts.map(_.lastModified()).max
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 60000L): Unit }
+    // replay order IS the gate's determinism: a filesystem that rejects
+    // setLastModified must fail loudly at staging time, not scramble
+    // micro-batch order into a hard-to-diagnose hash mismatch
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(
+        f.setLastModified(base + i * 60000L),
+        s"stageIncoming: setLastModified failed for ${f.getPath} — " +
+          "file-source replay order would be nondeterministic")
+    }
     incoming
   }
 
@@ -62,7 +70,15 @@ object StreamOps {
       df.filter(batchExpr === b).coalesce(1).write.mode("append").parquet(incoming)
       val fs = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
-      fs.filterNot(f => seen(f.getName)).foreach(_.setLastModified(base + b * 60000L): Unit)
+      // batch-id-equals-k depends on these mtimes: fail loudly if the
+      // filesystem refuses (a slow write's real mtime could otherwise
+      // scramble micro-batch ids and fail the gate undiagnosably)
+      fs.filterNot(f => seen(f.getName)).foreach { f =>
+        require(
+          f.setLastModified(base + b * 60000L),
+          s"stageBatches: setLastModified failed for ${f.getPath} — " +
+            "micro-batch ids would not equal the staged batch numbers")
+      }
       seen = fs.map(_.getName).toSet
     }
     incoming
@@ -940,11 +956,9 @@ object StreamOps {
         val q = S.ivecs(s, dir)
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        S.ivfadcProbe(
-            q,
-            s.read.parquet(s"$work/coarse"),
-            s.read.parquet(s"$work/codebook"),
-            S.unpackCodes(graft.operators.TieredIndex.read(s, codesDir)))
+        // probe through the ONE artifact-serving path: the probed-list
+        // restriction reaches the codes scan as a pushed literal
+        S.ivfadcProbeIndex(s, work.toString, q, k = 16)
           .orderBy(col("qid"), col("rn"))
       },
       Some(graft.queries.SimilarityOps.ivfadcIncrementalOracleSql)
@@ -1004,12 +1018,9 @@ object StreamOps {
                 .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             }
             // probe the LIVE index this batch just committed into —
-            // batch bid's arrivals must already be hits here
-            S.ivfadcProbe(
-                q,
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"),
-                S.unpackCodes(graft.operators.TieredIndex.read(ss, codesDir)))
+            // batch bid's arrivals must already be hits here (via the
+            // one artifact-serving path: pushed-literal list pruning)
+            S.ivfadcProbeIndex(ss, work.toString, q, k = 16)
               .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
               .write.mode("overwrite").parquet(s"$probesDir/b$bid")
           }
@@ -1055,11 +1066,10 @@ object StreamOps {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
             val qb = S.toIv(batch).select(col("vec_id").as("qid"), col("iv").as("qiv"))
-            S.ivfadcProbe(
-                qb,
-                ss.read.parquet(s"$idx/coarse"),
-                ss.read.parquet(s"$idx/codebook"),
-                S.unpackCodes(graft.operators.TieredIndex.read(ss, s"$idx/codes")))
+            // per-batch probe through the one artifact-serving path —
+            // here the pruning bites hardest: 5 queries probe <= 10 of
+            // the 16 lists, and the pushed literal skips the rest
+            S.ivfadcProbeIndex(ss, idx, qb, k = 16)
               .write.mode("overwrite").parquet(s"$probesDir/b$bid")
           }
           .start()

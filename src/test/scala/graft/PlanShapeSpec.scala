@@ -434,5 +434,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // THE ROUND-12 FIX, pinned at the scan: the probed-list restriction
+    // reaches the codes FileScan as a pushed LITERAL ccid predicate
+    // (In/InSet from the bounded driver fetch), not merely as a join
+    // condition above the unpack-explode — round 12's executed plan
+    // showed PushedFilters [IsNotNull(vec_id), IsNotNull(ccid)] only,
+    // i.e. every probe scanned (and x8-exploded) the whole artifact
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("ivfadcProbeIndex: a single query's codes scan pushes exactly its nprobe probed lists") {
+    // the pruning's operating case — one serving request: the pushed
+    // literal set must be exactly that query's nprobe cells, so the
+    // ccid-clustered artifact row-group-prunes to 2/16 lists (the union
+    // over q206's full 20-query contract legitimately widens; this pins
+    // the per-request economics the inverted-list layout exists for)
+    val S = graft.queries.SimilarityOps
+    val idx = S.buildIvfAdcIndex(spark, dir)
+    val q1 = S
+      .ivecs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 17)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("iv").as("qiv"))
+    val probed = S.probedCcids(q1, spark.read.parquet(s"$idx/coarse"), nprobe = 2)
+    assert(probed.length == 2, s"probed set $probed")
+    val p = S.ivfadcProbeIndex(spark, idx, q1, k = 16)
+      .queryExecution.executedPlan.toString
+    val pushed = s"In\\(ccid, \\[${probed.mkString(",")}\\]".r
+    assert(pushed.findFirstIn(p).isDefined, p.take(3000))
   }
 }
