@@ -1876,6 +1876,120 @@ object SimilarityOps {
              $perNp
              ORDER BY qid, nprobe"""
       }
+    ),
+    // --------------------------------------------------------------- q220
+    // The RE-RANKED operating curve — the decision-grade artifact q217
+    // stops short of: q217 sweeps nprobe under LOSSY ADC order (29/31/
+    // 30/29, non-monotone — each extra list adds quantization-error
+    // impostors), but production serving is two-stage (q212/q216), so
+    // the curve a deployment actually tunes on is recall@3 AFTER the
+    // exact re-rank of the ADC top-16, at nprobe 1/2/4/8. Measured at
+    // sf0.01: 47/51/53/57 — re-ranking restores MONOTONICITY (the
+    // refine stage discards the impostors that bend q217's raw curve)
+    // and puts 4-probe + re-rank (53/60) and 8-probe (57/60) ABOVE
+    // both the 2-probe re-rank point (51/60, == q212, PqSpec-pinned)
+    // AND the 2-probe ceiling itself (52/60, q211) — the gated,
+    // cross-engine justification that once re-ranking exists, MORE
+    // PROBES buy recall again (the probe knob and the refine stage
+    // compose; nprobe=2 is the latency choice, not the recall
+    // optimum). One all-cells scoring pass
+    // carries each candidate's probe rank (q217's sweep economics: the
+    // labeled measurement query pays one full-corpus ADC pass, the
+    // serving path stays pruned); every curve point is a filter +
+    // re-rank over the same scores, and every re-rank fetch is a
+    // broadcast of <= 320 candidate rows into the checkpointed corpus
+    // — 4 curve points cost 4 broadcast joins, never a list re-scan.
+    QueryDef(
+      "q220_ann_rerank_curve",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val cc = s.read.parquet(s"$idx/coarse")
+        val cb = s.read.parquet(s"$idx/codebook")
+        val codes = unpackCodesHex(graft.operators.TieredIndex.read(s, s"$idx/codes"))
+        val iv = ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        // one all-cells scoring pass; every curve point filters it
+        val scores = ivfadcScores(q, cc, cb, codes, nprobe = 16)
+          .localCheckpoint(eager = false)
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val brute3 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint(eager = false)
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val curve = Seq(1, 2, 4, 8).map { np =>
+          val cand16 = scores
+            .filter(col("prn") <= np)
+            .withColumn("rn", row_number().over(wA))
+            .filter(col("rn") <= 16)
+            .select(col("qid"), col("vec_id"))
+          val rr3 = broadcast(cand16)
+            .join(iv, "vec_id")
+            .join(broadcast(q), "qid")
+            .select(
+              col("qid"), col("vec_id"),
+              graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+            .withColumn("rn", row_number().over(wR))
+            .filter(col("rn") <= 3)
+            .select(col("qid"), col("vec_id"))
+          val hits = brute3
+            .join(rr3, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("hits"))
+          brute3
+            .select(col("qid"))
+            .distinct()
+            .join(hits, Seq("qid"), "left")
+            .select(
+              col("qid"), lit(np.toLong).as("nprobe"), lit(3L).as("k"),
+              coalesce(col("hits"), lit(0L)).as("hits"))
+        }.reduce(_ unionAll _)
+        curve.orderBy(col("qid"), col("nprobe"))
+      },
+      Some {
+        val perNpCtes = Seq(1, 2, 4, 8).map { np =>
+          s"""rc$np AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wnp WHERE prn <= $np) WHERE rn <= 16),
+             rr$np AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM rc$np c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id),
+             rs$np AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM rr$np)
+               WHERE rn <= 3)"""
+        }.mkString(",\n             ")
+        val perNp = Seq(1, 2, 4, 8).map { np =>
+          s"""SELECT b.qid, CAST($np AS BIGINT) AS nprobe, CAST(3 AS BIGINT) AS k,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+             FROM (SELECT DISTINCT qid FROM wb3) b
+             LEFT JOIN (SELECT wb3.qid, count(*) AS hits FROM wb3
+               JOIN rs$np s USING (qid, vec_id) GROUP BY wb3.qid) h USING (qid)"""
+        }.mkString("\n             UNION ALL\n             ")
+        s"""${ivfadcSql(256, 2, nprobe = 16)},
+             wnp AS MATERIALIZED (SELECT a.qid, a.vec_id, a.ad, p.prn
+               FROM wadc a JOIN wca l ON a.vec_id = l.vec_id
+               JOIN wpr p ON p.qid = a.qid AND p.ccid = l.ccid),
+             $perNpCtes,
+             wbs AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             wb3 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM wbs)
+               WHERE rn <= 3)
+             $perNp
+             ORDER BY qid, nprobe"""
+      }
     )
   )
 
@@ -2559,16 +2673,18 @@ object SimilarityOps {
                FROM wrr) r
              WHERE rn <= 3 ORDER BY qid, rn"""
 
-  /** q214's oracle: the day-0-trained chain (q210's contract) probed
-    * after EVERY micro-batch — for each batch b, the searchable
-    * population is day-0 plus arrivals from batches 0..b (arrival
-    * batch = (vec_id // 5) % 4, the deterministic staging split), and
-    * the per-batch positioned top-3 must match the stream's
+  /** q214's oracle (and, at (256, 2), q219's): the day-0-trained chain
+    * (q210's contract) probed after EVERY micro-batch — for each batch
+    * b, the searchable population is day-0 plus arrivals from batches
+    * 0..b (arrival batch = (vec_id // 5) % 4, the deterministic staging
+    * split), and the per-batch positioned top-3 must match the stream's
     * between-batch probes exactly. ADC distances are population-
     * independent (frozen encode), so one wadc serves all four
-    * prefixes. A def — eager interpolation rule.
+    * prefixes. Parameterized on the system depth — shallow (16, 1) for
+    * q214, production (256, 2) for q219 — with everything else shared
+    * to the character. A def — eager interpolation rule.
     */
-  private[graft] def ivfadcStreamSearchOracleSql: String = {
+  private[graft] def ivfadcStreamSearchOracleSql(k: Int = 16, rounds: Int = 1): String = {
     val perBatch = (0 until 4).map { b =>
       s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id, ad
              FROM (SELECT qid, vec_id, ad,
@@ -2576,7 +2692,7 @@ object SimilarityOps {
                FROM wadc WHERE vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)
              WHERE rn <= 3"""
     }.mkString("\n             UNION ALL\n             ")
-    s"""${ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")}
+    s"""${ivfadcSql(k, rounds, trainWhere = "vec_id % 5 <> 0")}
              $perBatch
              ORDER BY batch_id, qid, rn"""
   }

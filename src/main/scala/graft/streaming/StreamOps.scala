@@ -84,6 +84,74 @@ object StreamOps {
     incoming
   }
 
+  /** The MID-STREAM-SEARCHABILITY lifecycle at system depth (k,
+    * rounds) — ONE definition site for q214 (16, 1) and q219 (256, 2),
+    * so the shallow gate and the production-depth gate run the same
+    * code object: day-0 trains on the standing population (vec_id % 5
+    * <> 0) and freezes its quantizers + codes through the unified
+    * artifact writer; today's vectors arrive as 4 deterministic-mod
+    * micro-batches; each batch frozen-encodes its arrivals, packs at
+    * the writer's own depth dispatch (<= 16: 4-bit BIGINT, else the
+    * K=256-capable hex), appends exactly-once (batchId watermark),
+    * maintains, and then probes the LIVE index through the pruned
+    * artifact-serving path — batch bid's arrivals must already be hits
+    * in probe bid. The encode+append is watermark-guarded while the
+    * probe+write runs unconditionally (idempotent overwrite — q214's
+    * replay-window rationale). Output: (batch_id, qid, rn, vec_id, ad),
+    * 4 gated probes, 3 strictly mid-stream.
+    */
+  private def ivfadcStreamSearch(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val S = graft.queries.SimilarityOps
+    val work = graft.Engine.scratchDir(tag, dir)
+    graft.Engine.deleteRecursively(work)
+    S.writeIvfAdcArtifacts(
+      s, work.toString,
+      S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = k, rounds = rounds)
+    val codesDir = s"$work/codes"
+    val incoming = stageBatches(
+      graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+      work.toString, expr("(vec_id div 5) % 4"), 4)
+    val probesDir = s"$work/probes"
+    val q = S.ivecs(s, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      .localCheckpoint()
+    val stream = s.readStream
+      .schema(s.read.parquet(incoming).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incoming)
+    val query = stream.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val ss = batch.sparkSession
+        if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
+          val enc = S.ivfadcEncode(
+            S.toIv(batch),
+            ss.read.parquet(s"$work/coarse"),
+            ss.read.parquet(s"$work/codebook"))
+          // pack at the index's own depth — the same dispatch the
+          // artifact writer used for the day-0 base segment
+          val packed = if (k <= 16) S.packCodes(enc) else S.packCodesHex(enc)
+          graft.operators.TieredIndex.append(ss, codesDir, packed, batchId = bid)
+          graft.operators.TieredIndex
+            .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+        }
+        // probe the LIVE index this batch just committed into —
+        // batch bid's arrivals must already be hits here (via the
+        // one artifact-serving path: pushed-literal list pruning)
+        S.ivfadcProbeIndex(ss, work.toString, q, k = k)
+          .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
+          .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+      }
+      .start()
+    query.awaitTermination()
+    s.read.option("recursiveFileLookup", "true").parquet(probesDir)
+      .orderBy(col("batch_id"), col("qid"), col("rn"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q90
     QueryDef(
@@ -983,22 +1051,60 @@ object StreamOps {
     // index state its batch committed).
     QueryDef(
       "q214_ivfadc_stream_search",
+      (s, dir) => ivfadcStreamSearch(s, dir, tag = "q214", k = 16, rounds = 1),
+      Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql())
+    ),
+    // --------------------------------------------------------------- q219
+    // Mid-stream searchability at PRODUCTION DEPTH — q214's add()
+    // lifecycle run on the (K=256, 2-round) hex-packed system a real
+    // deployment serves (round-12 verdict #3: the unified-storage
+    // claim was gated at shallow depth only — the deep index had the
+    // build-once path (q213) but never the streaming add() path). The
+    // ONE parameterized lifecycle ([[ivfadcStreamSearch]]) runs both:
+    // day-0 trains deep on the standing population and freezes, each
+    // micro-batch frozen-encodes its arrivals, packs the K=256-capable
+    // HEX codes (the same writer dispatch as writeIvfAdcArtifacts —
+    // 4-bit BIGINT would sign-trap at cid 255), appends exactly-once,
+    // maintains, and probes the live index through the pruned
+    // artifact-serving path. 4 gated probes, 3 strictly mid-stream;
+    // the oracle is the q214 chain generalized to (256, 2) — the
+    // SAME def, different depth arguments, so the two gates cannot
+    // drift structurally. At 100 TB this is the system the claim is
+    // about: 8-byte hex codes per vector, O(batch) ingest, probes
+    // reading only the probed lists.
+    QueryDef(
+      "q219_ivfadc_deep_stream_search",
+      (s, dir) => ivfadcStreamSearch(s, dir, tag = "q219", k = 256, rounds = 2),
+      Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql(256, 2))
+    ),
+    // --------------------------------------------------------------- q218
+    // TWO-STAGE SERVING on the query stream — the round-12 verdict's
+    // composition gap: q215 served raw ADC order per micro-batch while
+    // the +20-recall-point exact re-rank (q212/q216) existed only on
+    // the batch path; a production query stream runs BOTH stages per
+    // request. Each arriving query micro-batch now executes the
+    // COMPLETE q216 request against the build-once deep artifact —
+    // pruned-scan ADC probe -> top-16 candidates -> exact integer-L2
+    // re-rank -> positioned top-3 WITH exact distances — through the
+    // ONE serving definition site (SimilarityOps.ivfadcServe: the
+    // batch and stream shapes are the same code object). The 4 staged
+    // batches partition the fixed 20-query contract, so the union of
+    // per-batch serves must equal q216's batch serve exactly — gated
+    // by the SAME oracle string object (zero drift). Per-batch cost:
+    // broadcast quantizers + the probed lists + 16 exact distances
+    // per query; no state store, no index mutation; the per-batch
+    // overwrite dir is exactly-once on replay by itself.
+    QueryDef(
+      "q218_ivfadc_stream_serve",
       (s, dir) => {
         val S = graft.queries.SimilarityOps
-        val work = graft.Engine.scratchDir("q214", dir)
+        val work = graft.Engine.scratchDir("q218", dir)
         graft.Engine.deleteRecursively(work)
-        S.writeIvfAdcArtifacts(
-          s, work.toString,
-          S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
-        val codesDir = s"$work/codes"
+        val idx = S.buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
         val incoming = stageBatches(
-          graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
-          work.toString, expr("(vec_id div 5) % 4"), 4)
-        val probesDir = s"$work/probes"
-        val q = S.ivecs(s, dir)
-          .filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-          .localCheckpoint()
+          graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") < 20),
+          work.toString, expr("vec_id div 5"), 4)
+        val servesDir = s"$work/serves"
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -1008,28 +1114,19 @@ object StreamOps {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
-            if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
-              val enc = S.ivfadcEncode(
-                S.toIv(batch),
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"))
-              graft.operators.TieredIndex.append(ss, codesDir, S.packCodes(enc), batchId = bid)
-              graft.operators.TieredIndex
-                .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
-            }
-            // probe the LIVE index this batch just committed into —
-            // batch bid's arrivals must already be hits here (via the
-            // one artifact-serving path: pushed-literal list pruning)
-            S.ivfadcProbeIndex(ss, work.toString, q, k = 16)
-              .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
-              .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+            val qb = S.toIv(batch).select(col("vec_id").as("qid"), col("iv").as("qiv"))
+            // the full two-stage request per micro-batch: probe the
+            // artifact (pruned scan), re-rank the 16 candidates by
+            // exact distance against the corpus vectors
+            S.ivfadcServe(ss, idx, qb, S.ivecs(ss, dir), k = 256)
+              .write.mode("overwrite").parquet(s"$servesDir/b$bid")
           }
           .start()
         query.awaitTermination()
-        s.read.option("recursiveFileLookup", "true").parquet(probesDir)
-          .orderBy(col("batch_id"), col("qid"), col("rn"))
+        s.read.option("recursiveFileLookup", "true").parquet(servesDir)
+          .orderBy(col("qid"), col("rn"))
       },
-      Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql)
+      Some(graft.queries.SimilarityOps.ivfadcServeOracleSql)
     ),
     // --------------------------------------------------------------- q215
     // STREAMING QUERIES over the static ANN artifact — q210/q214's

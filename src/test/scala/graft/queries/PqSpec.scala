@@ -154,6 +154,39 @@ class PqSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q220: re-rank curve@2 equals q212 per query; re-ranking restores monotone nprobe gains") {
+    // the decision-grade curve: at nprobe = 2 the artifact-path
+    // re-rank IS q212's inline-trained composition, so the per-query
+    // hit counts must agree exactly (not just the total — a
+    // compensating per-query drift would mean the artifact round-trip
+    // or the prn plumbing diverged). And the measured point of the
+    // query: unlike q217's raw-ADC curve (non-monotone — extra lists
+    // add quantization impostors), the RE-RANKED curve must be
+    // non-decreasing in nprobe, and its widest point must beat the
+    // 2-probe point — once the refine stage exists, more probes buy
+    // recall again (47/51/53/57 at sf0.01).
+    val curve = graft.SparkEntry
+      .queries("q220_ann_rerank_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val at2 = curve.filter(_._2 == 2L).map(t => (t._1, t._3)).toMap
+    val q212 = graft.SparkEntry
+      .queries("q212_ivfadc_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    assert(at2 == q212, s"curve@2 per-query hits diverged from q212: $at2 vs $q212")
+    val totals = curve.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ordered = Seq(1L, 2L, 4L, 8L).map(totals)
+    assert(
+      ordered == ordered.sorted,
+      s"re-ranked curve not monotone in nprobe: $ordered")
+    assert(
+      ordered.last > totals(2L),
+      s"widest re-ranked point (${ordered.last}) did not beat 2-probe (${totals(2L)})")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("q206: the persisted index is built once and probe-equal to inline training") {
     val dir = "/root/testdata/sf0.001"
     val run = graft.SparkEntry.queries("q206_ivfadc_probe")
