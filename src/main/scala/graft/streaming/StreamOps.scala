@@ -1126,7 +1126,7 @@ object StreamOps {
         s.read.option("recursiveFileLookup", "true").parquet(servesDir)
           .orderBy(col("qid"), col("rn"))
       },
-      Some(graft.queries.SimilarityOps.ivfadcServeOracleSql)
+      Some(graft.queries.SimilarityOps.ivfadcServeOracleSql())
     ),
     // --------------------------------------------------------------- q215
     // STREAMING QUERIES over the static ANN artifact — q210/q214's
