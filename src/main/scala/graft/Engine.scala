@@ -24,6 +24,23 @@ object Engine {
     f.delete(): Unit
   }
 
+  /** cp -r — the shared recursive copy (q222 snapshots the build-once
+    * ANN artifact before mutating it: the process-wide cache is served
+    * read-only to every other consumer, so a retraction query clones
+    * its own working copy — the restore-then-retract shape).
+    */
+  def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs(): Unit
+      Option(src.listFiles)
+        .getOrElse(Array.empty)
+        .foreach(f => copyRecursively(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(
+        src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** Per-PROCESS scratch namespace token. Scratch paths keyed only on
     * the sf-dir hash collide when two concurrent sessions gate the same
     * data directory (both delete/rewrite the same tmp path — the q195

@@ -64,7 +64,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * anti/semi-join probes that consume the index read stats-pruned
   * sorted parquet — the property the day-0 `Layout.compact` gave,
   * preserved per tier. Readers take the UNION of segments (an index is
-  * a set; cross-segment overlap is harmless and expected in an LSM).
+  * a set; cross-segment overlap is harmless and expected in an LSM),
+  * minus any TOMBSTONES ([[delete]]) applied order-aware: a tombstone
+  * masks rows committed before it and is physically absorbed — rows
+  * removed, tombstone retired — by the same compaction cycle, so
+  * deletes are O(keys) at issue time and amortize into maintenance.
   */
 object TieredIndex {
 
@@ -318,13 +322,55 @@ object TieredIndex {
   }
 
   /** The current generation as ONE DataFrame — the union of the live
-    * manifest's segments. Resolved once; the plan keeps reading this
+    * manifest's data segments, with TOMBSTONES applied order-aware
+    * (see [[delete]]). Resolved once; the plan keeps reading this
     * generation's files even across a concurrent maintenance cycle
-    * (its segments survive GC for one full cycle).
+    * (its segments survive GC for one full cycle). With no tombstones
+    * — every index that never deletes — this is exactly the plain
+    * parquet union it always was: one FileScan, zero joins.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val paths = segs(dir).map(s => new java.io.File(dir, s.name).toString)
-    spark.read.parquet(paths: _*)
+  def read(spark: SparkSession, dir: String): DataFrame = maskedRead(spark, dir, segs(dir))
+
+  // segment names are f"seg-%05d" and [[nextNumber]] is monotone, so
+  // the numeric suffix IS the commit order — the fact the tombstone
+  // semantics hang off
+  private def segNum(name: String): Int = name.stripPrefix("seg-").toInt
+
+  /** The order-aware masked union: each DATA segment's rows are
+    * anti-joined against every tombstone committed AFTER it (tomb num >
+    * seg num) — a delete masks only rows that existed when it was
+    * issued, and a later re-append of the same key is LIVE (the LSM
+    * ordering contract; a plain set-minus would silently swallow
+    * appends that follow a delete). Data segments sharing the same
+    * applicable-tombstone set (tombstone sets are nested suffixes of
+    * the tomb list, so there are <= |tombs|+1 groups) share one branch:
+    * the plan is a union of at most |tombs|+1 parquet reads, each with
+    * its broadcast anti-joins — tombstones are key-only and tiny by
+    * construction. `ss` may mix data and tomb segments; tombs
+    * contribute masking only, never rows.
+    */
+  private def maskedRead(spark: SparkSession, dir: String, ss: Seq[Seg]): DataFrame = {
+    def paths(xs: Seq[Seg]) = xs.map(x => new java.io.File(dir, x.name).toString)
+    val tombs = ss.filter(_.kind == "tomb").sortBy(s => segNum(s.name))
+    val data = ss.filter(_.kind != "tomb")
+    if (tombs.isEmpty) spark.read.parquet(paths(data): _*)
+    else {
+      val tnums = tombs.map(s => segNum(s.name))
+      data
+        .groupBy(d => tnums.count(_ > segNum(d.name)))
+        .toSeq
+        .map { case (k, group) =>
+          val df = spark.read.parquet(paths(group): _*)
+          tombs.takeRight(k).foldLeft(df) { (acc, t) =>
+            val tdf = spark.read.parquet(new java.io.File(dir, t.name).toString)
+            acc.join(
+              org.apache.spark.sql.functions.broadcast(tdf),
+              tdf.columns.toSeq,
+              "left_anti")
+          }
+        }
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Append `df` as a new DELTA segment (one file by default — a
@@ -356,6 +402,40 @@ object TieredIndex {
     commit(
       dir,
       cur :+ Seg("delta", name, segBytes(dir, name)),
+      batch = math.max(batchId, committed))
+  }
+
+  /** RETRACT `keys` from the index (FAISS `remove_ids` / the GDPR
+    * deletion request, LSM edition): appends a TOMBSTONE segment
+    * holding just the key columns — O(keys) work, no existing file
+    * touched, the same pointer-commit crash safety as [[append]].
+    * Readers apply tombstones ORDER-AWARE ([[maskedRead]]): a
+    * tombstone masks rows of segments committed BEFORE it, so a later
+    * re-append of a deleted key is live again — delete/append
+    * interleavings behave exactly like the sequential set operations
+    * they spell. The masked rows are physically removed by the normal
+    * maintenance cycle: every compaction folds its input segments WITH
+    * applicable tombstones applied, and a tombstone is dropped the
+    * moment no remaining data segment predates it (a MAJOR always
+    * clears all of them) — deletes batch up and amortize into the
+    * compactions the index already pays for, never a dedicated
+    * rewrite. Tombstone schema = `keys`' columns, which must be a
+    * subset of the data columns (the anti-join key). `batchId` gives
+    * streaming callers the same exactly-once replay guard as append.
+    */
+  def delete(
+      spark: SparkSession,
+      dir: String,
+      keys: DataFrame,
+      batchId: Long = -1L): Unit = {
+    val (cur, committed) = state(dir)
+    if (batchId >= 0 && batchId <= committed) return
+    val name = f"seg-${nextNumber(dir, "seg-")}%05d"
+    keys.coalesce(1).write.parquet(new java.io.File(dir, name).toString)
+    fsyncTree(new java.io.File(dir, name))
+    commit(
+      dir,
+      cur :+ Seg("tomb", name, segBytes(dir, name)),
       batch = math.max(batchId, committed))
   }
 
@@ -394,31 +474,44 @@ object TieredIndex {
 
     // ---- policy (sizes from the manifest — no filesystem walks)
     val cs = segs(dir)
+    val tombs = cs.filter(_.kind == "tomb")
     val bases = cs.filter(_.kind == "base")
     val tiers = cs.filter(_.kind == "tier")
     val deltas = cs.filter(_.kind == "delta")
     val baseBytes = math.max(1L, bases.map(_.bytes).sum)
-    val smallBytes = (tiers ++ deltas).map(_.bytes).sum
+    // tombstones count toward the small generations: accumulated
+    // deletes eventually trigger the major that physically removes
+    // their rows and retires them
+    val smallBytes = (tiers ++ deltas ++ tombs).map(_.bytes).sum
 
     def compactInto(kind: String, in: Seq[Seg], keep: Seq[Seg], action: String): Maintenance = {
       val bytes = in.map(_.bytes).sum
       val files =
         math.max(if (kind == "base") policy.baseTargetFiles else 1, (bytes / policy.fileBytes).toInt)
-      val paths = in.map(s => new java.io.File(dir, s.name).toString)
+      // fold the inputs WITH tombstones applied per the order contract
+      // (maskedRead: a tomb masks only input rows that predate it) —
+      // the folded segment's fresh highest number is then correct: its
+      // rows post-date every tombstone. A tombstone outlives the
+      // compaction iff some KEPT data segment still predates it (its
+      // masked rows are still physically present there); a major keeps
+      // nothing, so it retires every tombstone.
+      val folded = maskedRead(spark, dir, in ++ tombs)
+      val keepT = tombs.filter(t => keep.exists(d => segNum(d.name) < segNum(t.name)))
       // compactions carry the committed batch watermark forward — a
       // compaction must never make a replayed batch look fresh again
       commit(
         dir,
-        keep :+ writeSegment(spark.read.parquet(paths: _*), dir, kind, files, clusterCols),
+        keep ++ keepT :+ writeSegment(folded, dir, kind, files, clusterCols),
         batch = lastBatch(dir))
       Maintenance(action, in.size, bytes)
     }
 
-    if (smallBytes >= (policy.majorFrac * baseBytes).toLong && (tiers ++ deltas).nonEmpty)
+    if (smallBytes >= (policy.majorFrac * baseBytes).toLong &&
+      (tiers ++ deltas ++ tombs).nonEmpty)
       // MAJOR: the accumulated small generations are a meaningful
       // fraction of the base — fold everything into a fresh base sized
       // by its bytes. The only O(index) rewrite, amortized by majorFrac.
-      compactInto("base", cs, Seq.empty, "major")
+      compactInto("base", bases ++ tiers ++ deltas, Seq.empty, "major")
     else if (tiers.size >= policy.tierMergeAt)
       compactInto("tier", tiers ++ deltas, bases, "tier_merge")
     else if (deltas.size >= policy.minorAt || (force && deltas.nonEmpty))

@@ -2019,6 +2019,60 @@ object SimilarityOps {
           .orderBy(col("qid"), col("rn"))
       },
       Some(ivfadcServeOracleSql(nprobe = 4))
+    ),
+    // --------------------------------------------------------------- q222
+    // DELETE from the live ANN index — the last CRUD op the storage
+    // engine lacked (FAISS remove_ids / the GDPR retraction request):
+    // build/append/probe existed (q213/q210/q206); this gates retract.
+    // The query snapshots the build-once deep artifact (the process-
+    // wide cache is read-only to every other consumer — clone, then
+    // mutate the clone: the restore-then-retract shape), issues ONE
+    // O(keys) TieredIndex.delete for every vec_id % 7 == 3 (a key-only
+    // tombstone segment, no data file touched), then RE-APPENDS the
+    // vec_id % 14 == 3 half of them (frozen-encode against the
+    // unchanged quantizers — a user re-uploading after a retraction),
+    // runs a maintenance cycle (the tombstone-aware compaction folds
+    // the delta with masks applied and RETAINS the tombstone while
+    // base rows still predate it), and probes. The LSM order contract
+    // is the gated point: deleted-and-not-reappended vectors
+    // (vec_id % 14 == 10) must vanish from every top-3 while the
+    // re-appended ones must rank EXACTLY as if never deleted — the
+    // oracle is the deep probe chain with that one exclusion, so any
+    // over-masking (set-minus semantics swallowing the re-append) or
+    // under-masking fails the hash. At 100 TB: the delete is O(keys)
+    // at issue time, masks ride broadcast anti-joins on the probe's
+    // already-pruned scan, and the physical removal amortizes into
+    // the compactions the index already pays for (TieredIndexSpec
+    // pins tombstone retirement).
+    QueryDef(
+      "q222_ivfadc_delete",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val work = graft.Engine.scratchDir("q222", dir)
+        graft.Engine.deleteRecursively(work)
+        graft.Engine.copyRecursively(new java.io.File(idx), work)
+        val codesDir = s"$work/codes"
+        val iv = ivecs(s, dir)
+        graft.operators.TieredIndex.delete(
+          s, codesDir, iv.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        val cc = s.read.parquet(s"$work/coarse")
+        val cb = s.read.parquet(s"$work/codebook")
+        graft.operators.TieredIndex.append(
+          s, codesDir,
+          packCodesHex(ivfadcEncode(iv.filter(col("vec_id") % 14 === 3), cc, cb)))
+        graft.operators.TieredIndex.maintain(
+          s, codesDir, Seq(col("ccid"), col("vec_id")), force = true): Unit
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcProbeIndex(s, work.toString, q, k = 256).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcSql(256, 2)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, ad FROM (
+               SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE vec_id % 14 <> 10) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
     )
   )
 

@@ -154,4 +154,58 @@ class TieredIndexSpec extends AnyFunSuite {
     assert(TieredIndex.read(spark, dir).count() >= 150)
     Engine.releaseScratch(spark)
   }
+
+  test("delete: tombstones mask order-aware, re-appends resurrect, compactions absorb") {
+    import spark.implicits._
+    def keys(ids: Seq[Int]) = ids.map(i => f"k$i%08d").toDF("k")
+    def got(dir: String) =
+      TieredIndex.read(spark, dir).collect().map(_.getString(0)).toSet
+    def all(ids: Seq[Int]) = ids.map(i => f"k$i%08d").toSet
+
+    val dir = tmp("delete")
+    TieredIndex.create(spark, dir, keyed(0 until 1000), 4, Seq(col("k")))
+    TieredIndex.append(spark, dir, keyed(1000 until 1020))
+    // retract keys living in the BASE and in the DELTA: both masked
+    // immediately, O(keys) — no data file rewritten by the delete
+    val filesBefore = TieredIndex.currentFiles(dir).map(_.getPath).toSet
+    TieredIndex.delete(spark, dir, keys((0 until 5) ++ (1000 until 1005)))
+    assert(
+      TieredIndex.currentFiles(dir).map(_.getPath).toSet.intersect(filesBefore) == filesBefore,
+      "delete rewrote a data file")
+    assert(got(dir) == all((5 until 1000) ++ (1005 until 1020)))
+    // ORDER CONTRACT: re-appending 3 of the deleted keys AFTER the
+    // tombstone makes them live again (a set-minus would swallow them)
+    TieredIndex.append(spark, dir, keys(0 until 3))
+    val expected = all((0 until 3) ++ (5 until 1000) ++ (1005 until 1020))
+    assert(got(dir) == expected)
+    // a forced MINOR (major threshold pushed out of reach — the tiny
+    // fixture's parquet per-file overhead would otherwise trip the
+    // size trigger) folds the deltas WITH the tombstone applied; the
+    // tombstone survives (base rows still physically present) and the
+    // result set is unchanged
+    val minor = TieredIndex
+      .maintain(spark, dir, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e9), force = true)
+    assert(minor.action == "minor", s"expected minor, got ${minor.action}")
+    assert(TieredIndex.currentSegments(dir).exists(_._1 == "tomb"), "minor retired a live tombstone")
+    assert(got(dir) == expected)
+    // a MAJOR (threshold any tombstone byte trips) physically removes
+    // the masked base rows and retires every tombstone: the generation
+    // is one plain base again — delete cost fully amortized into the
+    // maintenance the index already pays for
+    val major = TieredIndex
+      .maintain(spark, dir, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e-9))
+    assert(major.action == "major", s"expected major, got ${major.action}")
+    assert(!TieredIndex.currentSegments(dir).exists(_._1 == "tomb"), "major kept a dead tombstone")
+    assert(got(dir) == expected, "major changed the visible set")
+    // the streaming replay guard covers deletes too: a batch-tagged
+    // delete commits its watermark, and a replay of the same batch id
+    // (here carrying a different key set, as a crashed-then-recomputed
+    // batch might) must no-op instead of re-deleting
+    TieredIndex.delete(spark, dir, keys(Seq(900)), batchId = 7L)
+    val afterTagged = expected - f"k${900}%08d"
+    assert(got(dir) == afterTagged)
+    TieredIndex.delete(spark, dir, keys(Seq(5)), batchId = 7L)
+    assert(got(dir) == afterTagged, "a replayed delete re-applied")
+    Engine.releaseScratch(spark)
+  }
 }
