@@ -188,24 +188,27 @@ object TieredIndex {
     } finally ch.close()
   }
 
-  // one durability-degradation warning per SEGMENT ROOT: a filesystem
-  // that persistently rejects force(true) would otherwise emit one line
-  // per file per segment per batch across a whole streaming window,
-  // burying the signal it exists to surface
-  private val fsyncWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** fsync every regular file under a freshly-written segment, then the
     * segment directory itself. Spark's parquet writer does not force
     * its output: without this, a power loss after the (fsync'd) pointer
     * swap could leave CURRENT durably referencing torn segment data —
     * the one hole the manifest/pointer fsyncs alone cannot close.
-    * O(segment files), paid once per segment write.
+    * O(segment files), paid once per segment write. On a filesystem
+    * that rejects force(true), the durability-degradation warning is
+    * logged ONCE PER WALK (= once per segment write, the flag is local
+    * to the call) — not per file, which would flood a streaming window,
+    * and not per process-global path, which would silently drop the
+    * signal for physically NEW segments recreated at a reused scratch
+    * path.
     */
-  private def fsyncTree(f: java.io.File): Unit = fsyncTreeIn(f, f.getPath)
+  private def fsyncTree(f: java.io.File): Unit =
+    fsyncTreeIn(f, f.getPath, new java.util.concurrent.atomic.AtomicBoolean(false))
 
-  private def fsyncTreeIn(f: java.io.File, root: String): Unit = {
+  private def fsyncTreeIn(
+      f: java.io.File, root: String,
+      warned: java.util.concurrent.atomic.AtomicBoolean): Unit = {
     if (f.isDirectory) {
-      Option(f.listFiles).getOrElse(Array.empty).foreach(fsyncTreeIn(_, root))
+      Option(f.listFiles).getOrElse(Array.empty).foreach(fsyncTreeIn(_, root, warned))
       fsyncDir(f.getPath)
     } else if (f.isFile) {
       import java.nio.file.StandardOpenOption._
@@ -217,16 +220,14 @@ object TieredIndex {
         // keep going (one unforceable file must not fail the mutation —
         // the segment data itself is intact), but make the durability
         // degradation OBSERVABLE: silently swallowing the failure would
-        // let the power-loss guarantee decay with no signal. Logged at
-        // most once per segment root — a persistently-unforceable
-        // filesystem keeps the signal readable instead of flooding it.
+        // let the power-loss guarantee decay with no signal
         case e: java.io.IOException =>
-          if (fsyncWarned.add(root))
+          if (warned.compareAndSet(false, true))
             System.err.println(
               s"TieredIndex: fsync failed under $root (first: ${f.getPath}, " +
                 s"${e.getMessage}) — power-loss durability degraded to " +
                 "process-kill safety for this segment (further failures " +
-                "under it are not re-logged)")
+                "in this walk are not re-logged)")
       }
     }
   }

@@ -1298,15 +1298,7 @@ object SimilarityOps {
           .withColumn("rn", row_number().over(wA))
           .filter(col("rn") <= 3)
           .select(col("qid"), col("vec_id"))
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
         val hits = brute3
           .join(adc3, Seq("qid", "vec_id"), "left_semi")
           .groupBy(col("qid"))
@@ -1385,15 +1377,7 @@ object SimilarityOps {
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         val adc3 = ivfadcProbe(q, cc, c1, a2.join(ca, "vec_id"))
           .select(col("qid"), col("vec_id"))
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
         val hits = brute3
           .join(adc3, Seq("qid", "vec_id"), "left_semi")
           .groupBy(col("qid"))
@@ -1531,15 +1515,7 @@ object SimilarityOps {
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         val adc3 = ivfadcProbe(q, cc, cb, a2.join(ca, "vec_id"))
           .select(col("qid"), col("vec_id"))
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
         val hits = brute3
           .join(adc3, Seq("qid", "vec_id"), "left_semi")
           .groupBy(col("qid"))
@@ -1606,15 +1582,7 @@ object SimilarityOps {
           .withColumn("prn", row_number().over(wP))
           .filter(col("prn") <= 2)
           .select(col("qid"), col("ccid"))
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
         val hits = brute3
           .join(ca, "vec_id")
           .join(probes, Seq("qid", "ccid"), "left_semi")
@@ -1670,25 +1638,8 @@ object SimilarityOps {
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         val cand = ivfadcProbe(q, cc, cb, a2.join(ca, "vec_id"), topN = 16)
           .select(col("qid"), col("vec_id"))
-        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val rr3 = broadcast(cand)
-          .join(iv, "vec_id")
-          .join(broadcast(q), "qid")
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wR))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val rr3 = exactRerank(cand, q, iv).select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
         val hits = brute3
           .join(rr3, Seq("qid", "vec_id"), "left_semi")
           .groupBy(col("qid"))
@@ -1820,15 +1771,7 @@ object SimilarityOps {
         // one all-cells scoring pass; every curve point filters it
         val scores = ivfadcScores(q, cc, cb, codes, nprobe = 16)
           .localCheckpoint(eager = false)
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
           .localCheckpoint(eager = false)
         val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
         val curve = Seq(1, 2, 4, 8).map { np =>
@@ -1913,33 +1856,16 @@ object SimilarityOps {
         // one all-cells scoring pass; every curve point filters it
         val scores = ivfadcScores(q, cc, cb, codes, nprobe = 16)
           .localCheckpoint(eager = false)
-        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
-        val brute3 = broadcast(q)
-          .join(iv, col("qid") =!= col("vec_id"))
-          .select(
-            col("qid"), col("vec_id"),
-            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-          .withColumn("rn", row_number().over(wB))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+        val brute3 = bruteTop3(q, iv)
           .localCheckpoint(eager = false)
         val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
-        val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
         val curve = Seq(1, 2, 4, 8).map { np =>
           val cand16 = scores
             .filter(col("prn") <= np)
             .withColumn("rn", row_number().over(wA))
             .filter(col("rn") <= 16)
             .select(col("qid"), col("vec_id"))
-          val rr3 = broadcast(cand16)
-            .join(iv, "vec_id")
-            .join(broadcast(q), "qid")
-            .select(
-              col("qid"), col("vec_id"),
-              graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
-            .withColumn("rn", row_number().over(wR))
-            .filter(col("rn") <= 3)
-            .select(col("qid"), col("vec_id"))
+          val rr3 = exactRerank(cand16, q, iv).select(col("qid"), col("vec_id"))
           val hits = brute3
             .join(rr3, Seq("qid", "vec_id"), "left_semi")
             .groupBy(col("qid"))
@@ -2517,6 +2443,40 @@ object SimilarityOps {
       nprobe: Int = 2): DataFrame = {
     val cand = ivfadcProbeIndex(s, root, q, k, topN = 16, nprobe = nprobe)
       .select(col("qid"), col("vec_id"))
+    exactRerank(cand, q, iv)
+  }
+
+  /** The fixed-20-query BRUTE-FORCE exact top-3 (qid, vec_id) — the
+    * labeled recall baseline every ANN ledger compares against (q204/
+    * q208/q211/q212/q217/q220): exact integer L2 of the broadcast
+    * query batch against the full corpus, ties to the lower vec_id.
+    * ONE definition site so the baseline cannot drift between ledgers
+    * (it was previously spelled inline at each).
+    */
+  private def bruteTop3(q: DataFrame, iv: DataFrame): DataFrame = {
+    val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    broadcast(q)
+      .join(iv, col("qid") =!= col("vec_id"))
+      .select(
+        col("qid"), col("vec_id"),
+        graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** EXACT-L2 RE-RANK of a bounded candidate set (qid, vec_id) — the
+    * refine stage (FAISS IndexRefine): broadcast the candidates into
+    * ONE corpus scan to fetch original vectors, rank by exact integer
+    * L2 with (d, vec_id) ties, keep top-N. Returns (qid, rn, vec_id,
+    * d); recall consumers project (qid, vec_id). ONE definition site
+    * for q212 (inline ledger), q220 (every curve point), and
+    * [[ivfadcServe]] (q216/q218/q221) — the refine spelling cannot
+    * drift between the ledger and the serving path (PqSpec pins
+    * curve@2 == q212 per query, and the gate pins q216 == q218).
+    */
+  private def exactRerank(
+      cand: DataFrame, q: DataFrame, iv: DataFrame, topN: Int = 3): DataFrame = {
     val wR = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
     broadcast(cand)
       .join(iv, "vec_id")
@@ -2525,7 +2485,7 @@ object SimilarityOps {
         col("qid"), col("vec_id"),
         graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
       .withColumn("rn", row_number().over(wR).cast("long"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= topN)
       .select(col("qid"), col("rn"), col("vec_id"), col("d"))
   }
 

@@ -1104,6 +1104,11 @@ object StreamOps {
         val incoming = stageBatches(
           graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") < 20),
           work.toString, expr("vec_id div 5"), 4)
+        // hoisted: the refine stage's corpus frame is one checkpointed
+        // read shared by all 4 micro-batches — calling ivecs inside
+        // foreachBatch would re-scan and re-pin the whole corpus per
+        // batch (ivfadcStreamSearch hoists its reused frames the same way)
+        val iv = S.ivecs(s, dir)
         val servesDir = s"$work/serves"
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
@@ -1118,7 +1123,7 @@ object StreamOps {
             // the full two-stage request per micro-batch: probe the
             // artifact (pruned scan), re-rank the 16 candidates by
             // exact distance against the corpus vectors
-            S.ivfadcServe(ss, idx, qb, S.ivecs(ss, dir), k = 256)
+            S.ivfadcServe(ss, idx, qb, iv, k = 256)
               .write.mode("overwrite").parquet(s"$servesDir/b$bid")
           }
           .start()
