@@ -2718,6 +2718,29 @@ object SimilarityOps {
                FROM wrr) r
              WHERE rn <= 3 ORDER BY qid, rn"""
 
+  /** q223's oracle — the DELETE symmetric of [[ivfadcStreamSearchOracleSql]]:
+    * the deep (256, 2) full-population chain probed after every
+    * retraction micro-batch. Batch b deletes the slice {vec_id % 5 ==
+    * 0 AND (vec_id // 5) % 4 == b}, so after batch b the searchable
+    * population is everything EXCEPT slices 0..b — q214's prefix
+    * condition with the comparison flipped (`> b` vs `<= b`). ADC
+    * distances are population-independent (nothing re-encodes on a
+    * delete), so one wadc serves all four shrinking populations. A
+    * def — eager interpolation rule.
+    */
+  private[graft] def ivfadcStreamDeleteOracleSql: String = {
+    val perBatch = (0 until 4).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id, ad
+             FROM (SELECT qid, vec_id, ad,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE vec_id % 5 <> 0 OR (vec_id // 5) % 4 > $b)
+             WHERE rn <= 3"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${ivfadcSql(256, 2)}
+             $perBatch
+             ORDER BY batch_id, qid, rn"""
+  }
+
   /** q214's oracle (and, at (256, 2), q219's): the day-0-trained chain
     * (q210's contract) probed after EVERY micro-batch — for each batch
     * b, the searchable population is day-0 plus arrivals from batches

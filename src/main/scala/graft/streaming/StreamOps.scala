@@ -1133,6 +1133,81 @@ object StreamOps {
       },
       Some(graft.queries.SimilarityOps.ivfadcServeOracleSql())
     ),
+    // --------------------------------------------------------------- q223
+    // STREAMING DELETES from the live ANN index — the retraction
+    // complement of q214/q219's add() gate, and the streaming shape of
+    // q222's batch delete: GDPR/takedown requests arrive as
+    // micro-batches of vec_ids, each issues ONE exactly-once O(keys)
+    // tombstone (TieredIndex.delete with the batchId watermark — a
+    // replayed batch no-ops, same guard as append), per-batch
+    // maintenance runs the delete-aware compaction cycle live (minors
+    // fold with masks applied; a size-triggered major may retire
+    // tombstones mid-stream — content-neutral either way), and the
+    // SAME foreachBatch probes the shrinking index: batch b's
+    // retracted vectors must already be GONE from probe b's top-3s.
+    // The oracle is the mid-stream-searchability chain with the prefix
+    // condition FLIPPED — q214 gates "arrivals <= b searchable", this
+    // gates "deletions <= b unsearchable" (one comparison apart, both
+    // riding the deterministic mod split) — and ADC distances are
+    // population-independent (deletes never re-encode survivors), so
+    // one oracle-side ADC table filtered to each shrinking population
+    // replays all four probes exactly. At 100 TB: each retraction is
+    // O(keys) at issue time, masks ride broadcast anti-joins on the
+    // pruned probe scan, physical removal amortizes into maintenance.
+    QueryDef(
+      "q223_ivfadc_stream_delete",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val work = graft.Engine.scratchDir("q223", dir)
+        graft.Engine.deleteRecursively(work)
+        // snapshot the build-once deep artifact (q222's clone-then-
+        // mutate shape: the process-wide cache stays read-only)
+        graft.Engine.copyRecursively(
+          new java.io.File(S.buildIvfAdcIndex(s, dir, k = 256, rounds = 2)), work)
+        val codesDir = s"$work/codes"
+        // the retraction request stream: 4 deterministic-mod batches
+        // of vec_ids (batch k retracts slice (vec_id div 5) % 4 == k
+        // of the vec_id % 5 == 0 population)
+        val incoming = stageBatches(
+          graft.Engine.table(s, dir, "embeddings")
+            .filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          work.toString, expr("(vec_id div 5) % 4"), 4)
+        val probesDir = s"$work/probes"
+        val q = S.ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            // exactly-once retraction: the tombstone append carries the
+            // batch watermark, so a crashed-then-replayed batch no-ops
+            graft.operators.TieredIndex.delete(
+              ss, codesDir, batch.select(col("vec_id")), batchId = bid)
+            // the delete-aware maintenance cycle, live per batch
+            graft.operators.TieredIndex
+              .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            // probe the SHRUNK index this batch just committed —
+            // batch bid's retractions must already be gone (idempotent
+            // overwrite: the probe is deterministic in the committed
+            // index state, q214's replay rationale)
+            S.ivfadcProbeIndex(ss, work.toString, q, k = 256)
+              .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
+              .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(probesDir)
+          .orderBy(col("batch_id"), col("qid"), col("rn"))
+      },
+      Some(graft.queries.SimilarityOps.ivfadcStreamDeleteOracleSql)
+    ),
     // --------------------------------------------------------------- q215
     // STREAMING QUERIES over the static ANN artifact — q210/q214's
     // complement and the other half of production serving: there the
