@@ -11,10 +11,15 @@
 object RegistryDoc {
   def main(args: Array[String]): Unit = {
     val oracles = graft.SparkEntry.oracleSql.keySet
+    // freshest gate by ROUND NUMBER, not lexicographic name (r9 would
+    // sort after r10) — and the header below names the SELFCHECK overlay
+    // explicitly, so it is clear which labels come from which run
+    // (round-13 verdict #5: the header stamped the previous driver file
+    // while the post-gate rows were actually labeled from SELFCHECK)
     val gateFiles = new java.io.File(".")
       .listFiles
       .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
-      .sortBy(_.getName)
+      .sortBy(f => f.getName.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt)
     val gateName = gateFiles.lastOption.map(_.getName).getOrElse("none yet")
     // tristate per query: true/false = gate verdict; absent = the gate
     // never hash-checked it (new query, or it was rows-only back then —
@@ -78,12 +83,13 @@ object RegistryDoc {
          |
          |${graft.SparkEntry.queries.size} queries; ${oracles.size} oracle-gated,
          |${graft.SparkEntry.queries.size - oracles.size} rows-only (approximate by
-         |design, accuracy-tested in specs). Gate status read from `$gateName`
-         |($nRed mismatch, $nPending pending, $nRedLocal local-selfcheck
-         |mismatch among post-gate queries); a red row fixed after that gate
-         |stays red here until the next driver gate regenerates this file.
-         |See COVERAGE.md for the operator narrative and SURVEY.md §2 for the
-         |reference inventory.
+         |design, accuracy-tested in specs). Labels: driver-gate rows read
+         |from `$gateName` ($nRed mismatch); queries added SINCE that gate
+         |are labeled from `SELFCHECK.json`, this repo's own full local gate
+         |run ($nRedLocal mismatch, $nPending never gated anywhere). A red
+         |row fixed after its gate stays red here until the next gate run
+         |regenerates this file. See COVERAGE.md for the operator narrative
+         |and SURVEY.md §2 for the reference inventory.
          |
          || query | correctness check |
          ||---|---|

@@ -82,13 +82,14 @@ object TieredIndex {
       tierMergeAt: Int = 4,
       majorFrac: Double = 0.2,
       fileBytes: Long = 128L << 20,
-      baseTargetFiles: Int = 4
+      baseTargetFiles: Int = 4,
+      tombMergeAt: Int = 4
   )
 
   /** What one [[maintain]] call did: `action` in none|minor|tier_merge|
-    * major, with the segment count and ON-DISK BYTES the compaction
-    * read — the observable TieredIndexSpec sums to pin that minors
-    * never pay O(base).
+    * major|tomb_merge, with the segment count and ON-DISK BYTES the
+    * compaction read — the observable TieredIndexSpec sums to pin that
+    * minors never pay O(base).
     */
   final case class Maintenance(action: String, segmentsIn: Int, bytesIn: Long)
 
@@ -111,13 +112,16 @@ object TieredIndex {
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
   }
 
+  private def isHeader(l: String): Boolean =
+    l.isEmpty || l.startsWith("batch ") || l.startsWith("dbatch ")
+
   private def readManifest(dir: String, name: String): Seq[Seg] = {
     import scala.jdk.CollectionConverters._
     Files
       .readAllLines(Paths.get(dir, name), StandardCharsets.UTF_8)
       .asScala
       .toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("batch "))
+      .filterNot(isHeader)
       .map { line =>
         val Array(kind, seg, bytes) = line.split(" ", 3)
         Seg(kind, seg, bytes.toLong)
@@ -125,27 +129,32 @@ object TieredIndex {
   }
 
   /** The CURRENT generation in one manifest read: (segments, highest
-    * committed streaming batch id — -1 before any batch-tagged append).
+    * committed streaming APPEND batch id, highest committed streaming
+    * DELETE batch id — each -1 before any batch-tagged mutation of its
+    * kind). The watermarks are SEPARATE on purpose: a CDC upsert+retract
+    * micro-batch issues one [[append]] AND one [[delete]] under the
+    * same foreachBatch batchId, and a shared watermark would silently
+    * no-op whichever came second (the first commit advances it to bid).
     */
-  private def state(dir: String): (Seq[Seg], Long) = {
+  private def state(dir: String): (Seq[Seg], Long, Long) = {
     import scala.jdk.CollectionConverters._
     val lines = Files
       .readAllLines(Paths.get(dir, currentManifest(dir)), StandardCharsets.UTF_8)
       .asScala
       .toSeq
-    val batch = lines
-      .collectFirst { case l if l.startsWith("batch ") => l.stripPrefix("batch ").trim.toLong }
+    def mark(prefix: String): Long = lines
+      .collectFirst { case l if l.startsWith(prefix) => l.stripPrefix(prefix).trim.toLong }
       .getOrElse(-1L)
     val ss = lines
-      .filter(l => l.nonEmpty && !l.startsWith("batch "))
+      .filterNot(isHeader)
       .map { line =>
         val Array(kind, seg, bytes) = line.split(" ", 3)
         Seg(kind, seg, bytes.toLong)
       }
-    (ss, batch)
+    (ss, mark("batch "), mark("dbatch "))
   }
 
-  /** The highest streaming batch id whose append committed into the
+  /** The highest streaming batch id whose APPEND committed into the
     * CURRENT generation (-1 before any batch-tagged append). The
     * exactly-once handle: `foreachBatch` is AT-LEAST-ONCE, so a crashed
     * -then-replayed batch re-runs its [[append]]; recording the batch id
@@ -155,6 +164,11 @@ object TieredIndex {
     * sets, but the duplicate rows stayed in the index forever).
     */
   def lastBatch(dir: String): Long = state(dir)._2
+
+  /** [[lastBatch]]'s DELETE twin: the highest streaming batch id whose
+    * [[delete]] committed into the CURRENT generation.
+    */
+  def lastDeleteBatch(dir: String): Long = state(dir)._3
 
   private def segs(dir: String): Seq[Seg] = readManifest(dir, currentManifest(dir))
 
@@ -255,17 +269,19 @@ object TieredIndex {
     * mutations that never committed — left in place they would
     * masquerade as the "previous generation" to a later maintain()
     * once the pointer moves past them (their segments are swept by
-    * maintain's referenced-set GC). `batch` is the highest committed
-    * streaming batch id, carried in the manifest header (see
-    * [[lastBatch]]).
+    * maintain's referenced-set GC). `batch`/`dbatch` are the highest
+    * committed streaming append/delete batch ids, carried as manifest
+    * header lines (see [[lastBatch]]/[[lastDeleteBatch]]).
     */
-  private def commit(dir: String, newSegs: Seq[Seg], batch: Long): Unit = {
+  private def commit(dir: String, newSegs: Seq[Seg], batch: Long, dbatch: Long): Unit = {
     val oldN =
       if (Files.exists(currentPath(dir))) manifestNum(currentManifest(dir)) else -1
     val name = f"manifest-${nextNumber(dir, "manifest-")}%05d"
     val newN = manifestNum(name)
-    val body = (s"batch $batch" +: newSegs.map(s => s"${s.kind} ${s.name} ${s.bytes}"))
-      .mkString("\n")
+    val body =
+      (Seq(s"batch $batch", s"dbatch $dbatch") ++
+        newSegs.map(s => s"${s.kind} ${s.name} ${s.bytes}"))
+        .mkString("\n")
     writeFsync(Paths.get(dir, name), body.getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(dir, "CURRENT.tmp")
     writeFsync(tmp, name.getBytes(StandardCharsets.UTF_8))
@@ -319,7 +335,9 @@ object TieredIndex {
       clusterCols: Seq[Column]): Unit = {
     graft.Engine.deleteRecursively(new java.io.File(dir))
     Files.createDirectories(Paths.get(dir)): Unit
-    commit(dir, Seq(writeSegment(df, dir, "base", targetFiles, clusterCols)), batch = -1L)
+    commit(
+      dir, Seq(writeSegment(df, dir, "base", targetFiles, clusterCols)),
+      batch = -1L, dbatch = -1L)
   }
 
   /** The current generation as ONE DataFrame — the union of the live
@@ -347,13 +365,21 @@ object TieredIndex {
     * the tomb list, so there are <= |tombs|+1 groups) share one branch:
     * the plan is a union of at most |tombs|+1 parquet reads, each with
     * its broadcast anti-joins — tombstones are key-only and tiny by
-    * construction. `ss` may mix data and tomb segments; tombs
-    * contribute masking only, never rows.
+    * construction (TieredIndexSpec pins the branch count and that
+    * maintenance collapses it). The anti-joins use NULL-SAFE equality
+    * (`<=>`): a plain equi-anti-join could never mask a row whose key
+    * column is NULL, so deletes of null-keyed rows would silently not
+    * apply. `ss` may mix data and tomb segments; tombs contribute
+    * masking only, never rows.
     */
   private def maskedRead(spark: SparkSession, dir: String, ss: Seq[Seg]): DataFrame = {
     def paths(xs: Seq[Seg]) = xs.map(x => new java.io.File(dir, x.name).toString)
     val tombs = ss.filter(_.kind == "tomb").sortBy(s => segNum(s.name))
     val data = ss.filter(_.kind != "tomb")
+    // unreachable via the public API (create/major always leave a base),
+    // but the invariant is one refactor away from a reduce-on-empty
+    // crash — check it explicitly with a diagnosable message
+    require(data.nonEmpty, s"TieredIndex: $dir has tombstones but no data segments")
     if (tombs.isEmpty) spark.read.parquet(paths(data): _*)
     else {
       val tnums = tombs.map(s => segNum(s.name))
@@ -366,7 +392,7 @@ object TieredIndex {
             val tdf = spark.read.parquet(new java.io.File(dir, t.name).toString)
             acc.join(
               org.apache.spark.sql.functions.broadcast(tdf),
-              tdf.columns.toSeq,
+              tdf.columns.map(c => acc(c) <=> tdf(c)).reduce(_ && _),
               "left_anti")
           }
         }
@@ -395,7 +421,7 @@ object TieredIndex {
       batchId: Long = -1L): Unit = {
     // one manifest read serves the replay guard, the segment list, and
     // the commit watermark (append is the per-micro-batch hot path)
-    val (cur, committed) = state(dir)
+    val (cur, committed, dcommitted) = state(dir)
     if (batchId >= 0 && batchId <= committed) return
     val name = f"seg-${nextNumber(dir, "seg-")}%05d"
     df.coalesce(files).write.parquet(new java.io.File(dir, name).toString)
@@ -403,7 +429,8 @@ object TieredIndex {
     commit(
       dir,
       cur :+ Seg("delta", name, segBytes(dir, name)),
-      batch = math.max(batchId, committed))
+      batch = math.max(batchId, committed),
+      dbatch = dcommitted)
   }
 
   /** RETRACT `keys` from the index (FAISS `remove_ids` / the GDPR
@@ -421,30 +448,37 @@ object TieredIndex {
     * clears all of them) — deletes batch up and amortize into the
     * compactions the index already pays for, never a dedicated
     * rewrite. Tombstone schema = `keys`' columns, which must be a
-    * subset of the data columns (the anti-join key). `batchId` gives
-    * streaming callers the same exactly-once replay guard as append.
+    * subset of the data columns (the anti-join key); NULL key values
+    * are honored (the mask uses null-safe equality). `batchId` gives
+    * streaming callers the same exactly-once replay guard as append,
+    * against a SEPARATE delete watermark — a CDC micro-batch may issue
+    * one append AND one delete under the same batchId and both commit
+    * exactly once (a shared watermark would no-op the second call).
     */
   def delete(
       spark: SparkSession,
       dir: String,
       keys: DataFrame,
       batchId: Long = -1L): Unit = {
-    val (cur, committed) = state(dir)
-    if (batchId >= 0 && batchId <= committed) return
+    val (cur, committed, dcommitted) = state(dir)
+    if (batchId >= 0 && batchId <= dcommitted) return
     val name = f"seg-${nextNumber(dir, "seg-")}%05d"
     keys.coalesce(1).write.parquet(new java.io.File(dir, name).toString)
     fsyncTree(new java.io.File(dir, name))
     commit(
       dir,
       cur :+ Seg("tomb", name, segBytes(dir, name)),
-      batch = math.max(batchId, committed))
+      batch = committed,
+      dbatch = math.max(batchId, dcommitted))
   }
 
   /** One maintenance step: garbage-collect unreferenced files, then
     * apply the tier policy (see object doc). Call once per batch; with
     * nothing to do it costs two small file reads. `force` compacts any
     * pending deltas even below `minorAt` — the end-of-window call that
-    * leaves the index at its bounded steady-state file count.
+    * leaves the index at its bounded steady-state file count — and
+    * merges >= 2 trailing tombstones even below `tombMergeAt` (the
+    * delete-only stream's bounded steady state).
     */
   def maintain(
       spark: SparkSession,
@@ -485,6 +519,8 @@ object TieredIndex {
     // their rows and retires them
     val smallBytes = (tiers ++ deltas ++ tombs).map(_.bytes).sum
 
+    val (_, wmark, dmark) = state(dir)
+
     def compactInto(kind: String, in: Seq[Seg], keep: Seq[Seg], action: String): Maintenance = {
       val bytes = in.map(_.bytes).sum
       val files =
@@ -498,14 +534,43 @@ object TieredIndex {
       // nothing, so it retires every tombstone.
       val folded = maskedRead(spark, dir, in ++ tombs)
       val keepT = tombs.filter(t => keep.exists(d => segNum(d.name) < segNum(t.name)))
-      // compactions carry the committed batch watermark forward — a
+      // compactions carry the committed batch watermarks forward — a
       // compaction must never make a replayed batch look fresh again
       commit(
         dir,
         keep ++ keepT :+ writeSegment(folded, dir, kind, files, clusterCols),
-        batch = lastBatch(dir))
+        batch = wmark, dbatch = dmark)
       Maintenance(action, in.size, bytes)
     }
+
+    // TRAILING tombstones (committed after every data segment) all mask
+    // the identical data set, so folding them into ONE key-distinct
+    // tombstone is semantics-preserving even though the merged segment
+    // takes a fresh (highest) number. This is what bounds a DELETE-ONLY
+    // stream (the q223 shape): without it minors never run (no deltas),
+    // the size-triggered major never trips (tombstones are key-only
+    // bytes), and every read plans O(|tombs|^2) anti-joins. O(keys)
+    // work — never touches a data file. Non-trailing tombstones (a data
+    // segment committed after them) are NOT merged: a fresh-numbered
+    // merge would wrongly mask that later data.
+    def tombMerge(trailing: Seq[Seg]): Maintenance = {
+      val merged = trailing
+        .map(t => spark.read.parquet(new java.io.File(dir, t.name).toString))
+        .reduce(_ unionByName _)
+        .distinct()
+      val name = f"seg-${nextNumber(dir, "seg-")}%05d"
+      merged.coalesce(1).write.parquet(new java.io.File(dir, name).toString)
+      fsyncTree(new java.io.File(dir, name))
+      commit(
+        dir,
+        cs.filterNot(trailing.contains) :+ Seg("tomb", name, segBytes(dir, name)),
+        batch = wmark, dbatch = dmark)
+      Maintenance("tomb_merge", trailing.size, trailing.map(_.bytes).sum)
+    }
+
+    val maxDataNum =
+      (bases ++ tiers ++ deltas).map(s => segNum(s.name)).foldLeft(-1)(math.max)
+    val trailingTombs = tombs.filter(t => segNum(t.name) > maxDataNum)
 
     if (smallBytes >= (policy.majorFrac * baseBytes).toLong &&
       (tiers ++ deltas ++ tombs).nonEmpty)
@@ -517,6 +582,9 @@ object TieredIndex {
       compactInto("tier", tiers ++ deltas, bases, "tier_merge")
     else if (deltas.size >= policy.minorAt || (force && deltas.nonEmpty))
       compactInto("tier", deltas, bases ++ tiers, "minor")
+    else if (trailingTombs.size >= policy.tombMergeAt ||
+      (force && trailingTombs.size >= 2))
+      tombMerge(trailingTombs)
     else Maintenance("none", 0, 0L)
   }
 

@@ -2383,11 +2383,51 @@ object SimilarityOps {
     * the scan (the executed plan showed PushedFilters [IsNotNull]
     * only), so every probe paid a full codes-artifact read.
     */
-  private[graft] def probedCcids(q: DataFrame, cc: DataFrame, nprobe: Int): Seq[Long] =
+  private[graft] def probedCcids(q: DataFrame, cc: DataFrame, nprobe: Int): Seq[Long] = {
+    // the fetch is BIGINT-typed by construction everywhere, but getSeq
+    // would silently mis-read a refactor that changed the ccid type —
+    // assert it where the literal set is pulled (round-13 ADVICE)
+    require(
+      cc.schema("ccid").dataType == org.apache.spark.sql.types.LongType,
+      s"probedCcids: ccid must be BIGINT, got ${cc.schema("ccid").dataType}")
     probeCells(q, cc, nprobe)
       .agg(sort_array(collect_set(col("ccid"))).as("cs"))
       .head()
       .getSeq[Long](0)
+  }
+
+  /** Per-process cache of [[probedCcids]] keyed on (query-batch
+    * IDENTITY, artifact root, nprobe): the streaming families (q214/
+    * q219/q223 and the CDC serve) probe the SAME checkpointed query
+    * frame once per micro-batch, and without the cache each probe pays
+    * an extra driver-side Spark job to re-fetch a set that cannot have
+    * changed (the coarse cells are frozen at training time; the probed
+    * set is a pure function of (queries, cells, nprobe)). Keys hold the
+    * query frame by IDENTITY, not equality — a new request batch is a
+    * new frame and computes fresh. identityHashCode collisions are
+    * disambiguated by verifying the stored reference with `eq` before
+    * trusting a hit. Bounded LRU (64) so abandoned frames cannot pin
+    * memory.
+    */
+  private val probedCcidCache =
+    new java.util.LinkedHashMap[(Int, String, Int), (AnyRef, Seq[Long])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int), (AnyRef, Seq[Long])]): Boolean =
+        size > 64
+    }
+
+  private def probedCcidsCached(
+      q: DataFrame, root: String, cc: DataFrame, nprobe: Int): Seq[Long] =
+    probedCcidCache.synchronized {
+      val key = (System.identityHashCode(q), root, nprobe)
+      probedCcidCache.get(key) match {
+        case (ref, cs) if ref eq q => cs
+        case _ =>
+          val cs = probedCcids(q, cc, nprobe)
+          probedCcidCache.put(key, (q, cs)): Unit
+          cs
+      }
+    }
 
   /** The IVFADC PROBE path — one definition site for q204/q208 (inline
     * -trained index) and the artifact families (via
@@ -2422,9 +2462,12 @@ object SimilarityOps {
       topN: Int = 3, nprobe: Int = 2): DataFrame = {
     val cc = s.read.parquet(s"$root/coarse")
     val cb = s.read.parquet(s"$root/codebook")
+    // the probed set is cached per (query-batch identity, root, nprobe):
+    // the streaming families re-probe the same checkpointed frame every
+    // micro-batch, and the set is a pure function of frozen inputs
     val packed = graft.operators.TieredIndex
       .read(s, s"$root/codes")
-      .filter(col("ccid").isin(probedCcids(q, cc, nprobe): _*))
+      .filter(col("ccid").isin(probedCcidsCached(q, root, cc, nprobe): _*))
     val codes = if (k <= 16) unpackCodes(packed) else unpackCodesHex(packed)
     ivfadcProbe(q, cc, cb, codes, topN, nprobe)
   }

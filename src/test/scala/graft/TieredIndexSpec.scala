@@ -208,4 +208,108 @@ class TieredIndexSpec extends AnyFunSuite {
     assert(got(dir) == afterTagged, "a replayed delete re-applied")
     Engine.releaseScratch(spark)
   }
+
+  test("append and delete watermarks are separate: one CDC batch commits both") {
+    import spark.implicits._
+    def keys(ids: Seq[Int]) = ids.map(i => f"k$i%08d").toDF("k")
+    def got(dir: String) = TieredIndex.read(spark, dir).collect().map(_.getString(0)).toSet
+    val dir = tmp("cdc")
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    // a CDC upsert+retract micro-batch: ONE batchId, an append AND a
+    // delete — with a shared watermark the delete would silently no-op
+    // (the append's commit already advanced it to 0)
+    TieredIndex.append(spark, dir, keyed(100 until 110), batchId = 0L)
+    TieredIndex.delete(spark, dir, keys(Seq(3, 4)), batchId = 0L)
+    assert(TieredIndex.lastBatch(dir) == 0L)
+    assert(TieredIndex.lastDeleteBatch(dir) == 0L)
+    assert(got(dir) == ((0 until 100) ++ (100 until 110)).map(i => f"k$i%08d").toSet -- Seq("k00000003", "k00000004"))
+    // replays of EITHER half no-op independently
+    TieredIndex.append(spark, dir, keyed(100 until 110), batchId = 0L)
+    TieredIndex.delete(spark, dir, keys(Seq(50)), batchId = 0L)
+    assert(got(dir).size == 108, "a replayed CDC half re-applied")
+    assert(got(dir)("k00000050"), "a replayed delete under an old batchId applied")
+    // the watermarks advance independently: batch 1 deletes only (no
+    // append), batch 2 appends only — each guard tracks its own kind
+    TieredIndex.delete(spark, dir, keys(Seq(5)), batchId = 1L)
+    TieredIndex.append(spark, dir, keyed(110 until 115), batchId = 1L)
+    assert(TieredIndex.lastDeleteBatch(dir) == 1L)
+    assert(got(dir).size == 112)
+    // a compaction carries BOTH watermarks forward
+    TieredIndex.maintain(spark, dir, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e9), force = true): Unit
+    assert(TieredIndex.lastBatch(dir) == 1L, "compaction dropped the append watermark")
+    assert(TieredIndex.lastDeleteBatch(dir) == 1L, "compaction dropped the delete watermark")
+    TieredIndex.delete(spark, dir, keys(Seq(6)), batchId = 1L)
+    assert(got(dir).size == 112, "post-compaction delete replay re-applied")
+    Engine.releaseScratch(spark)
+  }
+
+  private def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.size
+
+  test("tombstone-heavy reads stay bounded: <= |tombs|+1 data branches, merged by maintenance") {
+    import spark.implicits._
+    def keys(ids: Seq[Int]) = ids.map(i => f"k$i%08d").toDF("k")
+    def got(dir: String) = TieredIndex.read(spark, dir).collect().map(_.getString(0)).toSet
+
+    // interleaved shape first: base, t1, delta, t2, t3 — data segments
+    // sharing an applicable-tombstone set share ONE branch, so the plan
+    // is 2 data scans (base masked by 3 tombs, delta by 2) + 5 tombstone
+    // scans = 7 relations, within the documented |tombs|+1 = 4 data
+    // branches
+    val dir = tmp("tombbound")
+    TieredIndex.create(spark, dir, keyed(0 until 200), 2, Seq(col("k")))
+    TieredIndex.delete(spark, dir, keys(Seq(0)))
+    TieredIndex.append(spark, dir, keyed(200 until 210))
+    TieredIndex.delete(spark, dir, keys(Seq(1)))
+    TieredIndex.delete(spark, dir, keys(Seq(200)))
+    assert(scanCount(TieredIndex.read(spark, dir)) == 2 + 3 + 2,
+      "interleaved tombstones planned an unexpected scan count")
+    assert(got(dir) == ((2 until 200) ++ (201 until 210)).map(i => f"k$i%08d").toSet)
+
+    // DELETE-ONLY stream (the q223 shape): one tombstone per batch, no
+    // deltas — minors can never run, so without tombstone merging the
+    // plan grows O(|tombs|^2) anti-joins. The tombMergeAt threshold
+    // folds TRAILING tombstones (all masking the identical data set)
+    // into one key-distinct tombstone: O(keys), no data file touched.
+    val dir2 = tmp("tombonly")
+    TieredIndex.create(spark, dir2, keyed(0 until 300), 2, Seq(col("k")))
+    var merges = 0
+    for (b <- 0 until 8) {
+      TieredIndex.delete(spark, dir2, keys(Seq(b, 100 + b)), batchId = b.toLong)
+      val m = TieredIndex.maintain(spark, dir2, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e9))
+      assert(m.action == "none" || m.action == "tomb_merge", s"unexpected ${m.action}")
+      if (m.action == "tomb_merge") merges += 1
+    }
+    assert(merges >= 1, "8 delete-only batches never triggered a tombstone merge")
+    // steady state: bounded tombstone count -> bounded reader plan
+    val tombsLeft = TieredIndex.currentSegments(dir2).count(_._1 == "tomb")
+    assert(tombsLeft <= 4, s"$tombsLeft tombstones left after merges")
+    assert(scanCount(TieredIndex.read(spark, dir2)) <= 1 + tombsLeft)
+    // force merges the remainder down to one
+    TieredIndex.maintain(spark, dir2, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e9), force = true): Unit
+    assert(TieredIndex.currentSegments(dir2).count(_._1 == "tomb") == 1)
+    assert(scanCount(TieredIndex.read(spark, dir2)) == 2)
+    // nothing over- or under-masked across the merges, and the delete
+    // watermark survived them
+    assert(got(dir2) == ((8 until 100) ++ (108 until 300)).map(i => f"k$i%08d").toSet)
+    assert(TieredIndex.lastDeleteBatch(dir2) == 7L)
+    // the merged tombstone is NOT fooled into masking later data: a
+    // re-append after the merge resurrects its keys (order contract)
+    TieredIndex.append(spark, dir2, keys(Seq(0, 100)))
+    assert(got(dir2).contains("k00000000") && got(dir2).contains("k00000100"))
+    Engine.releaseScratch(spark)
+  }
+
+  test("null-keyed rows are maskable: tombstone anti-joins are null-safe") {
+    import spark.implicits._
+    val dir = tmp("nullkey")
+    val withNull = Seq(Some("a"), Some("b"), None).toDF("k")
+    TieredIndex.create(spark, dir, withNull, 1, Seq(col("k")))
+    TieredIndex.delete(spark, dir, Seq(Option.empty[String]).toDF("k"))
+    val left = TieredIndex.read(spark, dir).collect().map(r => Option(r.getString(0))).toSet
+    assert(left == Set(Some("a"), Some("b")), s"null-keyed delete did not apply: $left")
+    Engine.releaseScratch(spark)
+  }
 }
