@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** REQUEST-GRANULARITY serving benchmark — the measured row behind the
+  * probed-list pruning claim (round-13 verdict #4: the nprobe/|cells|
+  * read economics were plan-pinned in PlanShapeSpec but only ever
+  * MEASURED through whole-batch gates, where one scan amortizes over
+  * the full 20-query contract; a production vector store serves one
+  * query at a time).
+  *
+  * Methodology: the deep (K=256, 2-round) artifact is built (or
+  * resolved from the process cache) UNTIMED, and one throwaway batch
+  * serve warms footers, page cache, broadcast machinery, and codegen.
+  * Then N SEQUENTIAL single-query requests run the COMPLETE two-stage
+  * serve — a fresh 1-row query frame per request (a real request is a
+  * new frame: the probed-set cache cannot and must not hit), the
+  * bounded probed-cells driver fetch, the pushed-literal pruned codes
+  * scan, ADC top-16, exact re-rank, collect() of the top-3 — with the
+  * timer covering the whole request. Per-request wall times and each
+  * request's pushed-literal count (= the lists it physically reads,
+  * the pruning observable) are reported per nprobe operating point
+  * (2 = the latency point, 4 = the q220-tuned recall point).
+  *
+  * Output: one JSON line per nprobe with min/mean/p50/max request
+  * seconds and the pushed-literal counts; PERF.md records the sf0.1 /
+  * sf1 rows.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val requests = sys.env.getOrElse("SPARK_GRAFT_REQUESTS", "20").toInt
+    val spark = Engine.session("servebench")
+    val S = queries.SimilarityOps
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+    // untimed: artifact build/resolve + corpus frame + one warm batch
+    val idx = S.buildIvfAdcIndex(spark, sfDir, k = 256, rounds = 2)
+    val iv = S.ivecs(spark, sfDir)
+    val warmQ = iv
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    S.ivfadcServe(spark, idx, warmQ, iv, k = 256).collect(): Unit
+    val cc = spark.read.parquet(s"$idx/coarse")
+    val totalCells = cc.count()
+
+    for (nprobe <- Seq(2, 4)) {
+      val times = Array.ofDim[Double](requests)
+      val pushed = Array.ofDim[Int](requests)
+      for (r <- 0 until requests) {
+        // a FRESH frame per request — new plan, new probed-set fetch,
+        // exactly what an arriving request pays
+        val q1 = iv
+          .filter(col("vec_id") === r)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val t0 = System.nanoTime()
+        val top = S.ivfadcServe(spark, idx, q1, iv, k = 256, nprobe = nprobe).collect()
+        times(r) = (System.nanoTime() - t0) / 1e9
+        require(top.length == 3, s"request $r returned ${top.length} rows")
+        // the pruning observable, re-derived untimed: the literal set
+        // this request pushed to the codes scan
+        pushed(r) = S.probedCcids(q1, cc, nprobe).length
+      }
+      val sorted = times.sorted
+      println(
+        s"""{"metric":"serve_per_request","unit":"sec","nprobe":$nprobe,""" +
+          s""""requests":$requests,"min":${fmt(sorted.head)},""" +
+          s""""p50":${fmt(sorted(requests / 2))},""" +
+          s""""mean":${fmt(times.sum / requests)},"max":${fmt(sorted.last)},""" +
+          s""""pushed_literals_min":${pushed.min},"pushed_literals_max":${pushed.max},""" +
+          s""""cells":$totalCells,"sf":"$sfDir"}""")
+    }
+    Engine.releaseScratch(spark)
+    spark.stop()
+  }
+}

@@ -1999,6 +1999,185 @@ object SimilarityOps {
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc WHERE vec_id % 14 <> 10) r
              WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q224
+    // FILTERED ANN SEARCH — metadata-constrained serving, the most
+    // common real vector-store request the engine could not yet gate
+    // (FAISS IDSelector / every RAG stack's "top-k WHERE ..."): the
+    // complete two-stage request (q221's tuned nprobe=4 operating
+    // point) constrained to corpus vectors satisfying a predicate.
+    // The predicate applies IN-SCAN (on the packed code rows inside
+    // the probed lists, before the x8 unpack and before the top-16
+    // rank), so the ADC stage keeps the 16 best predicate SURVIVORS —
+    // the filter-aware over-fetch done right: post-filtering an
+    // unconstrained top-16 would starve the refine stage under a
+    // tight filter (16 x selectivity survivors), where this shape
+    // always hands it 16 candidates. The refine stage re-ranks
+    // exactly those by exact integer L2. Oracle = the serve chain
+    // with the SAME WHERE on wadc before its top-16 (the q222
+    // exclusion-oracle pattern generalized to arbitrary predicates);
+    // any engine-side filter placement that changes the candidate
+    // set fails the hash. At 100 TB: the predicate rides the
+    // already-pruned probed-list scan (clustered parquet, pushable
+    // for scan-level predicates), candidate and refine costs are
+    // unchanged — filtering is free at serve time, the selectivity
+    // sweep (q225) prices its recall.
+    QueryDef(
+      "q224_ann_filtered_serve",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val iv = ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcServe(
+          s, idx, q, iv, k = 256, nprobe = 4,
+          where = Some(col("vec_id") % 3 === 1))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(ivfadcServeOracleSql(nprobe = 4, whereSql = "vec_id % 3 = 1"))
+    ),
+    // --------------------------------------------------------------- q225
+    // The FILTERED-SERVE SELECTIVITY x NPROBE SWEEP — q220's
+    // decision-grade curve, filter edition: what does a predicate cost
+    // in recall, and which knob buys it back? For selectivities 1/2 ..
+    // 1/16 (vec_id % denom = 1) x nprobe 4/8/16, the filtered
+    // two-stage serve (q224's exact path) is scored against the
+    // filtered brute-force exact top-3 — the correct baseline is the
+    // best answers AMONG predicate survivors, not the unfiltered
+    // truth. MEASURED at sf0.01 (sum of hits / 60): at the tuned
+    // nprobe=4, recall DECAYS as the filter tightens — 48/43/42/35
+    // for selectivity 1/2 -> 1/16 — because the filter thins every
+    // inverted list, so a survivor's true neighbors increasingly live
+    // in lists the probe never opens; raising nprobe restores it
+    // (denom=16: 35 -> 50 -> 60 at nprobe 4/8/16; denom=8: 42 -> 49
+    // -> 57), which is the operational rule this sweep exists to
+    // price — SCALE NPROBE WITH FILTER TIGHTNESS (FAISS's
+    // filtered-search guidance), paying proportionally more list
+    // reads only on filtered requests, where the sparser survivor set
+    // also leaves fewer quantization impostors for the refine stage
+    // to fight (60/60 at denom=16, nprobe=16). The
+    // brute sides are the labeled measurement baseline (bruteTop3,
+    // the one definition site, over the filtered corpus); the serving
+    // sides all ride the real pruned path.
+    QueryDef(
+      "q225_ann_filtered_recall",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val iv = ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val sweep = (for {
+          denom <- Seq(2, 4, 8, 16)
+          np <- Seq(4, 8, 16)
+        } yield {
+          val pred = col("vec_id") % denom === 1
+          val served = ivfadcServe(
+            s, idx, q, iv, k = 256, nprobe = np, where = Some(pred))
+            .select(col("qid"), col("vec_id"))
+          val brute3 = bruteTop3(q, iv.filter(pred))
+          val hits = brute3
+            .join(served, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("hits"))
+          brute3
+            .select(col("qid"))
+            .distinct()
+            .join(hits, Seq("qid"), "left")
+            .select(
+              col("qid"), lit(denom.toLong).as("denom"), lit(np.toLong).as("nprobe"),
+              lit(3L).as("k"), coalesce(col("hits"), lit(0L)).as("hits"))
+        }).reduce(_ unionAll _)
+        sweep.orderBy(col("qid"), col("denom"), col("nprobe"))
+      },
+      Some {
+        // one all-cells scoring table carries each candidate's probe
+        // rank (q220's wnp trick): filtering prn <= np reproduces the
+        // np-probe candidate set exactly — ADC distances are probe-
+        // count-independent (a candidate scores against its own list's
+        // lookup table regardless of how many lists are opened)
+        val perCellCtes = (for {
+          denom <- Seq(2, 4, 8, 16)
+          np <- Seq(4, 8, 16)
+        } yield {
+          s"""f${denom}_$np AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wnp WHERE vec_id % $denom = 1 AND prn <= $np) WHERE rn <= 16),
+             g${denom}_$np AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM f${denom}_$np c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id),
+             s${denom}_$np AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM g${denom}_$np)
+               WHERE rn <= 3)"""
+        }).mkString(",\n             ")
+        val bruteCtes = Seq(2, 4, 8, 16).map { denom =>
+          s"""fb$denom AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wbs WHERE vec_id % $denom = 1) WHERE rn <= 3)"""
+        }.mkString(",\n             ")
+        val unions = (for {
+          denom <- Seq(2, 4, 8, 16)
+          np <- Seq(4, 8, 16)
+        } yield {
+          s"""SELECT b.qid, CAST($denom AS BIGINT) AS denom, CAST($np AS BIGINT) AS nprobe,
+               CAST(3 AS BIGINT) AS k, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+             FROM (SELECT DISTINCT qid FROM fb$denom) b
+             LEFT JOIN (SELECT fb$denom.qid, count(*) AS hits FROM fb$denom
+               JOIN s${denom}_$np s USING (qid, vec_id) GROUP BY fb$denom.qid) h USING (qid)"""
+        }).mkString("\n             UNION ALL\n             ")
+        s"""${ivfadcSql(256, 2, nprobe = 16)},
+             wnp AS MATERIALIZED (SELECT a.qid, a.vec_id, a.ad, p.prn
+               FROM wadc a JOIN wca l ON a.vec_id = l.vec_id
+               JOIN wpr p ON p.qid = a.qid AND p.ccid = l.ccid),
+             wbs AS MATERIALIZED (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             $perCellCtes,
+             $bruteCtes
+             $unions
+             ORDER BY qid, denom, nprobe"""
+      }
+    ),
+    // --------------------------------------------------------------- q226
+    // SAMPLED QUANTIZER TRAINING — the one corpus-proportional build
+    // cost, cut (round-13 verdict #2: q219's x2.8 sf1 scaling row is
+    // the day-0 deep train's two full-corpus Lloyd passes): the
+    // coarse cells and the residual codebook fit on a DETERMINISTIC
+    // keyed-hash sample (the seed ids, which anchor both quantizers,
+    // plus every vec_id whose md5('trn|' || id) digest starts below
+    // '4' — ~25% of the rest; the q69 stable-sample spelling, so the
+    // oracle replays the exact membership), and the FULL corpus is
+    // then frozen-encoded against the sampled-trained quantizers —
+    // training cost drops from O(2 x corpus x rounds) to O(2 x sample
+    // x rounds) + one O(corpus) encode pass, the FAISS
+    // train-on-subsample recipe. Gated END-TO-END: artifacts written
+    // through the one writer (sampled-train dispatch), served through
+    // the one two-stage path; the oracle re-runs the identical
+    // sampled training (trainWhere through the shared ivfadcSql —
+    // q210's day-0 mechanism applied to training cost), so a single
+    // vector sampled differently fails the hash. Recall parity is
+    // ledgered in PERF.md against the q220 curve; the sf1 train-cost
+    // cut is the round's PERF row.
+    QueryDef(
+      "q226_ivfadc_sampled_train",
+      (s, dir) => {
+        val work = graft.Engine.scratchDir("q226", dir)
+        graft.Engine.deleteRecursively(work)
+        val iv = ivecs(s, dir)
+        writeIvfAdcArtifacts(
+          s, work.toString, iv, k = 256, rounds = 2,
+          trainIv = Some(iv.filter(sampledTrainCol)))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcServe(s, work.toString, q, iv, k = 256)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(ivfadcServeOracleSql(trainWhere = sampledTrainWhereSql))
     )
   )
 
@@ -2455,11 +2634,16 @@ object SimilarityOps {
     * reads nprobe/|cells| of the artifact instead of all of it (the
     * round-12 weak flag; PlanShapeSpec pins the pushed predicate).
     * Unpacking dispatches on k exactly as the writer packs (<= 16:
-    * 4-bit BIGINT; else hex).
+    * 4-bit BIGINT; else hex). `where` is the FILTERED-search predicate
+    * (FAISS IDSelector): applied to the packed rows INSIDE the probed
+    * lists, before the x8 unpack and before the top-N — so the top-N
+    * are the best predicate SURVIVORS (in-scan filtering), never a
+    * post-hoc filter of an unconstrained top-N that could return fewer
+    * than N rows under a tight filter.
     */
   private[graft] def ivfadcProbeIndex(
       s: SparkSession, root: String, q: DataFrame, k: Int,
-      topN: Int = 3, nprobe: Int = 2): DataFrame = {
+      topN: Int = 3, nprobe: Int = 2, where: Option[Column] = None): DataFrame = {
     val cc = s.read.parquet(s"$root/coarse")
     val cb = s.read.parquet(s"$root/codebook")
     // the probed set is cached per (query-batch identity, root, nprobe):
@@ -2468,7 +2652,8 @@ object SimilarityOps {
     val packed = graft.operators.TieredIndex
       .read(s, s"$root/codes")
       .filter(col("ccid").isin(probedCcidsCached(q, root, cc, nprobe): _*))
-    val codes = if (k <= 16) unpackCodes(packed) else unpackCodesHex(packed)
+    val scoped = where.fold(packed)(packed.filter)
+    val codes = if (k <= 16) unpackCodes(scoped) else unpackCodesHex(scoped)
     ivfadcProbe(q, cc, cb, codes, topN, nprobe)
   }
 
@@ -2479,15 +2664,37 @@ object SimilarityOps {
     * never a list re-scan) -> positioned top-3 WITH the exact distance:
     * (qid, rn, vec_id, d). ONE definition site for the batch serve
     * (q216) and the per-micro-batch query-stream serve (q218), so the
-    * two execution shapes cannot drift.
+    * two execution shapes cannot drift. `where` makes it the FILTERED
+    * serve (q224): the ADC stage keeps the top-16 among predicate
+    * SURVIVORS (in-scan filtering — the candidate set never starves
+    * under a tight filter the way post-filtering an unconstrained
+    * top-16 would), and the refine stage re-ranks exactly those.
     */
   private[graft] def ivfadcServe(
       s: SparkSession, root: String, q: DataFrame, iv: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame = {
-    val cand = ivfadcProbeIndex(s, root, q, k, topN = 16, nprobe = nprobe)
+      nprobe: Int = 2, where: Option[Column] = None): DataFrame = {
+    val cand = ivfadcProbeIndex(s, root, q, k, topN = 16, nprobe = nprobe, where = where)
       .select(col("qid"), col("vec_id"))
     exactRerank(cand, q, iv)
   }
+
+  /** The q226/q228 TRAINING-SAMPLE membership, Spark spelling: the
+    * seed ids (vec_id < 16 + 256 — both quantizers anchor on them; a
+    * sample that thinned the seed range would silently shrink K) plus
+    * every vec_id whose keyed md5 digest starts below '4' (~25% of the
+    * rest — the q69 deterministic stable-sample convention, identical
+    * in both engines). A def and a pure function of vec_id, so the
+    * oracle's [[sampledTrainWhereSql]] replays the exact membership.
+    */
+  private[graft] def sampledTrainCol: Column =
+    col("vec_id") < 272 ||
+      md5(concat(lit("trn|"), col("vec_id").cast("string"))) < "4"
+
+  /** [[sampledTrainCol]]'s DuckDB mirror — ONE definition site for the
+    * q226 (batch) and q228 (streaming day-0) oracles.
+    */
+  private[graft] def sampledTrainWhereSql: String =
+    "vec_id < 272 OR md5('trn|' || CAST(vec_id AS VARCHAR)) < '4'"
 
   /** The fixed-20-query BRUTE-FORCE exact top-3 (qid, vec_id) — the
     * labeled recall baseline every ANN ledger compares against (q204/
@@ -2545,13 +2752,27 @@ object SimilarityOps {
     * counts are the index policy's, bytes-derived on compaction).
     * Shallow (k <= 16) systems pack 4-bit BIGINT codes; deep systems
     * the K=256-capable hex spelling.
+    *
+    * `trainIv` (SAMPLED TRAINING, q226/q228): when given, the
+    * quantizers — coarse cells, every Lloyd round's aggregates, the
+    * residual codebook — fit on `trainIv` ONLY, and the full `iv` is
+    * then FROZEN-ENCODED against them (ivfadcEncode: the same argmin/
+    * tie/offset invariants as training's own final assign, by shared
+    * helpers). This is the one corpus-proportional build cost cut: the
+    * two full-corpus Lloyd passes become two sample passes + one
+    * full-corpus encode pass. The sample must contain the seed ids
+    * (vec_id < 16 + k) or K silently shrinks.
     */
   private[graft] def writeIvfAdcArtifacts(
-      s: SparkSession, root: String, iv: DataFrame, k: Int, rounds: Int): Unit = {
-    val (cc, ca, cb, a2) = ivfadcTrainIv(iv, k, rounds)
+      s: SparkSession, root: String, iv: DataFrame, k: Int, rounds: Int,
+      trainIv: Option[DataFrame] = None): Unit = {
+    val (cc, ca, cb, a2) = ivfadcTrainIv(trainIv.getOrElse(iv), k, rounds)
     cc.coalesce(1).write.parquet(s"$root/coarse")
     cb.coalesce(1).write.parquet(s"$root/codebook")
-    val enc = a2.join(ca, "vec_id")
+    val enc = trainIv match {
+      case None => a2.join(ca, "vec_id")
+      case Some(_) => ivfadcEncode(iv, cc, cb)
+    }
     graft.operators.TieredIndex.create(
       s, s"$root/codes",
       if (k <= 16) packCodes(enc) else packCodesHex(enc),
@@ -2743,12 +2964,20 @@ object SimilarityOps {
     * so the union of per-batch two-stage serves must equal the batch
     * serve — same string object, zero drift), and at nprobe = 4 by
     * q221 (the q220-tuned operating point — same def, one argument).
+    * `whereSql` makes it the FILTERED serve's oracle (q224): the same
+    * predicate the engine applies in-scan restricts wadc before the
+    * top-16 rank — candidates are the best predicate survivors on both
+    * sides. `trainWhere` makes it the SAMPLED-TRAINING serve's oracle
+    * (q226): quantizers fit on the sample, encode/probe still cover
+    * everything (q210's day-0 contract, applied to training cost).
     * A def — eager interpolation rule.
     */
-  private[graft] def ivfadcServeOracleSql(nprobe: Int = 2): String =
-    s"""${ivfadcSql(256, 2, nprobe = nprobe)},
+  private[graft] def ivfadcServeOracleSql(
+      nprobe: Int = 2, whereSql: String = "", trainWhere: String = ""): String =
+    s"""${ivfadcSql(256, 2, trainWhere = trainWhere, nprobe = nprobe)},
              wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM wadc)
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc${if (whereSql.isEmpty) "" else s" WHERE $whereSql"})
                WHERE rn <= 16),
              wrr AS (SELECT c.qid, c.vec_id,
                  list_sum(list_transform(generate_series(1, len(q.qiv)),
@@ -2793,9 +3022,16 @@ object SimilarityOps {
     * independent (frozen encode), so one wadc serves all four
     * prefixes. Parameterized on the system depth — shallow (16, 1) for
     * q214, production (256, 2) for q219 — with everything else shared
-    * to the character. A def — eager interpolation rule.
+    * to the character. `sampleWhere` (q228) further restricts the
+    * TRAINING population to a deterministic sample of the day-0
+    * standing population (encode and probe still cover everything).
+    * A def — eager interpolation rule.
     */
-  private[graft] def ivfadcStreamSearchOracleSql(k: Int = 16, rounds: Int = 1): String = {
+  private[graft] def ivfadcStreamSearchOracleSql(
+      k: Int = 16, rounds: Int = 1, sampleWhere: String = ""): String = {
+    val trainWhere =
+      if (sampleWhere.isEmpty) "vec_id % 5 <> 0"
+      else s"vec_id % 5 <> 0 AND ($sampleWhere)"
     val perBatch = (0 until 4).map { b =>
       s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id, ad
              FROM (SELECT qid, vec_id, ad,
@@ -2803,8 +3039,49 @@ object SimilarityOps {
                FROM wadc WHERE vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)
              WHERE rn <= 3"""
     }.mkString("\n             UNION ALL\n             ")
-    s"""${ivfadcSql(k, rounds, trainWhere = "vec_id % 5 <> 0")}
+    s"""${ivfadcSql(k, rounds, trainWhere = trainWhere)}
              $perBatch
+             ORDER BY batch_id, qid, rn"""
+  }
+
+  /** q227's oracle — the FULL PRODUCTION LOOP gate: the deep (256, 2)
+    * day-0-trained chain (standing population `vec_id % 5 <> 0` trains
+    * and freezes; the frozen encode covers every vector) two-stage
+    * served after each CDC micro-batch b that BOTH appends arrival
+    * slice b (vec_id % 5 = 0, mod-4 split) AND retracts standing slice
+    * b (vec_id % 5 = 1, mod-4 split). The searchable population after
+    * batch b is therefore day-0 minus retractions <= b plus arrivals
+    * <= b — the q214 prefix condition and the q223 shrink condition
+    * COMPOSED. ADC distances are population-independent (frozen
+    * encode; deletes never re-encode survivors), so one wadc serves
+    * all four populations; each population's ADC top-16 then re-ranks
+    * by exact integer L2 (ivfadcServeOracleSql's refine CTEs,
+    * prefix-population edition — the round-13 verdict ask #3). A def —
+    * eager interpolation rule.
+    */
+  private[graft] def ivfadcLiveServeOracleSql: String = {
+    val perBatch = (0 until 4).map { b =>
+      val pop = s"""((vec_id % 5 = 0 AND (vec_id // 5) % 4 <= $b)
+               OR (vec_id % 5 <> 0 AND NOT (vec_id % 5 = 1 AND (vec_id // 5) % 4 <= $b)))"""
+      s"""l16$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE $pop) WHERE rn <= 16),
+             lrr$b AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM l16$b c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)"""
+    }.mkString(",\n             ")
+    val unions = (0 until 4).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id,
+               CAST(d AS BIGINT) AS d
+             FROM (SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM lrr$b) WHERE rn <= 3"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${ivfadcSql(256, 2, trainWhere = "vec_id % 5 <> 0")},
+             $perBatch
+             $unions
              ORDER BY batch_id, qid, rn"""
   }
 

@@ -464,4 +464,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val pushed = s"In\\(ccid, \\[${probed.mkString(",")}\\]".r
     assert(pushed.findFirstIn(p).isDefined, p.take(3000))
   }
+
+  test("q224: the filtered serve keeps the pruned scan and broadcast-only joins") {
+    val p = plan("q224_ann_filtered_serve")
+    // the metadata predicate must not cost the probe its list pruning:
+    // the codes FileScan still carries the pushed LITERAL ccid set AND
+    // the vec_id predicate reaches the scan tier too (both visible in
+    // PushedFilters — the filter applies to the PACKED rows, before the
+    // x8 unpack-explode, so a tight filter shrinks the explode input)
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // the in-scan predicate on the packed code rows (vec_id % 3 = 1) is
+    // a data filter in the same stage as the scan, below the unpack
+    assert(p.contains("(vec_id"), p.take(3000))
+    // serving stays broadcast-only end to end (probe lookup tables,
+    // candidate fetch, refine stage) — nothing sort-merges or goes
+    // cartesian when a predicate is added
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
