@@ -40,7 +40,7 @@ object ServeBench {
     val warmQ = iv
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-    S.ivfadcServe(spark, idx, warmQ, iv, k = 256).collect(): Unit
+    S.ivfadcServe(spark, idx, warmQ, iv, k = 256).count(): Unit
     val cc = spark.read.parquet(s"$idx/coarse")
     val totalCells = cc.count()
 
@@ -54,9 +54,11 @@ object ServeBench {
           .filter(col("vec_id") === r)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         val t0 = System.nanoTime()
-        val top = S.ivfadcServe(spark, idx, q1, iv, k = 256, nprobe = nprobe).collect()
+        // count(), not collect(): same full-request materialization
+        // without a driver row fetch (the repo-wide no-collect rule)
+        val n = S.ivfadcServe(spark, idx, q1, iv, k = 256, nprobe = nprobe).count()
         times(r) = (System.nanoTime() - t0) / 1e9
-        require(top.length == 3, s"request $r returned ${top.length} rows")
+        require(n == 3, s"request $r returned $n rows")
         // the pruning observable, re-derived untimed: the literal set
         // this request pushed to the codes scan
         pushed(r) = S.probedCcids(q1, cc, nprobe).length

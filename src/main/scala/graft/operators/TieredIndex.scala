@@ -507,8 +507,10 @@ object TieredIndex {
       .filter(n => n.startsWith("seg-") && !referenced(n))
       .foreach(n => graft.Engine.deleteRecursively(new java.io.File(dir, n)))
 
-    // ---- policy (sizes from the manifest — no filesystem walks)
-    val cs = segs(dir)
+    // ---- policy (sizes from the manifest — no filesystem walks; ONE
+    // manifest read serves the segment list and both watermarks, so the
+    // no-op case costs the GC listing + this single read)
+    val (cs, wmark, dmark) = state(dir)
     val tombs = cs.filter(_.kind == "tomb")
     val bases = cs.filter(_.kind == "base")
     val tiers = cs.filter(_.kind == "tier")
@@ -518,8 +520,6 @@ object TieredIndex {
     // deletes eventually trigger the major that physically removes
     // their rows and retires them
     val smallBytes = (tiers ++ deltas ++ tombs).map(_.bytes).sum
-
-    val (_, wmark, dmark) = state(dir)
 
     def compactInto(kind: String, in: Seq[Seg], keep: Seq[Seg], action: String): Maintenance = {
       val bytes = in.map(_.bytes).sum
@@ -552,9 +552,13 @@ object TieredIndex {
     // bytes), and every read plans O(|tombs|^2) anti-joins. O(keys)
     // work — never touches a data file. Non-trailing tombstones (a data
     // segment committed after them) are NOT merged: a fresh-numbered
-    // merge would wrongly mask that later data.
-    def tombMerge(trailing: Seq[Seg]): Maintenance = {
-      val merged = trailing
+    // merge would wrongly mask that later data. Only SCHEMA-IDENTICAL
+    // tombstones merge (delete() permits any key-column subset per
+    // call, and a (k) tombstone must keep masking every v where a
+    // merged nullable (k, v) row would mask one): the candidate set is
+    // the largest same-schema group among the trailing tombstones.
+    def tombMerge(group: Seq[Seg]): Maintenance = {
+      val merged = group
         .map(t => spark.read.parquet(new java.io.File(dir, t.name).toString))
         .reduce(_ unionByName _)
         .distinct()
@@ -563,14 +567,24 @@ object TieredIndex {
       fsyncTree(new java.io.File(dir, name))
       commit(
         dir,
-        cs.filterNot(trailing.contains) :+ Seg("tomb", name, segBytes(dir, name)),
+        cs.filterNot(group.contains) :+ Seg("tomb", name, segBytes(dir, name)),
         batch = wmark, dbatch = dmark)
-      Maintenance("tomb_merge", trailing.size, trailing.map(_.bytes).sum)
+      Maintenance("tomb_merge", group.size, group.map(_.bytes).sum)
     }
 
     val maxDataNum =
       (bases ++ tiers ++ deltas).map(s => segNum(s.name)).foldLeft(-1)(math.max)
     val trailingTombs = tombs.filter(t => segNum(t.name) > maxDataNum)
+    // schema grouping pays footer reads only once >= 2 trailing tombs
+    // exist (never on the per-batch no-op path)
+    def mergeGroup: Seq[Seg] =
+      if (trailingTombs.size < 2) Seq.empty
+      else
+        trailingTombs
+          .groupBy(t => spark.read.parquet(new java.io.File(dir, t.name).toString)
+            .schema.map(f => (f.name, f.dataType)).toSet)
+          .values
+          .maxBy(_.size)
 
     if (smallBytes >= (policy.majorFrac * baseBytes).toLong &&
       (tiers ++ deltas ++ tombs).nonEmpty)
@@ -582,10 +596,10 @@ object TieredIndex {
       compactInto("tier", tiers ++ deltas, bases, "tier_merge")
     else if (deltas.size >= policy.minorAt || (force && deltas.nonEmpty))
       compactInto("tier", deltas, bases ++ tiers, "minor")
-    else if (trailingTombs.size >= policy.tombMergeAt ||
-      (force && trailingTombs.size >= 2))
-      tombMerge(trailingTombs)
-    else Maintenance("none", 0, 0L)
+    else if (trailingTombs.size >= policy.tombMergeAt || (force && trailingTombs.size >= 2)) {
+      val g = mergeGroup
+      if (g.size >= 2) tombMerge(g) else Maintenance("none", 0, 0L)
+    } else Maintenance("none", 0, 0L)
   }
 
   /** All parquet files of the CURRENT generation (spec observable). */

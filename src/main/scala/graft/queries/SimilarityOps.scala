@@ -2068,27 +2068,30 @@ object SimilarityOps {
         val q = iv
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-        val sweep = (for {
-          denom <- Seq(2, 4, 8, 16)
-          np <- Seq(4, 8, 16)
-        } yield {
+        val sweep = Seq(2, 4, 8, 16).flatMap { denom =>
           val pred = col("vec_id") % denom === 1
-          val served = ivfadcServe(
-            s, idx, q, iv, k = 256, nprobe = np, where = Some(pred))
-            .select(col("qid"), col("vec_id"))
-          val brute3 = bruteTop3(q, iv.filter(pred))
-          val hits = brute3
-            .join(served, Seq("qid", "vec_id"), "left_semi")
-            .groupBy(col("qid"))
-            .agg(count(lit(1)).as("hits"))
-          brute3
-            .select(col("qid"))
-            .distinct()
-            .join(hits, Seq("qid"), "left")
-            .select(
-              col("qid"), lit(denom.toLong).as("denom"), lit(np.toLong).as("nprobe"),
-              lit(3L).as("k"), coalesce(col("hits"), lit(0L)).as("hits"))
-        }).reduce(_ unionAll _)
+          // the brute baseline depends only on the predicate: ONE
+          // corpus scan per denominator, checkpointed, shared by the
+          // three nprobe points (the oracle MATERIALIZEs wbs the same
+          // way) — not re-planned 3x inside the union
+          val brute3 = bruteTop3(q, iv.filter(pred)).localCheckpoint(eager = false)
+          Seq(4, 8, 16).map { np =>
+            val served = ivfadcServe(
+              s, idx, q, iv, k = 256, nprobe = np, where = Some(pred))
+              .select(col("qid"), col("vec_id"))
+            val hits = brute3
+              .join(served, Seq("qid", "vec_id"), "left_semi")
+              .groupBy(col("qid"))
+              .agg(count(lit(1)).as("hits"))
+            brute3
+              .select(col("qid"))
+              .distinct()
+              .join(hits, Seq("qid"), "left")
+              .select(
+                col("qid"), lit(denom.toLong).as("denom"), lit(np.toLong).as("nprobe"),
+                lit(3L).as("k"), coalesce(col("hits"), lit(0L)).as("hits"))
+          }
+        }.reduce(_ unionAll _)
         sweep.orderBy(col("qid"), col("denom"), col("nprobe"))
       },
       Some {
@@ -2585,13 +2588,19 @@ object SimilarityOps {
     * query frame by IDENTITY, not equality — a new request batch is a
     * new frame and computes fresh. identityHashCode collisions are
     * disambiguated by verifying the stored reference with `eq` before
-    * trusting a hit. Bounded LRU (64) so abandoned frames cannot pin
-    * memory.
+    * trusting a hit. The frame itself is held via WEAK reference —
+    * entries must never pin an abandoned frame's plan/lineage (or its
+    * checkpoint blocks) in a long-lived serving process that creates
+    * one frame per request; a cleared reference is just a recompute,
+    * the same soundness as the `eq` check. Bounded LRU (64) caps the
+    * (tiny) entry metadata too.
     */
   private val probedCcidCache =
-    new java.util.LinkedHashMap[(Int, String, Int), (AnyRef, Seq[Long])](16, 0.75f, true) {
+    new java.util.LinkedHashMap[
+      (Int, String, Int), (java.lang.ref.WeakReference[AnyRef], Seq[Long])](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int), (AnyRef, Seq[Long])]): Boolean =
+          e: java.util.Map.Entry[
+            (Int, String, Int), (java.lang.ref.WeakReference[AnyRef], Seq[Long])]): Boolean =
         size > 64
     }
 
@@ -2600,10 +2609,10 @@ object SimilarityOps {
     probedCcidCache.synchronized {
       val key = (System.identityHashCode(q), root, nprobe)
       probedCcidCache.get(key) match {
-        case (ref, cs) if ref eq q => cs
+        case (ref, cs) if ref.get eq q => cs
         case _ =>
           val cs = probedCcids(q, cc, nprobe)
-          probedCcidCache.put(key, (q, cs)): Unit
+          probedCcidCache.put(key, (new java.lang.ref.WeakReference[AnyRef](q), cs)): Unit
           cs
       }
     }

@@ -466,16 +466,35 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q224: the filtered serve keeps the pruned scan and broadcast-only joins") {
-    val p = plan("q224_ann_filtered_serve")
+    val df = SparkEntry.queries("q224_ann_filtered_serve")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
     // the metadata predicate must not cost the probe its list pruning:
-    // the codes FileScan still carries the pushed LITERAL ccid set AND
-    // the vec_id predicate reaches the scan tier too (both visible in
-    // PushedFilters — the filter applies to the PACKED rows, before the
-    // x8 unpack-explode, so a tight filter shrinks the explode input)
+    // the codes FileScan still carries the pushed LITERAL ccid set
     assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
-    // the in-scan predicate on the packed code rows (vec_id % 3 = 1) is
-    // a data filter in the same stage as the scan, below the unpack
-    assert(p.contains("(vec_id"), p.take(3000))
+    // the in-scan predicate (vec_id % 3 = 1) sits in a Filter DIRECTLY
+    // over the codes relation — BELOW the x8 unpack-explode, fused with
+    // the probed-list restriction, so a tight filter shrinks the
+    // explode's input (a plan-string contains() check is vacuous here:
+    // '(vec_id' appears in every serve plan via the query-frame filter;
+    // this is the structural fact the round-12 pruning bug teaches to
+    // verify, not grep)
+    val codesScanFilters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.child match {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                r.relation
+                  .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.mkString(",").contains("/codes/") =>
+            Some(f.condition.toString)
+          case _ => None
+        }
+    }.flatten
+    assert(
+      codesScanFilters.exists(c => c.contains("% 3") && c.contains("ccid")),
+      s"no fused (ccid IN, vec_id % 3) filter directly over the codes relation:\n" +
+        codesScanFilters.mkString("\n"))
     // serving stays broadcast-only end to end (probe lookup tables,
     // candidate fetch, refine stage) — nothing sort-merges or goes
     // cartesian when a predicate is added

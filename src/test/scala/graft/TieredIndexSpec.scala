@@ -302,6 +302,31 @@ class TieredIndexSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("tombstone merge only folds schema-identical tombstones (a (k) tomb is not a (k,v) tomb)") {
+    import spark.implicits._
+    val dir = tmp("tombschema")
+    val data = Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 1L), ("d", 1L)).toDF("k", "v")
+    TieredIndex.create(spark, dir, data, 1, Seq(col("k")))
+    // 1 narrow (k)-schema tombstone masking every v of 'a', then 3
+    // (k, v)-schema tombstones — heterogeneous trailing set
+    TieredIndex.delete(spark, dir, Seq("a").toDF("k"))
+    TieredIndex.delete(spark, dir, Seq(("b", 1L)).toDF("k", "v"))
+    TieredIndex.delete(spark, dir, Seq(("c", 9L)).toDF("k", "v")) // no match: masks nothing
+    TieredIndex.delete(spark, dir, Seq(("d", 1L)).toDF("k", "v"))
+    def got = TieredIndex.read(spark, dir).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = Set(("b", 2L), ("c", 1L))
+    assert(got == expected)
+    // the merge must NOT unionByName-crash on the mixed schemas, and
+    // must fold only the (k, v) group — the (k) tombstone's any-v mask
+    // semantics cannot be represented by a (k, v)-schema row
+    val m = TieredIndex.maintain(spark, dir, Seq(col("k")), TieredIndex.Policy(majorFrac = 1e9), force = true)
+    assert(m.action == "tomb_merge", s"expected tomb_merge, got ${m.action}")
+    assert(m.segmentsIn == 3, s"merged ${m.segmentsIn} tombstones, expected the (k,v) group of 3")
+    assert(TieredIndex.currentSegments(dir).count(_._1 == "tomb") == 2)
+    assert(got == expected, "tombstone merge changed the visible set")
+    Engine.releaseScratch(spark)
+  }
+
   test("null-keyed rows are maskable: tombstone anti-joins are null-safe") {
     import spark.implicits._
     val dir = tmp("nullkey")
