@@ -28,6 +28,7 @@ object SparkEntry {
       _root_.graft.queries.EtlOps.entries ++
       _root_.graft.queries.BpeOps.entries ++
       _root_.graft.queries.SimilarityOps.entries ++
+      _root_.graft.queries.RetrievalOps.entries ++
       mr.PipeOps.entries ++
       streaming.StreamOps.entries
 

@@ -502,4 +502,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q229: BM25 ranks via distributed top-k; the term filter is a broadcast join") {
+    val p = plan("q229_bm25_rank")
+    // the global top-20 must be TakeOrderedAndProject (a corpus-wide
+    // single-partition window would move every scored doc to one task)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // query terms prune the token stream via a broadcast hash join (3
+    // rows broadcast onto the exploded tokens, before the tf shuffle);
+    // collection stats ride 1-row broadcasts — nothing sort-merges
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q230: both retrieval legs take distributed top-20s; fusion joins two bounded lists") {
+    val p = plan("q230_hybrid_rrf")
+    // one TakeOrderedAndProject per leg
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
 }
