@@ -203,6 +203,55 @@ object Graft {
   def pqAssign(spark: SparkSession, dir: String, cb: DataFrame): DataFrame =
     queries.SimilarityOps.pqAssign(spark, dir, cb)
 
+  /** Float embeddings -> exact-integer micro-unit vectors (vec_id, iv)
+    * — the one quantization spelling every integer-L2 kernel assumes
+    * (floor(x * 1e6 + 0.5) + 2^24; offsets cancel in distances). Build
+    * query/corpus frames for [[annServe]] with it.
+    */
+  def microVecs(df: DataFrame): DataFrame = queries.SimilarityOps.toIv(df)
+
+  /** Build (or resolve the process-cached) persisted IVFADC ANN index
+    * over `{dir}/embeddings.parquet` at system depth (k, rounds):
+    * coarse cells + residual codebook as frozen parquet, codes as a
+    * ccid-clustered [[operators.TieredIndex]] that accepts streaming
+    * appends/deletes with LSM maintenance. Returns the artifact root
+    * for [[annServe]]. Pointer-committed (COMPLETE marker last) and
+    * idempotent per (process, dir, k, rounds).
+    */
+  def buildAnnIndex(spark: SparkSession, dir: String, k: Int = 256, rounds: Int = 2): String =
+    queries.SimilarityOps.buildIvfAdcIndex(spark, dir, k, rounds)
+
+  /** The complete two-stage ANN request against a built index: pruned
+    * ADC probe (literal `ccid IN (...)` pushed to the codes scan,
+    * top-16 candidates) + exact integer-L2 refine -> positioned top-3
+    * (qid, rn, vec_id, d). `q` is (qid, qiv), `iv` (vec_id, iv) — both
+    * from [[microVecs]]. `where` filters candidates IN-SCAN (metadata-
+    * constrained search, FAISS IDSelector); `scoreFilter` transforms
+    * the pre-rank (qid, vec_id, ad) frame for per-query predicates
+    * (label-aware hard-negative mining).
+    */
+  def annServe(
+      spark: SparkSession, root: String, q: DataFrame, iv: DataFrame,
+      k: Int = 256, nprobe: Int = 2, where: Option[Column] = None,
+      scoreFilter: DataFrame => DataFrame = identity): DataFrame =
+    queries.SimilarityOps.ivfadcServe(spark, root, q, iv, k, nprobe, where, scoreFilter)
+
+  /** The inverted-index rows (doc_id, word, tf) of a document frame
+    * (doc_id, text) — BM25's complete sufficient state; persist them
+    * as [[operators.TieredIndex]] segments for an incremental lexical
+    * index (the q236 lifecycle).
+    */
+  def postings(docs: DataFrame): DataFrame = queries.RetrievalOps.postingsOf(docs)
+
+  /** Okapi BM25 (k1=1.2, b=0.75, Lucene's always-positive idf) of
+    * every document in `post` (a [[postings]] frame or a TieredIndex
+    * read of one) against term set `terms` (one `word` column):
+    * (doc_id, score), score rounded to 4dp — rank on the rounded
+    * value so libm ulp noise cannot flip an order.
+    */
+  def bm25(post: DataFrame, terms: DataFrame): DataFrame =
+    queries.RetrievalOps.bm25FromPostings(post, terms)
+
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame).
     *
     * SCRATCH CONTRACT: some registry plans materialize scratch state as

@@ -83,7 +83,16 @@ object TieredIndex {
       majorFrac: Double = 0.2,
       fileBytes: Long = 128L << 20,
       baseTargetFiles: Int = 4,
-      tombMergeAt: Int = 4
+      tombMergeAt: Int = 4,
+      // how many committed GENERATIONS maintain()'s GC keeps alive
+      // (manifests + the segments they reference). 2 = the original
+      // current+previous contract (concurrent readers of the last
+      // resolved generation stay valid across one maintenance cycle);
+      // raising it is the TIME-TRAVEL retention window ([[readAsOf]]
+      // resolves any surviving generation) — Delta/Iceberg's snapshot
+      // retention, priced the same way: retained segments hold disk
+      // until they age out of the window.
+      retainGenerations: Int = 2
   )
 
   /** What one [[maintain]] call did: `action` in none|minor|tier_merge|
@@ -350,6 +359,48 @@ object TieredIndex {
     */
   def read(spark: SparkSession, dir: String): DataFrame = maskedRead(spark, dir, segs(dir))
 
+  /** TIME-TRAVEL READ (Delta/Iceberg `VERSION AS OF`, LSM edition):
+    * the index as of streaming append watermark `batch` — the NEWEST
+    * committed generation whose append watermark is <= `batch`, i.e.
+    * the state readers saw after batch `batch` committed and before
+    * `batch + 1` did (post-batch compactions fold files, never data,
+    * so resolving the newest such manifest is population-identical to
+    * the historical mid-stream read; deletes committed between the
+    * two appends carry the same append watermark and are part of that
+    * state by generation order — the CDC-consistent reading). Only
+    * generations inside the GC retention window survive: resolving a
+    * snapshot whose manifest or segments were collected fails LOUDLY
+    * with the retention knob to turn ([[Policy.retainGenerations]]),
+    * never silently serves a partial population.
+    */
+  def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val curN = manifestNum(currentManifest(dir))
+    val committed = Option(new java.io.File(dir).list())
+      .getOrElse(Array.empty[String])
+      .filter(m => m.startsWith("manifest-") && manifestNum(m) <= curN)
+      .sortBy(manifestNum)
+    def mark(name: String): Long = Files
+      .readAllLines(Paths.get(dir, name), StandardCharsets.UTF_8)
+      .asScala
+      .collectFirst { case l if l.startsWith("batch ") => l.stripPrefix("batch ").trim.toLong }
+      .getOrElse(-1L)
+    val snap = committed.reverse
+      .find(mark(_) <= batch)
+      .getOrElse(throw new IllegalStateException(
+        s"TieredIndex.readAsOf($batch): no committed generation at or " +
+          s"before this watermark survives in $dir — it aged out of the " +
+          "GC retention window (Policy.retainGenerations)"))
+    val ss = readManifest(dir, snap)
+    ss.foreach(s =>
+      require(
+        new java.io.File(dir, s.name).exists,
+        s"TieredIndex.readAsOf($batch): generation $snap references " +
+          s"GC'd segment ${s.name} — raise Policy.retainGenerations on " +
+          "the maintenance schedule that owns this index"))
+    maskedRead(spark, dir, ss)
+  }
+
   // segment names are f"seg-%05d" and [[nextNumber]] is monotone, so
   // the numeric suffix IS the commit order — the fact the tombstone
   // semantics hang off
@@ -499,8 +550,14 @@ object TieredIndex {
       .filter(_.startsWith("manifest-")).toSeq
     val (orphans, committed) = allManifests.partition(manifestNum(_) > curN)
     orphans.foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
-    val prev = committed.filter(manifestNum(_) < curN).sortBy(manifestNum).lastOption
-    val keepM = Set(cur) ++ prev
+    // retention window: the newest `retainGenerations` committed
+    // manifests (always including CURRENT) and every segment they
+    // reference survive; with the default 2 this is exactly the
+    // original current+previous contract
+    val keepM = committed
+      .sortBy(manifestNum)
+      .takeRight(math.max(2, policy.retainGenerations))
+      .toSet
     val referenced = keepM.flatMap(readManifest(dir, _)).map(_.name)
     committed.filterNot(keepM).foreach(m => Files.deleteIfExists(Paths.get(dir, m)): Unit)
     Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])

@@ -37,18 +37,38 @@ object RetrievalOps {
     * mirror, arithmetic textually identical so left-associative IEEE
     * evaluation matches term by term.
     */
-  private def bm25Scored(docs: DataFrame, terms: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(Tokenize.toksExpr).as("word"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+  private def bm25Scored(docs: DataFrame, terms: DataFrame): DataFrame =
+    bm25FromPostings(postingsOf(docs), terms)
+
+  /** The INVERTED-INDEX rows of a document frame: (doc_id, word, tf) —
+    * exactly what a lexical index persists. [[bm25FromPostings]] needs
+    * nothing else (dl = sum(tf) per doc), so postings ARE the complete
+    * BM25 state; q236 appends them per micro-batch as LSM segments.
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Tokenize.toksExpr).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 over a POSTINGS frame (doc_id, word, tf) — the scoring core
+    * shared by the batch path (tokenize-then-score, [[bm25Scored]])
+    * and the incremental path (q236 scores a live postings INDEX the
+    * stream maintains; same code object, so the two cannot drift).
+    * dl = sum(tf) per doc — integer-exact and identical to counting
+    * the token stream, so the arithmetic (and the gate hashes) are
+    * unchanged from the pre-refactor inline form.
+    */
+  private[graft] def bm25FromPostings(post: DataFrame, terms: DataFrame): DataFrame = {
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // integer-valued sums are exact in any accumulation order, so
     // avgdl = sum/count is bit-identical across engines
     val stats = dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).cast("double").as("n_docs"))
-    val tf = tok
+    val tf = post
       .join(broadcast(terms), "word")
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "word")
       .crossJoin(broadcast(stats))
@@ -62,26 +82,29 @@ object RetrievalOps {
       .agg(round(sum(col("c")), 4).as("score"))
   }
 
-  /** [[bm25Scored]]'s DuckDB mirror: CTEs tok/dl/bstats/btf/bdf ending
-    * in `bscored` (doc_id, score), over document relation `docsRel`
-    * (must expose doc_id + text) and term CTE `termsCte` (one `word`
-    * column). A def — eager oracle interpolation rule.
+  /** [[bm25Scored]]'s DuckDB mirror: CTEs {p}tok/{p}dl/{p}stats/{p}tf/
+    * {p}df ending in `{p}scored` (doc_id, score), over document
+    * relation `docsRel` (must expose doc_id + text) and term CTE
+    * `termsCte` (one `word` column). The prefix `p` (default "b")
+    * lets one oracle chain TWO BM25 rounds (q233's pseudo-relevance
+    * feedback re-ranks with a second, expanded-term round). A def —
+    * eager oracle interpolation rule.
     */
-  private def bm25Sql(docsRel: String, termsCte: String): String =
-    s"""btok AS (SELECT doc_id, unnest(${Tokenize.toksSql}) AS word FROM $docsRel),
-             bterms AS ($termsCte),
-             bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id),
-             bstats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-               CAST(count(*) AS DOUBLE) AS n_docs FROM bdl),
-             btf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
-               FROM btok JOIN bterms USING (word) GROUP BY doc_id, word),
-             bdf AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM btf GROUP BY word),
-             bscored AS (SELECT t.doc_id,
+  private[graft] def bm25Sql(docsRel: String, termsCte: String, p: String = "b"): String =
+    s"""${p}tok AS (SELECT doc_id, unnest(${Tokenize.toksSql}) AS word FROM $docsRel),
+             ${p}terms AS ($termsCte),
+             ${p}dl AS (SELECT doc_id, count(*) AS dl FROM ${p}tok GROUP BY doc_id),
+             ${p}stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n_docs FROM ${p}dl),
+             ${p}tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+               FROM ${p}tok JOIN ${p}terms USING (word) GROUP BY doc_id, word),
+             ${p}df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM ${p}tf GROUP BY word),
+             ${p}scored AS (SELECT t.doc_id,
                  round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                    * t.tf * 2.2
                    / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))), 4) AS score
-               FROM btf t JOIN bdf d USING (word) CROSS JOIN bstats s
-               JOIN bdl l ON t.doc_id = l.doc_id
+               FROM ${p}tf t JOIN ${p}df d USING (word) CROSS JOIN ${p}stats s
+               JOIN ${p}dl l ON t.doc_id = l.doc_id
                GROUP BY t.doc_id)"""
 
   val entries: Seq[QueryDef] = Seq(
@@ -224,6 +247,211 @@ object RetrievalOps {
                row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused)
              SELECT CAST(rk AS BIGINT) AS rk, doc_id, rrf,
                CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM r WHERE rk <= 10 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q232
+    // MULTI-VECTOR LATE INTERACTION (MaxSim re-rank) — the ColBERT
+    // scoring model: query and document are each a BAG of vectors,
+    // and the score is, for every query vector, the MAX similarity
+    // over the document's vectors, summed over query vectors — token-
+    // level matching that single-vector retrieval averages away. The
+    // per-doc bags here are the embedding's 4 contiguous 16-dim
+    // sub-vectors (the corpus carries one vector per doc; the split
+    // exercises the real kernel with deterministic bags), centered
+    // micro-unit integers so every dot product is EXACT BIGINT in
+    // both engines — the one scoring kernel with no FP story at all.
+    // Deployed shape: first stage retrieves top-16 candidates by
+    // whole-vector distance (the bounded leg — q216's serve path is
+    // the drop-in replacement at scale, exactly as in q230), MaxSim
+    // re-ranks only those — the stage split that makes late
+    // interaction affordable (PLAID/ColBERTv2): the O(|q-vecs| x
+    // |d-vecs|) kernel runs on 16 docs per query, never the corpus.
+    QueryDef(
+      "q232_maxsim_rerank",
+      (s, dir) => {
+        val iv = SimilarityOps.ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val cand = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 16)
+          .select(col("qid"), col("vec_id"))
+        // centered (offset-free) micro-int vectors: dot products don't
+        // cancel an affine offset the way L2 does, so the MaxSim
+        // kernel reads the raw micro-units
+        val civ = Engine.table(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            expr("transform(cast(embedding as array<double>), " +
+              "x -> cast(floor(x * 1000000 + 0.5d) as bigint))").as("civ"))
+        val sub = explode(expr(
+          "transform(sequence(0, 3), m -> named_struct('m', m, 'sv', slice(civ, m * 16 + 1, 16)))"))
+        val qs = civ
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), sub.as("x"))
+          .select(col("qid"), col("x.m").as("qm"), col("x.sv").as("qsv"))
+        val ds = broadcast(cand)
+          .join(civ, "vec_id")
+          .select(col("qid"), col("vec_id"), sub.as("x"))
+          .select(col("qid"), col("vec_id"), col("x.sv").as("dsv"))
+        val wR = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        ds.join(broadcast(qs), "qid")
+          .select(
+            col("qid"), col("vec_id"), col("qm"),
+            expr("aggregate(zip_with(qsv, dsv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+              .as("dot"))
+          .groupBy(col("qid"), col("vec_id"), col("qm"))
+          .agg(max(col("dot")).as("mx"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("mx")).as("sim"))
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH t AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             c AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS civ
+               FROM embeddings),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 5),
+             bd AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             cand AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn FROM bd)
+               WHERE rn <= 16),
+             qs AS (SELECT vec_id AS qid, mm.m AS qm,
+                 list_slice(civ, mm.m * 16 + 1, mm.m * 16 + 16) AS qsv
+               FROM c, (SELECT unnest(generate_series(0, 3)) AS m) mm WHERE vec_id < 5),
+             ds AS (SELECT cd.qid, cd.vec_id,
+                 list_slice(c.civ, mm.m * 16 + 1, mm.m * 16 + 16) AS dsv
+               FROM cand cd JOIN c ON cd.vec_id = c.vec_id,
+                 (SELECT unnest(generate_series(0, 3)) AS m) mm),
+             dt AS (SELECT q.qid, d.vec_id, q.qm,
+                 max(list_sum(list_transform(generate_series(1, len(q.qsv)),
+                   j -> q.qsv[j] * d.dsv[j]))) AS mx
+               FROM qs q JOIN ds d ON q.qid = d.qid
+               GROUP BY q.qid, d.vec_id, q.qm),
+             ms AS (SELECT qid, vec_id, CAST(sum(mx) AS BIGINT) AS sim
+               FROM dt GROUP BY qid, vec_id)
+             SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM (
+               SELECT qid, vec_id, sim,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM ms) r
+             WHERE rk <= 5 ORDER BY qid, rk""")
+    ),
+    // --------------------------------------------------------------- q233
+    // PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio/RM3 family) —
+    // the classic lexical recall lever: run the keyword query, take
+    // the top-10 FEEDBACK documents, mine the 5 terms that occur most
+    // often in them (excluding the originals; ties by word — fully
+    // deterministic), and re-run BM25 with the expanded term set. Two
+    // complete BM25 rounds through the ONE bm25Scored definition site
+    // (the oracle chains two prefixed bm25Sql expansions), so the
+    // expansion loop is gated end to end: a different feedback set, a
+    // different mined term, or a drifted second-round score all fail
+    // the hash. At scale: round 1 is q229's pruned shape; the term
+    // mining aggregates ONLY the 10 feedback docs' tokens (broadcast
+    // semi-join); round 2 is q229's shape again with 8 terms — the
+    // whole expansion costs one extra bounded aggregate between two
+    // ordinary BM25 passes.
+    QueryDef(
+      "q233_rm3_expansion",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+        val terms0 = Seq("hash", "join", "spark").toDF("word")
+        val fb = bm25Scored(docs, terms0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"))
+        val tok = docs.select(col("doc_id"), explode(Tokenize.toksExpr).as("word"))
+        val exp = tok
+          .join(broadcast(fb), "doc_id")
+          .filter(!col("word").isin("hash", "join", "spark"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("ftf"))
+          .orderBy(col("ftf").desc, col("word"))
+          .limit(5)
+          .select(col("word"))
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        bm25Scored(docs, terms0.unionAll(exp))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("rk"), col("doc_id"), col("score"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""WITH ${bm25Sql(
+          "documents",
+          "SELECT unnest(['hash', 'join', 'spark']) AS word")},
+             fb AS (SELECT doc_id FROM (SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bscored)
+               WHERE rn <= 10),
+             exp AS (SELECT word FROM (SELECT k.word,
+                 row_number() OVER (ORDER BY count(*) DESC, k.word) AS rn
+               FROM btok k JOIN fb USING (doc_id)
+               WHERE k.word NOT IN ('hash', 'join', 'spark')
+               GROUP BY k.word) WHERE rn <= 5),
+             ${bm25Sql(
+          "documents",
+          "SELECT word FROM exp UNION ALL SELECT unnest(['hash', 'join', 'spark']) AS word",
+          "e")},
+             r AS (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM escored)
+             SELECT CAST(rk AS BIGINT) AS rk, doc_id, score FROM r
+             WHERE rk <= 20 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q234
+    // FIELD-COLLAPSED TOP-K — result diversification by source
+    // (Elasticsearch's `collapse`, Vespa's grouping): the BM25 ranking
+    // capped at 2 results PER SOURCE before the global top-10, so one
+    // prolific source cannot monopolize the page — the diversity
+    // contract every multi-tenant retrieval deployment ships. Output
+    // carries both ranks (src_rk = position within the source) so the
+    // cap itself is the gated observable. At scale: the collapse is a
+    // per-group top-k (WindowGroupLimit — partial per partition, no
+    // global sort), the final cut one TakeOrdered over the survivors;
+    // against 100 TB the plan reads exactly like q229 plus one bounded
+    // window.
+    QueryDef(
+      "q234_collapsed_topk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+        val terms = Seq("hash", "join", "spark").toDF("word")
+        val wS = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        bm25Scored(docs, terms)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("src_rk", row_number().over(wS).cast("long"))
+          .filter(col("src_rk") <= 2)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("rk"), col("doc_id"), col("source"), col("src_rk"), col("score"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""WITH ${bm25Sql(
+          "documents",
+          "SELECT unnest(['hash', 'join', 'spark']) AS word")},
+             sc AS (SELECT b.doc_id, d.source, b.score,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY b.score DESC, b.doc_id) AS src_rk
+               FROM bscored b JOIN documents d USING (doc_id)),
+             r AS (SELECT doc_id, source, src_rk, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+               FROM sc WHERE src_rk <= 2)
+             SELECT CAST(rk AS BIGINT) AS rk, doc_id, source,
+               CAST(src_rk AS BIGINT) AS src_rk, score
              FROM r WHERE rk <= 10 ORDER BY rk""")
     )
   )

@@ -2181,6 +2181,144 @@ object SimilarityOps {
           .orderBy(col("qid"), col("rn"))
       },
       Some(ivfadcServeOracleSql(trainWhere = sampledTrainWhereSql))
+    ),
+    // --------------------------------------------------------------- q231
+    // HARD-NEGATIVE MINING — the contrastive-training data job every
+    // embedding-model pipeline runs (SBERT/DPR mining): for each
+    // anchor, the nearest corpus vectors whose LABEL DIFFERS from the
+    // anchor's — close in embedding space but semantically wrong, the
+    // negatives that actually move a contrastive loss. Rides the REAL
+    // serving path: the deep persisted index's pruned ADC scan at the
+    // tuned nprobe=4, with the label constraint applied through
+    // `scoreFilter` — the PER-QUERY filtered serve (q224's `where`
+    // generalizes to predicates over the (query, candidate) PAIR) —
+    // BEFORE the top-16 rank, so the candidate set is the 16 best
+    // different-label survivors, never a starved post-filter; the
+    // refine stage then exact-ranks the top-3 mined negatives. At
+    // 100 TB: anchors broadcast (training batches are bounded), the
+    // label fetch is one column-pruned join against the probed-list
+    // candidates (production layout stores the label as a payload
+    // column IN the codes index, making it a scan-level predicate —
+    // the TieredIndex accepts extra columns today); mining the whole
+    // corpus as anchors is this same job keyed by anchor batch.
+    QueryDef(
+      "q231_hard_negative_mining",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val iv = ivecs(s, dir)
+        val lab = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val qlab = lab
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val negOnly: DataFrame => DataFrame = sc =>
+          sc.join(broadcast(qlab), "qid")
+            .join(lab, "vec_id")
+            .filter(col("label") =!= col("qlabel"))
+            .select(col("qid"), col("vec_id"), col("ad"))
+        ivfadcServe(s, idx, q, iv, k = 256, nprobe = 4, scoreFilter = negOnly)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcSql(256, 2, nprobe = 4)},
+             lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             wneg AS (SELECT a.qid, a.vec_id, a.ad FROM wadc a
+                 JOIN lab ql ON a.qid = ql.vec_id
+                 JOIN lab cl ON a.vec_id = cl.vec_id
+                 WHERE cl.label <> ql.label),
+             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wneg) WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wad16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
+               SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wrr) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q235
+    // FLAT SQ8 SERVING — the OTHER standard quantization family
+    // (FAISS IndexScalarQuantizer): per-dimension INTEGER-GRID scalar
+    // quantization to 8 bits (step = ceil(range/255) in micro-units,
+    // reconstruct at the cell midpoint — all BIGINT arithmetic, so
+    // both engines land the exact same codes with no FP rounding
+    // story at all), asymmetric distance (exact query vs
+    // reconstructed corpus — SQ's ADC), top-16 candidates, exact
+    // re-rank to top-3. The memory trade vs PQ: SQ8 keeps 1 byte/dim
+    // (8x smaller than float32, 64 codes/vector where PQ stores 8)
+    // with a FULL-dimension reconstruction — higher fidelity per
+    // byte read than PQ's 8 subspace centroids, but the scan is
+    // O(corpus) per query: flat SQ8 is the memory-bound middle rung
+    // of the ladder (brute -> SQ8 -> IVFADC), and composes with the
+    // IVF machinery (quantize residuals instead of vectors) exactly
+    // as PQ does when list pruning is also needed. Stats are one
+    // per-dim aggregate (64 rows, broadcast); the quantize pass is
+    // one linear scan, the same cost class as ivfadcEncode.
+    QueryDef(
+      "q235_sq8_serve",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val ex = iv.select(col("vec_id"), posexplode(col("iv")).as(Seq("pos", "v")))
+        val st = ex
+          .groupBy(col("pos"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .withColumn("step", greatest(lit(1L), expr("(mx - mn + 254) div 255")))
+          .select(col("pos"), col("mn"), col("step"))
+        val rv = ex
+          .join(broadcast(st), "pos")
+          .withColumn("r", expr("mn + ((v - mn) div step) * step + step div 2"))
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, r))), p -> p.r)").as("rv"))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val cand = broadcast(q)
+          .join(rv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("rv")).as("ad"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 16)
+          .select(col("qid"), col("vec_id"))
+        exactRerank(cand, q, iv).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH t AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             ex AS (SELECT vec_id, unnest(generate_series(1, len(iv))) AS j FROM t),
+             exv AS (SELECT e.vec_id, e.j, t.iv[e.j] AS v
+               FROM ex e JOIN t ON e.vec_id = t.vec_id),
+             st AS (SELECT j, min(v) AS mn, max(v) AS mx FROM exv GROUP BY j),
+             st2 AS (SELECT j, mn, greatest(1, (mx - mn + 254) // 255) AS step FROM st),
+             rc AS (SELECT e.vec_id, e.j,
+                 s.mn + ((e.v - s.mn) // s.step) * s.step + s.step // 2 AS r
+               FROM exv e JOIN st2 s USING (j)),
+             rv AS (SELECT vec_id, list(r ORDER BY j) AS rv FROM rc GROUP BY vec_id),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
+             sc AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.rv[j]) * (q.qiv[j] - x.rv[j]))) AS ad
+               FROM wq q JOIN rv x ON q.qid <> x.vec_id),
+             c16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM sc) WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM c16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
+               SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wrr) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
     )
   )
 
@@ -2624,9 +2762,10 @@ object SimilarityOps {
     */
   private[graft] def ivfadcProbe(
       q: DataFrame, cc: DataFrame, cb: DataFrame, codes: DataFrame,
-      topN: Int = 3, nprobe: Int = 2): DataFrame = {
+      topN: Int = 3, nprobe: Int = 2,
+      scoreFilter: DataFrame => DataFrame = identity): DataFrame = {
     val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
-    ivfadcScores(q, cc, cb, codes, nprobe)
+    scoreFilter(ivfadcScores(q, cc, cb, codes, nprobe))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= topN)
       .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"), col("ad"))
@@ -2652,7 +2791,8 @@ object SimilarityOps {
     */
   private[graft] def ivfadcProbeIndex(
       s: SparkSession, root: String, q: DataFrame, k: Int,
-      topN: Int = 3, nprobe: Int = 2, where: Option[Column] = None): DataFrame = {
+      topN: Int = 3, nprobe: Int = 2, where: Option[Column] = None,
+      scoreFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cc = s.read.parquet(s"$root/coarse")
     val cb = s.read.parquet(s"$root/codebook")
     // the probed set is cached per (query-batch identity, root, nprobe):
@@ -2663,7 +2803,7 @@ object SimilarityOps {
       .filter(col("ccid").isin(probedCcidsCached(q, root, cc, nprobe): _*))
     val scoped = where.fold(packed)(packed.filter)
     val codes = if (k <= 16) unpackCodes(scoped) else unpackCodesHex(scoped)
-    ivfadcProbe(q, cc, cb, codes, topN, nprobe)
+    ivfadcProbe(q, cc, cb, codes, topN, nprobe, scoreFilter)
   }
 
   /** The COMPLETE two-stage serving request against a persisted
@@ -2678,11 +2818,19 @@ object SimilarityOps {
     * SURVIVORS (in-scan filtering — the candidate set never starves
     * under a tight filter the way post-filtering an unconstrained
     * top-16 would), and the refine stage re-ranks exactly those.
+    * `scoreFilter` is the PER-QUERY analogue (q231): a transform of
+    * the pre-rank (qid, vec_id, ad) score frame for predicates that
+    * depend on the query row itself (label-aware negative mining,
+    * per-tenant exclusions) — applied, like `where`, BEFORE the
+    * top-16 rank so the ADC stage keeps the best SURVIVORS.
     */
   private[graft] def ivfadcServe(
       s: SparkSession, root: String, q: DataFrame, iv: DataFrame, k: Int,
-      nprobe: Int = 2, where: Option[Column] = None): DataFrame = {
-    val cand = ivfadcProbeIndex(s, root, q, k, topN = 16, nprobe = nprobe, where = where)
+      nprobe: Int = 2, where: Option[Column] = None,
+      scoreFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val cand = ivfadcProbeIndex(
+      s, root, q, k, topN = 16, nprobe = nprobe, where = where,
+      scoreFilter = scoreFilter)
       .select(col("qid"), col("vec_id"))
     exactRerank(cand, q, iv)
   }

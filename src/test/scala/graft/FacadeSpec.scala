@@ -60,4 +60,25 @@ class FacadeSpec extends AnyFunSuite {
     assert(a.count() == n * 8)
     Graft.releaseScratch(spark)
   }
+
+  test("ANN serving reachable through the façade: build, microVecs, serve") {
+    val root = Graft.buildAnnIndex(spark, dir, k = 16, rounds = 1)
+    assert(new java.io.File(root, "COMPLETE").exists, "pointer-committed artifact")
+    val iv = Graft.microVecs(Graft.table(spark, dir, "embeddings"))
+    val q = iv.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val got = Graft.annServe(spark, root, q, iv, k = 16)
+    assert(got.columns.toSeq == Seq("qid", "rn", "vec_id", "d"))
+    assert(got.count() == 9, "3 queries x positioned top-3")
+    Graft.releaseScratch(spark)
+  }
+
+  test("postings / bm25 reachable through the façade with documented shapes") {
+    import spark.implicits._
+    val post = Graft.postings(Graft.table(spark, dir, "documents"))
+    assert(post.columns.toSeq == Seq("doc_id", "word", "tf"))
+    val scored = Graft.bm25(post, Seq("hash", "join").toDF("word"))
+    assert(scored.columns.toSeq == Seq("doc_id", "score"))
+    assert(scored.count() > 0, "somebody matches the query")
+    Graft.releaseScratch(spark)
+  }
 }

@@ -523,4 +523,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
+
+  test("q231: the label-constrained serve keeps the pruned scan; mining stays broadcast-only") {
+    val p = plan("q231_hard_negative_mining")
+    // the per-query scoreFilter must not cost the probe its list
+    // pruning: the codes FileScan still carries the pushed literal set
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q232: MaxSim re-ranks a bounded candidate set — per-query group limits, no cartesian") {
+    val p = plan("q232_maxsim_rerank")
+    // first-stage top-16 per query is a group-limit, never a global sort
+    assert(p.contains("WindowGroupLimit"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q233: both PRF rounds rank via distributed top-k; expansion mining is broadcast") {
+    val p = plan("q233_rm3_expansion")
+    // round-1 feedback page, the 5-term mine, and the round-2 page —
+    // each a TakeOrderedAndProject over its bounded output
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q234: the per-source collapse is a group limit; the page is a distributed top-k") {
+    val p = plan("q234_collapsed_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

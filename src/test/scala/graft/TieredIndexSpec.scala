@@ -337,4 +337,50 @@ class TieredIndexSpec extends AnyFunSuite {
     assert(left == Set(Some("a"), Some("b")), s"null-keyed delete did not apply: $left")
     Engine.releaseScratch(spark)
   }
+
+  test("time travel: readAsOf(b) reproduces each batch's population under retention") {
+    val dir = tmp("timetravel")
+    val retain = TieredIndex.Policy(retainGenerations = 16)
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    for (b <- 0 until 4) {
+      TieredIndex.append(
+        spark, dir, keyed((100 + 10 * b) until (100 + 10 * (b + 1))), batchId = b.toLong)
+      TieredIndex.maintain(spark, dir, Seq(col("k")), retain): Unit
+    }
+    // every historical append watermark resolves to exactly its prefix
+    // population — compactions between appends fold files, never data
+    for (b <- 0 until 4) {
+      val got = TieredIndex.readAsOf(spark, dir, b.toLong)
+        .collect().map(_.getString(0)).toSet
+      val want = (0 until (100 + 10 * (b + 1))).map(i => f"k$i%08d").toSet
+      assert(got == want, s"readAsOf($b): ${got.size} rows, want ${want.size}")
+    }
+    // batch -1 = the pre-stream create generation
+    assert(
+      TieredIndex.readAsOf(spark, dir, -1L).count() == 100,
+      "readAsOf(-1) is the day-0 base")
+    // a watermark beyond the newest resolves to the current generation
+    assert(TieredIndex.readAsOf(spark, dir, 99L).count() == 140)
+    Engine.releaseScratch(spark)
+  }
+
+  test("time travel outside the retention window fails loudly, never partially") {
+    val dir = tmp("ttgc")
+    // default retention (2 generations): after enough append+maintain
+    // cycles the early generations' manifests/segments are collected
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    for (b <- 0 until 6) {
+      TieredIndex.append(spark, dir, keyed((100 + 10 * b) until (100 + 10 * (b + 1))), batchId = b.toLong)
+      TieredIndex.maintain(spark, dir, Seq(col("k"))): Unit
+    }
+    val ex = intercept[Exception] {
+      TieredIndex.readAsOf(spark, dir, -1L).count()
+    }
+    assert(
+      ex.getMessage.contains("retainGenerations") || ex.getMessage.contains("retention"),
+      s"GC'd snapshot error does not name the retention knob: ${ex.getMessage}")
+    // the CURRENT generation is untouched by the failure
+    assert(TieredIndex.read(spark, dir).count() == 160)
+    Engine.releaseScratch(spark)
+  }
 }
