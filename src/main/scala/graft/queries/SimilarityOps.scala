@@ -544,6 +544,18 @@ object SimilarityOps {
                j -> (t.iv[j] - c1.cv[j]) * (t.iv[j] - c1.cv[j]))) AS dist
            FROM t CROSS JOIN c1))"""
 
+  /** nDCG's 1/log2(p+1) position discounts for p = 1..10, rounded to
+    * 6dp — computed ONCE here and interpolated into BOTH the Spark
+    * plan and the DuckDB oracle as identical literals (q238), so the
+    * metric's only transcendental never touches either engine's libm.
+    * Defined before `entries` (eager oracle interpolation rule).
+    */
+  private val dcgWeights: Seq[(Int, Double)] = (1 to 10).map { p =>
+    p -> BigDecimal(1.0 / (math.log(p + 1.0) / math.log(2.0)))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- q54
     // Embedding near-dup pairs within label blocks: top-100 by cosine.
@@ -2313,6 +2325,205 @@ object SimilarityOps {
                  list_sum(list_transform(generate_series(1, len(q.qiv)),
                    j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
                FROM c16 c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
+               SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM wrr) r
+             WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q238
+    // RETRIEVAL QUALITY METRICS (MRR / nDCG@10) — the evaluation
+    // operator every embedding-model training loop runs after each
+    // checkpoint: rank the corpus per query (exact integer L2 — the
+    // metric harness must not fold index error into model error),
+    // grade the top-10 against labeled relevance (same label =
+    // relevant), and emit per-query n_rel@10, MRR, and nDCG@10. The
+    // log2 discount table is computed ONCE in Scala, rounded to 6dp,
+    // and interpolated into BOTH engines as literals — the one FP
+    // transcendental in the whole metric enters as identical constants,
+    // so the gate has no libm story (sums of identical doubles, then
+    // the q81 round-before-compare rule). IDCG truncates the ideal
+    // gain list at min(|relevant|, 10) — real nDCG, not the
+    // top-heavy approximation. At 100 TB: the ranking stage is the
+    // brute/served top-k (swap in q216's serve path exactly as q230
+    // documents); the grading joins are label lookups on 20x10
+    // bounded rows.
+    QueryDef(
+      "q238_retrieval_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val iv = ivecs(s, dir)
+        val lab = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val qlab = lab
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+        val top10 = broadcast(q)
+          .join(iv, col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+          .withColumn("p", row_number().over(wB))
+          .filter(col("p") <= 10)
+          .join(broadcast(qlab), "qid")
+          .join(lab, "vec_id")
+          .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+        val wdf = dcgWeights.toDF("p", "w")
+        val perq = top10
+          .join(broadcast(wdf), "p")
+          .groupBy(col("qid"))
+          .agg(
+            sum(col("rel")).cast("long").as("n_rel10"),
+            round(sum(col("rel") * col("w")), 6).as("dcg"),
+            min(when(col("rel") === 1, col("p"))).as("frank"))
+        val labCount = lab.groupBy(col("label")).agg(count(lit(1)).as("nl"))
+        val rq = qlab
+          .join(broadcast(labCount), col("qlabel") === col("label"))
+          .select(col("qid"), (col("nl") - 1).as("nrel"))
+        val idcg = rq
+          .crossJoin(broadcast(wdf))
+          .filter(col("p") <= least(col("nrel"), lit(10L)))
+          .groupBy(col("qid"))
+          .agg(round(sum(col("w")), 6).as("idcg"))
+        perq
+          .join(idcg, "qid")
+          .select(
+            col("qid"), col("n_rel10"),
+            round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val wRows = dcgWeights
+          .map { case (p, w) => s"SELECT $p AS p, CAST($w AS DOUBLE) AS w" }
+          .mkString(" UNION ALL ")
+        s"""WITH t AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
+               FROM embeddings),
+             lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
+             ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab WHERE vec_id < 20),
+             dd AS (SELECT q.qid, x.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM wq q JOIN t x ON q.qid <> x.vec_id),
+             r AS (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS p FROM dd),
+             top10 AS (SELECT r.qid, r.vec_id, r.p,
+                 CASE WHEN cl.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+               FROM r JOIN lab cl ON r.vec_id = cl.vec_id
+               JOIN ql ON r.qid = ql.qid WHERE r.p <= 10),
+             w AS ($wRows),
+             perq AS (SELECT t10.qid, CAST(sum(rel) AS BIGINT) AS n_rel10,
+                 round(sum(rel * w.w), 6) AS dcg,
+                 min(CASE WHEN rel = 1 THEN t10.p END) AS frank
+               FROM top10 t10 JOIN w ON t10.p = w.p GROUP BY t10.qid),
+             lc AS (SELECT label, count(*) AS nl FROM lab GROUP BY label),
+             rq AS (SELECT ql.qid, lc.nl - 1 AS nrel
+               FROM ql JOIN lc ON ql.qlabel = lc.label),
+             idcg AS (SELECT rq.qid, round(sum(w.w), 6) AS idcg
+               FROM rq CROSS JOIN w WHERE w.p <= least(rq.nrel, 10)
+               GROUP BY rq.qid)
+             SELECT p.qid, p.n_rel10,
+               round(coalesce(CAST(1 AS DOUBLE) / p.frank, 0), 6) AS mrr,
+               round(p.dcg / i.idcg, 6) AS ndcg10
+             FROM perq p JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
+      }
+    ),
+    // --------------------------------------------------------------- q239
+    // IVF-SQ8 — the remaining rung of the quantization ladder (FAISS
+    // IndexIVFScalarQuantizer): coarse cells prune the search to
+    // nprobe=2 inverted lists exactly as IVFADC does, but the
+    // residuals are SCALAR-quantized per dimension (q235's integer-
+    // grid SQ8 applied to RESIDUAL space — smaller ranges than raw
+    // vectors, so the same 8 bits buy finer steps) instead of
+    // product-quantized. ADC form: the query's PER-CELL residual
+    // (q - centroid, one per probed list) scores against candidates'
+    // midpoint reconstructions — all BIGINT, no FP anywhere in the
+    // approximate stage. Top-16 survivors exact-re-rank to the served
+    // top-3. One table for the memory ladder at 64 dims: PQ stores 8
+    // codes/vector (64x compression), SQ8 64 codes (8x), floats 256
+    // bytes — IVF-SQ8 is what deployments run when PQ's distortion
+    // costs too much recall and memory allows a byte per dimension.
+    QueryDef(
+      "q239_ivf_sq8_serve",
+      (s, dir) => {
+        val iv = ivecs(s, dir)
+        val cc = coarseCells(iv, 2).localCheckpoint(eager = false)
+        val ca = coarseAssign(iv, cc)
+        val rv = iv
+          .join(ca, "vec_id")
+          .join(broadcast(cc), "ccid")
+          .select(
+            col("vec_id"), col("ccid"),
+            expr("zip_with(iv, ccv, (a, b) -> a - b + 16777216L)").as("rv"))
+        val ex = rv.select(col("vec_id"), posexplode(col("rv")).as(Seq("pos", "v")))
+        val st = ex
+          .groupBy(col("pos"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .withColumn("step", greatest(lit(1L), expr("(mx - mn + 254) div 255")))
+          .select(col("pos"), col("mn"), col("step"))
+        val rec = ex
+          .join(broadcast(st), "pos")
+          .withColumn("r", expr("mn + ((v - mn) div step) * step + step div 2"))
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, r))), p -> p.r)").as("rq"))
+          .join(ca, "vec_id")
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val qr = probeCells(q, cc, 2)
+          .select(
+            col("qid"), col("ccid"),
+            expr("zip_with(qiv, ccv, (a, b) -> a - b + 16777216L)").as("qrv"))
+        val wA = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+        val cand = rec
+          .join(broadcast(qr), "ccid")
+          .filter(col("qid") =!= col("vec_id"))
+          .select(
+            col("qid"), col("vec_id"),
+            graft.functions.VectorOps.l2sqLong(col("qrv"), col("rq")).as("ad"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= 16)
+          .select(col("qid"), col("vec_id"))
+        exactRerank(cand, q, iv).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfCoarseSql("", 2, nprobe = 2)},
+             srv AS (SELECT a.vec_id, a.ccid,
+                 list_transform(generate_series(1, len(t.iv)),
+                   j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
+               FROM wca a JOIN t ON a.vec_id = t.vec_id JOIN wcc c ON a.ccid = c.ccid),
+             sex AS (SELECT vec_id, unnest(generate_series(1, len(rv))) AS j FROM srv),
+             sexv AS (SELECT e.vec_id, e.j, r.rv[e.j] AS v
+               FROM sex e JOIN srv r ON e.vec_id = r.vec_id),
+             sst AS (SELECT j, min(v) AS mn, max(v) AS mx FROM sexv GROUP BY j),
+             sst2 AS (SELECT j, mn, greatest(1, (mx - mn + 254) // 255) AS step FROM sst),
+             src AS (SELECT e.vec_id, e.j,
+                 s.mn + ((e.v - s.mn) // s.step) * s.step + s.step // 2 AS r
+               FROM sexv e JOIN sst2 s USING (j)),
+             srq AS (SELECT vec_id, list(r ORDER BY j) AS rq FROM src GROUP BY vec_id),
+             sqr AS (SELECT p.qid, p.ccid,
+                 list_transform(generate_series(1, len(p.qiv)),
+                   j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv
+               FROM wpr p JOIN wcc c ON p.ccid = c.ccid),
+             ssc AS (SELECT q.qid, a.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qrv)),
+                   j -> (q.qrv[j] - x.rq[j]) * (q.qrv[j] - x.rq[j]))) AS ad
+               FROM sqr q JOIN wca a ON a.ccid = q.ccid
+               JOIN srq x ON a.vec_id = x.vec_id
+               WHERE q.qid <> a.vec_id),
+             s16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM ssc) WHERE rn <= 16),
+             wrr AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM s16 c JOIN wq q ON c.qid = q.qid
                JOIN t x ON c.vec_id = x.vec_id)
              SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
                SELECT qid, vec_id, d,

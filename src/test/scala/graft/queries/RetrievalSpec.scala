@@ -124,6 +124,63 @@ class RetrievalSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q238: metrics are bounded — n_rel@10 <= 10, MRR and nDCG@10 in [0, 1]") {
+    val rows = graft.SparkEntry
+      .queries("q238_retrieval_metrics")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 20, "one metrics row per query")
+    rows.foreach { case (qid, nrel, mrr, ndcg) =>
+      assert(nrel >= 0 && nrel <= 10, s"qid $qid: n_rel10 $nrel")
+      assert(mrr >= 0 && mrr <= 1, s"qid $qid: mrr $mrr")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9, s"qid $qid: ndcg $ndcg")
+      // a query with no relevant in the page has BOTH metrics at 0;
+      // any hit puts both strictly positive
+      assert((mrr == 0) == (nrel == 0), s"qid $qid: mrr $mrr vs n_rel10 $nrel")
+      assert((ndcg == 0) == (nrel == 0), s"qid $qid: ndcg $ndcg vs n_rel10 $nrel")
+    }
+    // the label structure is real: SOME query finds relevant neighbors
+    assert(rows.exists(_._2 > 0), "vacuous corpus: no query found any relevant doc")
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q239: IVF-SQ8 serves 20 exact-re-ranked top-3s; recall holds a measured floor") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.SparkEntry
+      .queries("q239_ivf_sq8_serve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 60, "20 queries x top-3")
+    assert(rows.forall(_._4 >= 0), "exact distances are non-negative")
+    val served = rows.map(r => (r._1, r._3)).toSet
+    assert(served.size == 60, "no duplicate (qid, vec_id) in the page")
+    // recall vs the exact integer-L2 truth: coarse pruning (nprobe
+    // 2/16 lists) caps recall at the q211 ceiling (52/60 at sf0.01);
+    // SQ8's residual error must not collapse it. Floor pins against a
+    // silent quantizer regression, with slack for the genuine
+    // approximation (measured: 52/60 — residual SQ8 at a byte per dim
+    // recovers the full ceiling after exact re-rank).
+    val iv = SimilarityOps.ivecs(spark, dir)
+    val q = iv
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    val brute = broadcast(q)
+      .join(iv, col("qid") =!= col("vec_id"))
+      .select(
+        col("qid"), col("vec_id"),
+        graft.functions.VectorOps.l2sqLong(col("qiv"), col("iv")).as("d"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val hits = served.count(brute)
+    assert(hits >= 45, s"IVF-SQ8 recall collapsed: $hits/60 vs exact truth")
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("postings additivity: disjoint-batch postings union to the full index (q236 core)") {
     val docs = graft.Engine.table(spark, dir, "documents")
     val whole = RetrievalOps.postingsOf(docs)
