@@ -2530,6 +2530,42 @@ object SimilarityOps {
                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
                FROM wrr) r
              WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q240
+    // INDEX STATS / EXPLAIN — the health check every vector-store ops
+    // team runs before trusting an index (FAISS's imbalance_factor,
+    // `DESCRIBE INDEX`): the persisted deep artifact's inverted-list
+    // HISTOGRAM, read from the index itself (one row per cell with its
+    // population and corpus fraction), gated against the oracle
+    // re-deriving the same assignment from training — so the gate
+    // simultaneously proves the artifact's codes table IS the
+    // assignment (no drift between what was written and what training
+    // says) and prices list skew: a hot cell reads as a hot list at
+    // serve time (probe cost is proportional to the lists opened), so
+    // this histogram is the capacity-planning input for nprobe and the
+    // skew trigger for re-training. The per-cell count rides the
+    // packed rows (one per (vec_id, ccid)) — a metadata-cheap scan of
+    // the clustered index, never an unpack.
+    QueryDef(
+      "q240_ann_index_stats",
+      (s, dir) => {
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val n = graft.operators.TieredIndex
+          .read(s, s"$idx/codes")
+          .groupBy(col("ccid"))
+          .agg(count(lit(1)).as("n"))
+        n.crossJoin(broadcast(n.agg(sum(col("n")).as("tot"))))
+          .select(
+            col("ccid"), col("n"),
+            round(col("n") / col("tot"), 6).as("frac"))
+          .orderBy(col("ccid"))
+      },
+      Some(s"""${ivfCoarseSql("", 2)},
+             cnt AS (SELECT ccid, CAST(count(*) AS BIGINT) AS n
+               FROM wca GROUP BY ccid),
+             tot AS (SELECT sum(n) AS tot FROM cnt)
+             SELECT ccid, n, round(n / tot.tot, 6) AS frac
+             FROM cnt CROSS JOIN tot ORDER BY ccid""")
     )
   )
 
@@ -3003,14 +3039,21 @@ object SimilarityOps {
   private[graft] def ivfadcProbeIndex(
       s: SparkSession, root: String, q: DataFrame, k: Int,
       topN: Int = 3, nprobe: Int = 2, where: Option[Column] = None,
-      scoreFilter: DataFrame => DataFrame = identity): DataFrame = {
+      scoreFilter: DataFrame => DataFrame = identity,
+      asOf: Option[Long] = None): DataFrame = {
     val cc = s.read.parquet(s"$root/coarse")
     val cb = s.read.parquet(s"$root/codebook")
     // the probed set is cached per (query-batch identity, root, nprobe):
     // the streaming families re-probe the same checkpointed frame every
     // micro-batch, and the set is a pure function of frozen inputs
-    val packed = graft.operators.TieredIndex
-      .read(s, s"$root/codes")
+    // (cells are immutable once trained, so the cache is also
+    // asOf-independent — time travel changes the codes population,
+    // never which lists a query opens)
+    val codesTable = asOf match {
+      case None => graft.operators.TieredIndex.read(s, s"$root/codes")
+      case Some(b) => graft.operators.TieredIndex.readAsOf(s, s"$root/codes", b)
+    }
+    val packed = codesTable
       .filter(col("ccid").isin(probedCcidsCached(q, root, cc, nprobe): _*))
     val scoped = where.fold(packed)(packed.filter)
     val codes = if (k <= 16) unpackCodes(scoped) else unpackCodesHex(scoped)

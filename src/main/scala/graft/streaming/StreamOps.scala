@@ -103,7 +103,9 @@ object StreamOps {
   private def ivfadcStreamSearch(
       s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
       k: Int, rounds: Int,
-      trainSample: Option[org.apache.spark.sql.Column] = None)
+      trainSample: Option[org.apache.spark.sql.Column] = None,
+      policy: graft.operators.TieredIndex.Policy = graft.operators.TieredIndex.Policy(),
+      midProbes: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     val S = graft.queries.SimilarityOps
     val work = graft.Engine.scratchDir(tag, dir)
@@ -143,19 +145,24 @@ object StreamOps {
           val packed = if (k <= 16) S.packCodes(enc) else S.packCodesHex(enc)
           graft.operators.TieredIndex.append(ss, codesDir, packed, batchId = bid)
           graft.operators.TieredIndex
-            .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            .maintain(ss, codesDir, Seq(col("ccid"), col("vec_id")), policy): Unit
         }
         // probe the LIVE index this batch just committed into —
         // batch bid's arrivals must already be hits here (via the
-        // one artifact-serving path: pushed-literal list pruning)
-        S.ivfadcProbeIndex(ss, work.toString, q, k = k)
-          .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
-          .write.mode("overwrite").parquet(s"$probesDir/b$bid")
+        // one artifact-serving path: pushed-literal list pruning).
+        // q241 skips the mid-stream probes: its observables are the
+        // post-hoc time-travel probes of the same lifecycle.
+        if (midProbes)
+          S.ivfadcProbeIndex(ss, work.toString, q, k = k)
+            .select(lit(bid).as("batch_id"), col("qid"), col("rn"), col("vec_id"), col("ad"))
+            .write.mode("overwrite").parquet(s"$probesDir/b$bid")
       }
       .start()
     query.awaitTermination()
-    s.read.option("recursiveFileLookup", "true").parquet(probesDir)
-      .orderBy(col("batch_id"), col("qid"), col("rn"))
+    if (midProbes)
+      s.read.option("recursiveFileLookup", "true").parquet(probesDir)
+        .orderBy(col("batch_id"), col("qid"), col("rn"))
+    else s.emptyDataFrame
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -1448,6 +1455,45 @@ object StreamOps {
           .orderBy(col("batch_id"), col("rk"))
       },
       Some(bm25PrefixRanksOracleSql)
+    ),
+    // --------------------------------------------------------------- q241
+    // TIME-TRAVEL ANN SERVING — q237's reproducibility contract on the
+    // VECTOR side: the (16, 1) mid-stream-searchability lifecycle
+    // (q214's exactly-once appends + LSM maintenance) runs under a
+    // widened retention window WITHOUT its mid-stream probes, and
+    // every per-batch positioned top-3 is then answered POST-HOC by
+    // probing historical code populations (ivfadcProbeIndex asOf =
+    // readAsOf of the codes TieredIndex; cells/codebook are frozen, so
+    // time travel changes the searchable population and nothing else —
+    // the pushed-literal list pruning rides the snapshot read
+    // unchanged). Oracle: q214's string object VERBATIM — "probe the
+    // index as it was after batch b" must equal "what a probe at batch
+    // b actually returned", which is the audit every what-did-we-serve
+    // investigation needs ("which neighbors did yesterday's index give
+    // this query?") without replaying the stream.
+    QueryDef(
+      "q241_ann_time_travel",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        ivfadcStreamSearch(
+          s, dir, tag = "q241", k = 16, rounds = 1,
+          policy = graft.operators.TieredIndex.Policy(retainGenerations = 16),
+          midProbes = false): Unit
+        val work = graft.Engine.scratchDir("q241", dir)
+        val q = S.ivecs(s, dir)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        (0 until 4)
+          .map(b =>
+            S.ivfadcProbeIndex(s, work.toString, q, k = 16, asOf = Some(b.toLong))
+              .select(
+                lit(b.toLong).as("batch_id"), col("qid"), col("rn"),
+                col("vec_id"), col("ad")))
+          .reduce(_ unionAll _)
+          .orderBy(col("batch_id"), col("qid"), col("rn"))
+      },
+      Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql())
     )
   )
 

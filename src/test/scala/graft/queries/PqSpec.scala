@@ -224,4 +224,33 @@ class PqSpec extends AnyFunSuite {
     assert(rebuilt == first, "rebuild after a torn build diverged")
     graft.Engine.releaseScratch(spark)
   }
+
+  test("q240: the index histogram is complete — populations sum to the corpus") {
+    val rows = graft.SparkEntry
+      .queries("q240_ann_index_stats")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 16, "one row per coarse cell")
+    val n = graft.Engine.table(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == n, "every vector is in exactly one list")
+    val fracSum = rows.map(_._3).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"fractions sum to $fracSum")
+    assert(rows.forall(_._2 > 0), "an empty cell coalesced wrong at training")
+    graft.Engine.releaseScratch(spark)
+  }
+
+  test("q241: time-travel probes equal q214's mid-stream probes row for row") {
+    // THE reproducibility identity: probing the historical snapshot
+    // after the stream ends returns exactly what the live probe
+    // returned mid-stream — same lifecycle parameters, independent
+    // scratch trees, one shared oracle string in the registry
+    val live = graft.SparkEntry
+      .queries("q214_ivfadc_stream_search")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val travel = graft.SparkEntry
+      .queries("q241_ann_time_travel")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(travel == live, "time-travel probes diverged from the live mid-stream probes")
+    graft.Engine.releaseScratch(spark)
+  }
 }
