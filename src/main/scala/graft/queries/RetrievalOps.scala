@@ -453,6 +453,48 @@ object RetrievalOps {
              SELECT CAST(rk AS BIGINT) AS rk, doc_id, source,
                CAST(src_rk AS BIGINT) AS src_rk, score
              FROM r WHERE rk <= 10 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q242
+    // PHRASE RANKING over POSITIONAL POSTINGS — the query class plain
+    // BM25 cannot answer (Lucene PhraseQuery, every search engine's
+    // quoted-string operator): rank documents by occurrences of the
+    // EXACT phrase "table hash", matched by position adjacency. The
+    // plan is the real positional-postings shape: each term's
+    // (doc_id, position) list is extracted with the term filter pushed
+    // BEFORE any shuffle (at scale these lists come straight from a
+    // positional inverted index — the postingsOf schema + a positions
+    // column, same segments), and the phrase match is an equi-join on
+    // (doc_id, position) with the second term's positions shifted by
+    // one — adjacency as a join key, never a per-doc scan. Counting
+    // matched positions per doc gives phrase tf; the page is one
+    // distributed top-k. Generalizes to n-gram phrases (n-1 shifted
+    // joins) and to proximity windows (band join on the position gap).
+    QueryDef(
+      "q242_phrase_rank",
+      (s, dir) => {
+        val tok = Engine
+          .table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(Tokenize.toksExpr).as(Seq("p", "w")))
+        val w1 = tok.filter(col("w") === "table").select(col("doc_id"), col("p"))
+        val w2 = tok.filter(col("w") === "hash").select(col("doc_id"), (col("p") - 1).as("p"))
+        val wR = Window.orderBy(col("n").desc, col("doc_id"))
+        w1.join(w2, Seq("doc_id", "p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("rk", row_number().over(wR).cast("long"))
+          .select(col("rk"), col("doc_id"), col("n"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""WITH tl AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             ex AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS j FROM tl),
+             ph AS (SELECT e.doc_id FROM ex e JOIN tl t USING (doc_id)
+               WHERE t.toks[e.j] = 'table' AND t.toks[e.j + 1] = 'hash'),
+             cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY doc_id),
+             r AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM cnt)
+             SELECT CAST(rk AS BIGINT) AS rk, doc_id, n FROM r
+             WHERE rk <= 20 ORDER BY rk""")
     )
   )
 }

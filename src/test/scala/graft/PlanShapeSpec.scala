@@ -557,4 +557,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q242: phrase adjacency is an equi-join on (doc, position), page is a top-k") {
+    val p = plan("q242_phrase_rank")
+    // the page is a distributed top-k; adjacency joins positions —
+    // a sort-merge here is FINE at scale (two positional lists can
+    // both be large), but a cartesian/NLJ would mean the join lost
+    // its (doc_id, p) equi-keys
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
 }

@@ -181,6 +181,36 @@ class RetrievalSpec extends AnyFunSuite {
     graft.Engine.releaseScratch(spark)
   }
 
+  test("q242: every ranked doc really contains the adjacent phrase in its raw text") {
+    val rows = graft.SparkEntry
+      .queries("q242_phrase_rank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._1).toSeq == (1L to rows.length), "contiguous ranks")
+    rows.sliding(2).foreach {
+      case Array((_, _, n1), (_, _, n2)) => assert(n1 >= n2, "phrase tf descends")
+      case _ =>
+    }
+    // adjacency is real: the tokenizer splits on [^a-z0-9]+, so a
+    // phrase match means the raw text matches table<seps>hash
+    val ids = rows.map(_._2).toSet
+    val texts = graft.Engine
+      .table(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val phrase = "(?s).*\\btable[^a-z0-9]+hash\\b.*".r
+    ids.foreach { id =>
+      assert(
+        phrase.matches(texts(id).toLowerCase),
+        s"doc $id ranked for the phrase but its text has no adjacent occurrence")
+    }
+    graft.Engine.releaseScratch(spark)
+  }
+
   test("postings additivity: disjoint-batch postings union to the full index (q236 core)") {
     val docs = graft.Engine.table(spark, dir, "documents")
     val whole = RetrievalOps.postingsOf(docs)
