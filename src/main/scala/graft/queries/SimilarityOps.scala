@@ -2550,10 +2550,14 @@ object SimilarityOps {
       "q240_ann_index_stats",
       (s, dir) => {
         val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        // one codes scan: the 16-row histogram feeds both the output
+        // rows and its own total — checkpointed so the total's branch
+        // cannot re-scan a corpus-sized codes table at scale
         val n = graft.operators.TieredIndex
           .read(s, s"$idx/codes")
           .groupBy(col("ccid"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
         n.crossJoin(broadcast(n.agg(sum(col("n")).as("tot"))))
           .select(
             col("ccid"), col("n"),
