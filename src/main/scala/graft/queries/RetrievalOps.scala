@@ -6,12 +6,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** RETRIEVAL — the RAG stack's query-time surface over the corpus the
-  * other modules curate and index: BM25 lexical ranking (q229) and
-  * hybrid lexical+vector reciprocal-rank fusion (q230). These are the
-  * two operations every production retrieval deployment composes in
-  * front of an LLM (sparse first-stage + dense first-stage -> fused
-  * candidates), expressed as the same oracle-gated Spark plans as the
-  * rest of the engine.
+  * other modules curate and index: BM25 lexical ranking (q229),
+  * hybrid lexical+vector reciprocal-rank fusion (q230), multi-vector
+  * MaxSim late-interaction re-ranking (q232), pseudo-relevance-
+  * feedback query expansion (q233), field-collapsed diversity top-k
+  * (q234), and exact-phrase ranking over positional postings (q242) —
+  * the operations a production retrieval deployment composes in front
+  * of an LLM, expressed as the same oracle-gated Spark plans as the
+  * rest of the engine. The scoring core ([[bm25FromPostings]]) reads
+  * either raw documents or a persisted postings index — q236/q237
+  * stream-maintain and time-travel that index in StreamOps.
   *
   * Scale notes (100 TB): BM25 is two narrow aggregations over the
   * token stream (per-doc tf for the QUERY TERMS only — the term filter
@@ -32,10 +36,11 @@ object RetrievalOps {
     * with k1 = 1.2, b = 0.75, dl = |tokens(d)|, avgdl/N over `docs`.
     * Returns (doc_id, score) with score ROUNDED to 4dp — the rank
     * consumers order by the rounded value (q81's ulp rule). ONE
-    * definition site for q229 (fixed keyword query) and q230's
-    * lexical leg (more-like-this terms); [[bm25Sql]] is its DuckDB
-    * mirror, arithmetic textually identical so left-associative IEEE
-    * evaluation matches term by term.
+    * definition site for q229 (fixed keyword query), q230's lexical
+    * leg (more-like-this terms), q233's two PRF rounds, and q234's
+    * collapsed page; [[bm25Sql]] is its DuckDB mirror, arithmetic
+    * textually identical so left-associative IEEE evaluation matches
+    * term by term.
     */
   private def bm25Scored(docs: DataFrame, terms: DataFrame): DataFrame =
     bm25FromPostings(postingsOf(docs), terms)

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Driver-registry entries for the Structured Streaming surface: each
-  * replays the finite events table through a real streaming query
-  * (file-stream source -> windowed/stateful transform -> memory sink)
-  * and returns the materialized result, which must equal the batch
-  * semantics the DuckDB oracle expresses.
+  * replays a finite table (events for the windowed/stateful family;
+  * documents/embeddings for the incremental-index lifecycles) through
+  * a real streaming query (file-stream source -> transform -> memory
+  * sink or exactly-once index mutation) and returns the materialized
+  * result, which must equal the batch semantics the DuckDB oracle
+  * expresses. The index lifecycles (dedup q174/q176, ANN
+  * q210-q228/q241, lexical q236/q237) share the staging helpers below
+  * and the TieredIndex exactly-once batch watermarks.
   */
 object StreamOps {
 
