@@ -1498,6 +1498,45 @@ object StreamOps {
           .orderBy(col("batch_id"), col("qid"), col("rn"))
       },
       Some(graft.queries.SimilarityOps.ivfadcStreamSearchOracleSql())
+    ),
+    // --------------------------------------------------------------- q243
+    // SNAPSHOT DIFF — the audit that makes time travel actionable
+    // (Delta's table_changes / Iceberg's changelog scan): for every
+    // batch, the multiset difference between consecutive index
+    // snapshots, reduced to the documents it touches — which must be
+    // EXACTLY that batch's staged arrival slice, nothing more (a
+    // compaction between the two snapshots rewrites files, and any
+    // row it corrupted or duplicated would surface here), nothing
+    // less (a lost append surfaces as a missing doc). Gated against
+    // the slice membership predicate itself — the one query where
+    // the oracle is a single WHERE clause because the ENGINE side
+    // carries all the machinery (ingest, retention, two snapshot
+    // resolves per batch, exceptAll). diff(0) diffs against the
+    // day-0 base (watermark -1). At scale: each diff is one
+    // anti-join of two snapshot reads — O(changed + index) per
+    // audit, run on demand, never a standing cost.
+    QueryDef(
+      "q243_index_snapshot_diff",
+      (s, dir) => {
+        val T = graft.operators.TieredIndex
+        val work = bm25StreamIngest(
+          s, dir, "q243",
+          policy = graft.operators.TieredIndex.Policy(retainGenerations = 16))
+        val store = s"$work/postings"
+        (0 until 4)
+          .map { b =>
+            T.readAsOf(s, store, b.toLong)
+              .exceptAll(T.readAsOf(s, store, b - 1L))
+              .select(col("doc_id"))
+              .distinct()
+              .select(lit(b.toLong).as("batch_id"), col("doc_id"))
+          }
+          .reduce(_ unionAll _)
+          .orderBy(col("batch_id"), col("doc_id"))
+      },
+      Some("""SELECT CAST((doc_id // 5) % 4 AS BIGINT) AS batch_id, doc_id
+             FROM documents WHERE doc_id % 5 = 0
+             ORDER BY batch_id, doc_id""")
     )
   )
 
