@@ -17,14 +17,24 @@ import org.apache.spark.sql.functions._
   * either raw documents or a persisted postings index — q236/q237
   * stream-maintain and time-travel that index in StreamOps.
   *
-  * Scale notes (100 TB): BM25 is two narrow aggregations over the
-  * token stream (per-doc tf for the QUERY TERMS only — the term filter
-  * prunes before the shuffle — and per-term df) joined against
-  * broadcast 1-row collection stats; ranking is one TopK. The fusion
-  * stage joins two TOP-K LISTS (bounded, broadcast) — never the
-  * corpora. Cross-engine FP determinism follows q81's rule: ranks are
-  * taken over the ROUNDED score so a libm last-ulp difference in ln()
-  * can never flip an order the gate hashes.
+  * Scale notes (100 TB), per path:
+  *  - BATCH (tokenize-then-score, [[bm25Scored]]): the per-doc tf
+  *    aggregation covers the QUERY TERMS only — the broadcast term
+  *    filter prunes the token stream BEFORE the tf shuffle — and the
+  *    only full-stream aggregation is the per-doc length count (one
+  *    narrow doc_id-keyed pass); df and collection stats are broadcast
+  *    1-row/terms-row aggregates, ranking one TopK.
+  *  - INDEX ([[bm25FromPostings]]): the (doc, word) tf aggregation was
+  *    already paid ONCE at index-build time (postings ARE that
+  *    aggregate, persisted); a request's term restriction prunes the
+  *    index read to the query terms' key ranges, and the per-request
+  *    residual cost is the dl/stats pass over the index — which a
+  *    deployment caches per refresh epoch (q248 gates exactly that
+  *    cached-epoch serving shape).
+  *  The fusion stage joins two TOP-K LISTS (bounded, broadcast) —
+  *  never the corpora. Cross-engine FP determinism follows q81's rule:
+  *  ranks are taken over the ROUNDED score so a libm last-ulp
+  *  difference in ln() can never flip an order the gate hashes.
   */
 object RetrievalOps {
 
@@ -42,8 +52,21 @@ object RetrievalOps {
     * textually identical so left-associative IEEE evaluation matches
     * term by term.
     */
-  private def bm25Scored(docs: DataFrame, terms: DataFrame): DataFrame =
-    bm25FromPostings(postingsOf(docs), terms)
+  private def bm25Scored(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Tokenize.toksExpr).as("word"))
+    // the one full-stream pass is the narrow per-doc length count; the
+    // (doc, word) tf aggregation sees the query terms ONLY — the
+    // broadcast term filter prunes before that shuffle (the round-14
+    // ADVICE regression: routing the batch path through postingsOf
+    // aggregated the FULL vocabulary before the terms join, and
+    // Catalyst cannot push a join below an aggregation)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = tok
+      .join(broadcast(terms), "word")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    bm25Score(tf, dl, statsOf(dl))
+  }
 
   /** The INVERTED-INDEX rows of a document frame: (doc_id, word, tf) —
     * exactly what a lexical index persists. [[bm25FromPostings]] needs
@@ -56,24 +79,101 @@ object RetrievalOps {
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 over a POSTINGS frame (doc_id, word, tf) — the scoring core
-    * shared by the batch path (tokenize-then-score, [[bm25Scored]])
-    * and the incremental path (q236 scores a live postings INDEX the
-    * stream maintains; same code object, so the two cannot drift).
-    * dl = sum(tf) per doc — integer-exact and identical to counting
-    * the token stream, so the arithmetic (and the gate hashes) are
-    * unchanged from the pre-refactor inline form.
+  /** [[postingsOf]] with a POSITIONS column — the Lucene positional
+    * segment: (doc_id, word, tf, positions), positions the sorted
+    * 0-based token offsets of `word` in the doc. tf = len(positions),
+    * kept materialized so the same segments answer BM25 through
+    * [[bm25FromPostings]] unchanged (project the positions away) AND
+    * phrase/proximity queries through [[phraseRank]] — one index for
+    * both query classes (q246 stream-maintains it; the scaladoc claim
+    * q242 made about "the postingsOf schema + a positions column, same
+    * segments" is this function).
+    */
+  private[graft] def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(Tokenize.toksExpr).as(Seq("p", "word")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(
+        count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("positions"))
+
+  /** EXACT-PHRASE ranking over a positional-postings frame (doc_id,
+    * word, tf, positions): each phrase term's occurrences are one
+    * PRUNED index read (`word = term` pushes to the scan, so the
+    * word-clustered segments stats-prune to that term's key range),
+    * its positions explode shifted by the term's phrase offset, and
+    * adjacency is the (n-1)-way equi-join on (doc_id, p) — a k-token
+    * phrase is k pruned reads + (k-1) joins, never a per-doc scan
+    * (q242's documented generalization). Matched positions count per
+    * doc -> phrase tf -> positioned top-`topN` (rounded-free: counts
+    * are integers, no FP anywhere).
+    */
+  private[graft] def phraseRank(post: DataFrame, phrase: Seq[String], topN: Int = 20): DataFrame = {
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      post
+        .filter(col("word") === w)
+        .select(col("doc_id"), explode(col("positions")).as("p0"))
+        .select(col("doc_id"), (col("p0") - i).as("p"))
+    }
+    val wR = Window.orderBy(col("n").desc, col("doc_id"))
+    legs
+      .reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n"))
+      .orderBy(col("rk"))
+  }
+
+  /** BM25 over a POSTINGS frame (doc_id, word, tf) — the incremental
+    * path's entry point (q236 scores a live postings INDEX the stream
+    * maintains). dl = sum(tf) per doc — integer-exact and identical to
+    * counting the token stream, so the arithmetic (and the gate
+    * hashes) matches [[bm25Scored]]'s term by term; both paths score
+    * through the ONE [[bm25Score]] core, so they cannot drift.
     */
   private[graft] def bm25FromPostings(post: DataFrame, terms: DataFrame): DataFrame = {
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    // integer-valued sums are exact in any accumulation order, so
-    // avgdl = sum/count is bit-identical across engines
-    val stats = dl.agg(
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-      count(lit(1)).cast("double").as("n_docs"))
     val tf = post
       .join(broadcast(terms), "word")
       .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
+    bm25Score(tf, dl, statsOf(dl))
+  }
+
+  /** Collection stats (avgdl, n_docs) of a per-doc length frame —
+    * split out so the cached-epoch serving shape (q248) can compute
+    * them ONCE per refresh epoch and reuse across requests. Integer-
+    * valued sums are exact in any accumulation order, so avgdl =
+    * sum/count is bit-identical across engines.
+    */
+  private[graft] def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+
+  /** A serving request's term-tf rows from a postings index, with the
+    * terms as PUSHED LITERALS (`word IN (...)`) instead of a broadcast
+    * join — the spelling that lets the word-clustered index segments
+    * stats-prune to the query terms' key ranges at the Parquet scan
+    * (a join restriction never reaches the scan). Same rows as the
+    * join form, so scoring is unchanged; used by the cached-epoch
+    * serve (q248) and the lexical ServeBench rows.
+    */
+  private[graft] def termTfPushed(post: DataFrame, words: Seq[String]): DataFrame =
+    post
+      .filter(col("word").isin(words: _*))
+      .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
+
+  /** THE BM25 scoring core — one definition site for the batch path
+    * ([[bm25Scored]]), the index path ([[bm25FromPostings]]), and the
+    * cached-epoch serve (q248, which injects epoch-materialized
+    * dl/stats): per-term df over the term-tf rows, broadcast stats,
+    * the Okapi term contribution, per-doc sum rounded to 4dp (the
+    * q81 ulp rule).
+    */
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame): DataFrame = {
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "word")
       .crossJoin(broadcast(stats))
@@ -467,8 +567,9 @@ object RetrievalOps {
     // plan is the real positional-postings shape: each term's
     // (doc_id, position) list is extracted with the term filter pushed
     // BEFORE any shuffle (at scale these lists come straight from a
-    // positional inverted index — the postingsOf schema + a positions
-    // column, same segments), and the phrase match is an equi-join on
+    // positional inverted index — [[positionalPostingsOf]]'s schema;
+    // q246 persists it and answers the phrase FROM the live index
+    // through [[phraseRank]]), and the phrase match is an equi-join on
     // (doc_id, position) with the second term's positions shifted by
     // one — adjacency as a join key, never a per-doc scan. Counting
     // matched positions per doc gives phrase tf; the page is one
@@ -500,6 +601,94 @@ object RetrievalOps {
              r AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM cnt)
              SELECT CAST(rk AS BIGINT) AS rk, doc_id, n FROM r
              WHERE rk <= 20 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q244
+    // HYBRID RRF OVER THE SERVED DENSE LEG — q230's fusion with its
+    // brute-scan stand-in replaced by the REAL serving path (round-14
+    // verdict #1: every RAG request is hybrid-over-INDEX, and the
+    // fusion operator had only ever seen the brute leg): the dense leg
+    // is the complete two-stage request against the persisted deep
+    // (256, 2) artifact at the q220-tuned nprobe=4 — pruned-scan ADC
+    // probe (pushed `ccid IN (...)` literals, plan-pinned) -> top-32
+    // candidates -> exact integer-L2 re-rank -> positioned top-20 —
+    // while the sparse leg stays q230's more-like-this BM25 over the
+    // indexed subset. RRF fuses the two positioned lists exactly as
+    // q230 (union + <= 40-row aggregate, k = 60). The gated observable
+    // is END-TO-END SYSTEM behavior: index approximation error (probe
+    // misses) flows through the fusion into the page, exactly what a
+    // deployment ships — the oracle replays the full train + probe +
+    // re-rank chain into the fusion CTEs, so a single mis-served
+    // neighbor fails the hash. At scale the dense leg reads
+    // nprobe/|cells| of the codes artifact per request and the fusion
+    // stays free; the page cost IS the two legs' cost.
+    QueryDef(
+      "q244_hybrid_rrf_served",
+      (s, dir) => {
+        val S = SimilarityOps
+        val idx = S.buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val docs = Engine.table(s, dir, "documents")
+        val ids = Engine.table(s, dir, "embeddings").select(col("vec_id"))
+        val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
+        val qTerms = uni
+          .filter(col("doc_id") === 7)
+          .select(explode(Tokenize.toksExpr).as("word"))
+          .distinct()
+        val wL = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25Scored(uni, qTerms)
+          .filter(col("doc_id") =!= 7)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("lex_rk", row_number().over(wL).cast("long"))
+          .select(col("doc_id"), col("lex_rk"))
+        val iv = S.ivecs(s, dir)
+        val q7 = iv
+          .filter(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        // the served leg: one production request (self excluded by the
+        // serve path itself), rn IS the dense rank
+        val vec = S.ivfadcServe(s, idx, q7, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
+          .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+        val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+        lex
+          .select(col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
+          .unionAll(
+            vec.select(col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
+          .groupBy(col("doc_id"))
+          .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
+          .withColumn(
+            "rrf",
+            round(
+              coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
+                coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
+              6))
+          .withColumn("rk", row_number().over(wF).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""${SimilarityOps.ivfadcServeCtesSql(nprobe = 4, candN = 32)},
+             uni AS (
+               SELECT d.doc_id, d.text FROM documents d
+               WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+             ${bm25Sql(
+          "uni",
+          "SELECT DISTINCT unnest(" + Tokenize.toksSql + ") AS word FROM documents WHERE doc_id = 7")},
+             lex AS (SELECT doc_id, lex_rk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+                 FROM bscored WHERE doc_id <> 7)
+               WHERE lex_rk <= 20),
+             vec AS (SELECT vec_id AS doc_id, rn AS vec_rk FROM wsrv
+               WHERE qid = 7 AND rn <= 20),
+             fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                 lex.lex_rk, vec.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (lex.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (vec.vec_rk + 60), 0), 6) AS rrf
+               FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+             fr AS (SELECT doc_id, rrf, lex_rk, vec_rk,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+             SELECT CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM fr WHERE rk <= 10 ORDER BY rk""")
     )
   )
 }

@@ -2390,12 +2390,17 @@ object SimilarityOps {
           .filter(col("p") <= least(col("nrel"), lit(10L)))
           .groupBy(col("qid"))
           .agg(round(sum(col("w")), 6).as("idcg"))
+        // LEFT join: a query whose label has no other corpus member
+        // (nrel = 0) has no idcg row, and an inner join would silently
+        // DROP it from the metrics — overstating aggregate MRR/nDCG
+        // (round-14 ADVICE). It stays as one row with mrr = ndcg10 = 0,
+        // keeping the "one metrics row per query" contract.
         perq
-          .join(idcg, "qid")
+          .join(idcg, Seq("qid"), "left")
           .select(
             col("qid"), col("n_rel10"),
             round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"),
-            round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+            coalesce(round(col("dcg") / col("idcg"), 6), lit(0.0)).as("ndcg10"))
           .orderBy(col("qid"))
       },
       Some {
@@ -2431,8 +2436,8 @@ object SimilarityOps {
                GROUP BY rq.qid)
              SELECT p.qid, p.n_rel10,
                round(coalesce(CAST(1 AS DOUBLE) / p.frank, 0), 6) AS mrr,
-               round(p.dcg / i.idcg, 6) AS ndcg10
-             FROM perq p JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
+               coalesce(round(p.dcg / i.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg10
+             FROM perq p LEFT JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
       }
     ),
     // --------------------------------------------------------------- q239
@@ -2570,6 +2575,167 @@ object SimilarityOps {
              tot AS (SELECT sum(n) AS tot FROM cnt)
              SELECT ccid, n, round(n / tot.tot, 6) AS frac
              FROM cnt CROSS JOIN tot ORDER BY ccid""")
+    ),
+    // --------------------------------------------------------------- q245
+    // SYSTEM-RECALL METRICS — q238's MRR/nDCG@10 harness pointed at
+    // the SERVED ranking instead of the exact brute scan (round-14
+    // verdict #1, second half): the ranking stage is the complete
+    // two-stage request against the persisted deep artifact (nprobe=4,
+    // ADC top-32, exact re-rank to a positioned top-10), so the graded
+    // number is what a deployment actually reports — model error AND
+    // index error folded together, the end-to-end "system recall"
+    // every RAG evaluation publishes next to q238's index-free
+    // ceiling. Same label protocol, same interpolated log2 discount
+    // constants, same left-join zero-relevant contract; the oracle
+    // replays the full train + probe + re-rank chain into the metric
+    // CTEs, so one mis-served neighbor moves a query's nDCG and fails
+    // the hash. At scale: the ranking stage reads nprobe/|cells| of
+    // the codes artifact per query; the grading stays 20 x 10 bounded
+    // rows.
+    QueryDef(
+      "q245_served_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val idx = buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val iv = ivecs(s, dir)
+        val lab = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val qlab = lab
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val top10 = ivfadcServe(s, idx, q, iv, k = 256, nprobe = 4, candN = 32, topN = 10)
+          .select(col("qid"), col("rn").cast("int").as("p"), col("vec_id"))
+          .join(broadcast(qlab), "qid")
+          .join(lab, "vec_id")
+          .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+        val wdf = dcgWeights.toDF("p", "w")
+        val perq = top10
+          .join(broadcast(wdf), "p")
+          .groupBy(col("qid"))
+          .agg(
+            sum(col("rel")).cast("long").as("n_rel10"),
+            round(sum(col("rel") * col("w")), 6).as("dcg"),
+            min(when(col("rel") === 1, col("p"))).as("frank"))
+        val labCount = lab.groupBy(col("label")).agg(count(lit(1)).as("nl"))
+        val rq = qlab
+          .join(broadcast(labCount), col("qlabel") === col("label"))
+          .select(col("qid"), (col("nl") - 1).as("nrel"))
+        val idcg = rq
+          .crossJoin(broadcast(wdf))
+          .filter(col("p") <= least(col("nrel"), lit(10L)))
+          .groupBy(col("qid"))
+          .agg(round(sum(col("w")), 6).as("idcg"))
+        perq
+          .join(idcg, Seq("qid"), "left")
+          .select(
+            col("qid"), col("n_rel10"),
+            round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"),
+            coalesce(round(col("dcg") / col("idcg"), 6), lit(0.0)).as("ndcg10"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val wRows = dcgWeights
+          .map { case (p, w) => s"SELECT $p AS p, CAST($w AS DOUBLE) AS w" }
+          .mkString(" UNION ALL ")
+        s"""${ivfadcServeCtesSql(nprobe = 4, candN = 32)},
+             lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab WHERE vec_id < 20),
+             top10 AS (SELECT s.qid, s.vec_id, s.rn AS p,
+                 CASE WHEN cl.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+               FROM wsrv s JOIN lab cl ON s.vec_id = cl.vec_id
+               JOIN ql ON s.qid = ql.qid WHERE s.rn <= 10),
+             w AS ($wRows),
+             perq AS (SELECT t10.qid, CAST(sum(rel) AS BIGINT) AS n_rel10,
+                 round(sum(rel * w.w), 6) AS dcg,
+                 min(CASE WHEN rel = 1 THEN t10.p END) AS frank
+               FROM top10 t10 JOIN w ON t10.p = w.p GROUP BY t10.qid),
+             lc AS (SELECT label, count(*) AS nl FROM lab GROUP BY label),
+             rq AS (SELECT ql.qid, lc.nl - 1 AS nrel
+               FROM ql JOIN lc ON ql.qlabel = lc.label),
+             idcg AS (SELECT rq.qid, round(sum(w.w), 6) AS idcg
+               FROM rq CROSS JOIN w WHERE w.p <= least(rq.nrel, 10)
+               GROUP BY rq.qid)
+             SELECT p.qid, p.n_rel10,
+               round(coalesce(CAST(1 AS DOUBLE) / p.frank, 0), 6) AS mrr,
+               coalesce(round(p.dcg / i.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg10
+             FROM perq p LEFT JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
+      }
+    ),
+    // --------------------------------------------------------------- q247
+    // QUANTIZER RETRAIN + BLUE/GREEN SWAP — the one lifecycle event a
+    // year-long ANN deployment must handle that rebuild-free ingest
+    // cannot (round-14 verdict #3): quantizers are FROZEN at training
+    // time, so as the corpus drifts the codebook ages and recall decays
+    // — the fix is never in-place (a new codebook scoring old codes is
+    // silent garbage) but a RETRAIN into a complete new artifact
+    // GENERATION behind a pointer swap (Generations.commit — the
+    // TieredIndex pointer discipline one level up). The gate runs the
+    // whole loop: (blue) day-0 quantizers trained on a biased half of
+    // the corpus (the aged-distribution stand-in) serve as CURRENT;
+    // the DRIFT TRIGGER reads the live index's inverted-list histogram
+    // (q240's stats operator as the trigger input — skewed lists ARE
+    // what an aged codebook looks like: drifted vectors pile into few
+    // cells) as one single-row aggregate driver fetch (a retrain is
+    // driver-side control flow by nature — the DedupOps.sig precedent,
+    // documented); above the imbalance threshold, (green) retrains on
+    // the q226 deterministic sample of the CURRENT population,
+    // re-encodes the full corpus, commits gen-00001, and swaps.
+    // Serving resolves CURRENT per request, so post-swap requests ride
+    // the fresh quantizers with zero downtime while in-flight readers
+    // of the old generation stay valid for one retrain cycle
+    // (GenerationsSpec pins reader-across-swap + rollback). Gated
+    // observable: the post-swap serve must EQUAL a fresh sampled-train
+    // serve — the oracle replays sampled training + probe + re-rank,
+    // so a stale codebook, a missed re-encode, or a half-swapped
+    // artifact all fail the hash. At 100 TB: retrain cost is q226's
+    // O(sample) Lloyd + O(corpus) encode, paid only when the trigger
+    // trips; the swap itself is O(1).
+    QueryDef(
+      "q247_quantizer_retrain_swap",
+      (s, dir) => {
+        val G = graft.operators.Generations
+        val root = graft.Engine.scratchDir("q247", dir)
+        graft.Engine.deleteRecursively(root)
+        val iv = ivecs(s, dir)
+        // BLUE: quantizers fit on a biased half (seeds + even ids) —
+        // the aged codebook; the full corpus still frozen-encodes
+        writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", iv, k = 16, rounds = 1,
+          trainIv = Some(iv.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
+        G.commit(root.toString, "gen-00000")
+        // DRIFT TRIGGER: live list histogram of the CURRENT artifact
+        // (q240's shape); imbalance = max list / uniform share. ONE
+        // single-row aggregate driver fetch — the retrain decision is
+        // driver-side control flow (documented scalar-fetch precedent)
+        val hist = graft.operators.TieredIndex
+          .read(s, s"${G.resolve(root.toString)}/codes")
+          .groupBy(col("ccid"))
+          .agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), count(lit(1)).as("cells"), sum(col("n")).as("tot"))
+          .head()
+        val imbalance = hist.getLong(0).toDouble * hist.getLong(1) / hist.getLong(2)
+        if (imbalance >= 1.2) {
+          // GREEN: retrain on the deterministic sample of the CURRENT
+          // population (q226's path), re-encode everything, commit the
+          // new generation, swap — readers of gen-00000 stay valid
+          writeIvfAdcArtifacts(
+            s, s"$root/gen-00001", iv, k = 16, rounds = 1,
+            trainIv = Some(iv.filter(sampledTrainCol)))
+          G.commit(root.toString, "gen-00001")
+        }
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcServe(s, G.resolve(root.toString), q, iv, k = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcServeCtesSql(
+          k = 16, rounds = 1, trainWhere = sampledTrainWhereSql)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d
+             FROM wsrv WHERE rn <= 3 ORDER BY qid, rn""")
     )
   )
 
@@ -3081,16 +3247,21 @@ object SimilarityOps {
     * depend on the query row itself (label-aware negative mining,
     * per-tenant exclusions) — applied, like `where`, BEFORE the
     * top-16 rank so the ADC stage keeps the best SURVIVORS.
+    * `candN`/`topN` size the two stages (defaults: 16-candidate ADC
+    * stage, top-3 page) — consumers that need a deeper served page
+    * (q244's 20-row fusion leg, q245's graded top-10) widen both; the
+    * ADC stage must stay >= the page or the refine starves.
     */
   private[graft] def ivfadcServe(
       s: SparkSession, root: String, q: DataFrame, iv: DataFrame, k: Int,
       nprobe: Int = 2, where: Option[Column] = None,
-      scoreFilter: DataFrame => DataFrame = identity): DataFrame = {
+      scoreFilter: DataFrame => DataFrame = identity,
+      candN: Int = 16, topN: Int = 3): DataFrame = {
     val cand = ivfadcProbeIndex(
-      s, root, q, k, topN = 16, nprobe = nprobe, where = where,
+      s, root, q, k, topN = candN, nprobe = nprobe, where = where,
       scoreFilter = scoreFilter)
       .select(col("qid"), col("vec_id"))
-    exactRerank(cand, q, iv)
+    exactRerank(cand, q, iv, topN)
   }
 
   /** The q226/q228 TRAINING-SAMPLE membership, Spark spelling: the
@@ -3389,21 +3560,35 @@ object SimilarityOps {
     */
   private[graft] def ivfadcServeOracleSql(
       nprobe: Int = 2, whereSql: String = "", trainWhere: String = ""): String =
-    s"""${ivfadcSql(256, 2, trainWhere = trainWhere, nprobe = nprobe)},
+    s"""${ivfadcServeCtesSql(nprobe = nprobe, whereSql = whereSql, trainWhere = trainWhere)}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d
+             FROM wsrv WHERE rn <= 3 ORDER BY qid, rn"""
+
+  /** The two-stage serve chain as COMPOSABLE CTEs (starts at `WITH`,
+    * ends at `wsrv` = (qid, vec_id, d, rn) — every re-ranked candidate
+    * with its served position), so consumers that keep computing after
+    * the serve can chain on: q244 fuses the served top-20 with a BM25
+    * leg, q245 grades the served top-10 with MRR/nDCG. `candN` sizes
+    * the ADC candidate stage ([[ivfadcServe]]'s mirror); k/rounds/
+    * nprobe/whereSql/trainWhere exactly as [[ivfadcSql]]. A def —
+    * eager interpolation rule.
+    */
+  private[graft] def ivfadcServeCtesSql(
+      k: Int = 256, rounds: Int = 2, nprobe: Int = 2, candN: Int = 16,
+      whereSql: String = "", trainWhere: String = ""): String =
+    s"""${ivfadcSql(k, rounds, trainWhere = trainWhere, nprobe = nprobe)},
              wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc${if (whereSql.isEmpty) "" else s" WHERE $whereSql"})
-               WHERE rn <= 16),
+               WHERE rn <= $candN),
              wrr AS (SELECT c.qid, c.vec_id,
                  list_sum(list_transform(generate_series(1, len(q.qiv)),
                    j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
                FROM wad16 c JOIN wq q ON c.qid = q.qid
-               JOIN t x ON c.vec_id = x.vec_id)
-             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d FROM (
-               SELECT qid, vec_id, d,
+               JOIN t x ON c.vec_id = x.vec_id),
+             wsrv AS (SELECT qid, vec_id, d,
                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
-               FROM wrr) r
-             WHERE rn <= 3 ORDER BY qid, rn"""
+               FROM wrr)"""
 
   /** q223's oracle — the DELETE symmetric of [[ivfadcStreamSearchOracleSql]]:
     * the deep (256, 2) full-population chain probed after every

@@ -558,6 +558,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q244: the served dense leg keeps its pushed probed-list literals through the fusion") {
+    val p = plan("q244_hybrid_rrf_served")
+    // the one claim this composition exists to gate physically: the
+    // dense leg's codes scan still carries the LITERAL ccid set when
+    // composed under RRF — the per-request nprobe/|cells| economics
+    // survive the fusion plan
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // both legs page via distributed top-k; fusion joins bounded lists
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q245: the graded serve keeps the pruned scan; metrics stay broadcast-only") {
+    val p = plan("q245_served_metrics")
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q246: each phrase term is a key-range-pruned read of the positional index") {
+    // build the live positional index via the gated lifecycle, then
+    // check the SERVING read it performs per batch: each term's leg
+    // must push its word literal to the postings scan (the clustered
+    // segments stats-prune to that term's key range)
+    SparkEntry.queries("q246_phrase_stream_index")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q246", dir)
+    val post = graft.operators.TieredIndex.read(spark, s"$work/postings")
+    val p = graft.queries.RetrievalOps
+      .phraseRank(post, Seq("slow", "hash", "batch"))
+      .queryExecution.executedPlan.toString
+    for (w <- Seq("slow", "hash", "batch"))
+      assert(
+        s"EqualTo\\(word,$w\\)".r.findFirstIn(p).isDefined,
+        s"term '$w' not pushed to the postings scan:\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
+  test("q248: a cached-epoch request pushes its terms as literals to the postings scan") {
+    // the serving read shape q248 gates: terms as pushed IN-literals
+    // (a broadcast-join restriction never reaches the scan)
+    SparkEntry.queries("q248_bm25_epoch_cached_serve")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q248", dir)
+    val R = graft.queries.RetrievalOps
+    val post = graft.operators.TieredIndex.read(spark, s"$work/postings")
+    val dl = post.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("tf")).as("dl"))
+    val p = R.bm25Score(R.termTfPushed(post, Seq("hash", "join", "spark")), dl, R.statsOf(dl))
+      .queryExecution.executedPlan.toString
+    assert("In\\(word, \\[hash,join,spark\\]".r.findFirstIn(p).isDefined, p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
   test("q242: phrase adjacency is an equi-join on (doc, position), page is a top-k") {
     val p = plan("q242_phrase_rank")
     // the page is a distributed top-k; adjacency joins positions —

@@ -383,4 +383,64 @@ class TieredIndexSpec extends AnyFunSuite {
     assert(TieredIndex.read(spark, dir).count() == 160)
     Engine.releaseScratch(spark)
   }
+
+  test("time travel resolves on BOTH watermarks: delete-only batches never leak into earlier snapshots") {
+    val dir = tmp("ttdual")
+    val retain = TieredIndex.Policy(retainGenerations = 16)
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    // batch 0: append 100..110
+    TieredIndex.append(spark, dir, keyed(100 until 110), batchId = 0L)
+    TieredIndex.maintain(spark, dir, Seq(col("k")), retain): Unit
+    // batch 1: DELETE-ONLY (the round-14 ADVICE trap: this commit
+    // carries append watermark 0 and only dbatch advances to 1 — an
+    // append-only resolve of batch 0 would pick it and show the
+    // deletes a batch early)
+    TieredIndex.delete(spark, dir, keyed(0 until 5), batchId = 1L)
+    TieredIndex.maintain(spark, dir, Seq(col("k")), retain): Unit
+    // batch 2: append 110..120
+    TieredIndex.append(spark, dir, keyed(110 until 120), batchId = 2L)
+    TieredIndex.maintain(spark, dir, Seq(col("k")), retain): Unit
+    def asOf(b: Long): Set[String] =
+      TieredIndex.readAsOf(spark, dir, b).collect().map(_.getString(0)).toSet
+    def want(r: Range): Set[String] = r.map(i => f"k$i%08d").toSet
+    // after batch 0: the delete has NOT happened yet
+    assert(asOf(0L) == want(0 until 110), "readAsOf(0) leaked a future delete-only batch")
+    // after batch 1: exactly the delete applied, nothing else
+    assert(asOf(1L) == want(5 until 110))
+    // after batch 2: delete + second append
+    assert(asOf(2L) == want(5 until 120))
+    Engine.releaseScratch(spark)
+  }
+
+  test("writer fence: a second concurrent mutator fails loudly instead of racing the pointer") {
+    val dir = tmp("fence")
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
+    // simulate a concurrent writer mid-mutation: hold the exclusive
+    // lock the mutators take (same JVM -> OverlappingFileLockException
+    // inside, surfaced as the contract IllegalStateException)
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, "LOCK"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.tryLock()
+    assert(lock != null, "test could not acquire the writer lock")
+    try {
+      val exA = intercept[IllegalStateException] {
+        TieredIndex.append(spark, dir, keyed(100 until 110))
+      }
+      assert(exA.getMessage.contains("concurrent writer"), exA.getMessage)
+      val exD = intercept[IllegalStateException] {
+        TieredIndex.delete(spark, dir, keyed(0 until 5))
+      }
+      assert(exD.getMessage.contains("concurrent writer"), exD.getMessage)
+      val exM = intercept[IllegalStateException] {
+        TieredIndex.maintain(spark, dir, Seq(col("k")))
+      }
+      assert(exM.getMessage.contains("concurrent writer"), exM.getMessage)
+    } finally { lock.release(); ch.close() }
+    // the index is uncorrupted and writable once the peer releases
+    assert(TieredIndex.read(spark, dir).count() == 100)
+    TieredIndex.append(spark, dir, keyed(100 until 110))
+    assert(TieredIndex.read(spark, dir).count() == 110)
+    Engine.releaseScratch(spark)
+  }
 }
