@@ -233,8 +233,24 @@ object Graft {
   def annServe(
       spark: SparkSession, root: String, q: DataFrame, iv: DataFrame,
       k: Int = 256, nprobe: Int = 2, where: Option[Column] = None,
-      scoreFilter: DataFrame => DataFrame = identity): DataFrame =
-    queries.SimilarityOps.ivfadcServe(spark, root, q, iv, k, nprobe, where, scoreFilter)
+      scoreFilter: DataFrame => DataFrame = identity,
+      candN: Int = 16, topN: Int = 3): DataFrame =
+    queries.SimilarityOps.ivfadcServe(
+      spark, root, q, iv, k, nprobe, where, scoreFilter, candN, topN)
+
+  /** Resolve the LIVE generation of a blue/green artifact root (the
+    * q247 retrain-swap layout): the path serving requests should read
+    * their artifacts from. Fails loudly on a missing/partial pointer.
+    */
+  def resolveGeneration(root: String): String = operators.Generations.resolve(root)
+
+  /** Commit a complete artifact generation dir (e.g. a retrained ANN
+    * index) as the new CURRENT under `root` — atomic pointer swap,
+    * previous generation retained for in-flight readers, older ones
+    * GC'd beyond `retain`.
+    */
+  def commitGeneration(root: String, gen: String, retain: Int = 2): Unit =
+    operators.Generations.commit(root, gen, retain)
 
   /** The inverted-index rows (doc_id, word, tf) of a document frame
     * (doc_id, text) — BM25's complete sufficient state; persist them
@@ -251,6 +267,38 @@ object Graft {
     */
   def bm25(post: DataFrame, terms: DataFrame): DataFrame =
     queries.RetrievalOps.bm25FromPostings(post, terms)
+
+  /** [[postings]] with a sorted positions column (doc_id, word, tf,
+    * positions) — the Lucene positional segment: the same index rows
+    * answer BM25 (positions project away) AND phrase queries
+    * ([[phrase]]). Persist through [[operators.TieredIndex]] for the
+    * live positional index (the q246 lifecycle).
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    queries.RetrievalOps.positionalPostingsOf(docs)
+
+  /** Exact-phrase ranking over a [[positionalPostings]] frame: each
+    * term is one key-range-pruned index read, adjacency is the
+    * (n-1)-way equi-join on (doc_id, position) -> positioned top-k
+    * (rk, doc_id, n) by phrase frequency.
+    */
+  def phrase(post: DataFrame, tokens: Seq[String], topN: Int = 20): DataFrame =
+    queries.RetrievalOps.phraseRank(post, tokens, topN)
+
+  /** Ordered proximity ranking over a [[positionalPostings]] frame:
+    * docs ranked by (w1 before w2 within `maxGap` tokens) pair counts —
+    * Lucene's sloppy phrase / NEAR operator.
+    */
+  def proximity(
+      post: DataFrame, w1: String, w2: String, maxGap: Int, topN: Int = 20): DataFrame =
+    queries.RetrievalOps.proximityRank(post, w1, w2, maxGap, topN)
+
+  /** Reciprocal-rank fusion (k = 60) of two positioned top-k legs
+    * (doc_id, lex_rk) x (doc_id, vec_rk) -> fused positioned top-`topN`
+    * carrying both legs' ranks.
+    */
+  def rrf(lex: DataFrame, vec: DataFrame, topN: Int = 10): DataFrame =
+    queries.RetrievalOps.rrfFuse(lex, vec, topN)
 
   /** The full oracle-gated query registry (name -> (session, dir) -> DataFrame).
     *

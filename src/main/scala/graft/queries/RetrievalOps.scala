@@ -127,6 +127,87 @@ object RetrievalOps {
       .orderBy(col("rk"))
   }
 
+  /** ORDERED PROXIMITY ranking over a positional-postings frame:
+    * documents ranked by pairs (w1 before w2, gap <= `maxGap`) —
+    * Lucene's sloppy PhraseQuery / the NEAR operator. Each term is one
+    * key-range-pruned index read ([[phraseRank]]'s economics); the
+    * pair match is the equi-join on doc_id with the gap as a range
+    * predicate — within-doc pair enumeration is |positions(w1)| x
+    * |positions(w2)| per doc, bounded by per-doc term frequency (the
+    * same per-doc cost Lucene's sloppy matcher pays), never a
+    * cross-corpus product.
+    */
+  private[graft] def proximityRank(
+      post: DataFrame, w1: String, w2: String, maxGap: Int, topN: Int = 20): DataFrame = {
+    val a = post
+      .filter(col("word") === w1)
+      .select(col("doc_id"), explode(col("positions")).as("pa"))
+    val b = post
+      .filter(col("word") === w2)
+      .select(col("doc_id"), explode(col("positions")).as("pb"))
+    val wR = Window.orderBy(col("n").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= maxGap)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n"))
+      .orderBy(col("rk"))
+  }
+
+  /** Build-once persisted POSITIONAL postings index over
+    * `{dir}/documents.parquet` — (word, doc_id)-clustered TieredIndex
+    * of [[positionalPostingsOf]] rows, COMPLETE-marker committed and
+    * idempotent per (process, sf-dir): the batch phrase/proximity
+    * queries (q251) and repeated bench passes resolve the same
+    * artifact instead of re-tokenizing the corpus.
+    */
+  private[graft] def buildPositionalIndex(s: SparkSession, dir: String): String = {
+    val root = Engine.scratchDir("posidx", dir)
+    val done = new java.io.File(root, "COMPLETE")
+    if (!done.exists) {
+      Engine.deleteRecursively(root)
+      graft.operators.TieredIndex.create(
+        s, s"$root/postings",
+        positionalPostingsOf(Engine.table(s, dir, "documents")),
+        4, Seq(col("word"), col("doc_id")))
+      done.createNewFile(): Unit
+    }
+    s"$root/postings"
+  }
+
+  /** RECIPROCAL-RANK FUSION of two positioned top-k legs (doc_id,
+    * lex_rk) and (doc_id, vec_rk): score = sum of 1/(60 + rank) over
+    * the legs a doc appears in (k = 60, the Cormack/Clarke constant),
+    * fused page = positioned top-`topN` carrying both legs' ranks
+    * (NULL where a doc surfaced in only one). ONE definition site for
+    * q230 (brute legs), q244 (served dense leg), and q250 (both legs
+    * LIVE). Spelled as union + one <= |legs| x k row aggregate — a
+    * FULL OUTER join cannot broadcast and would sort-merge even two
+    * bounded lists; this shape also scales to N legs.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, topN: Int = 10): DataFrame = {
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex
+      .select(col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
+      .unionAll(
+        vec.select(col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
+          6))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
+      .orderBy(col("rk"))
+  }
+
   /** BM25 over a POSTINGS frame (doc_id, word, tf) — the incremental
     * path's entry point (q236 scores a live postings INDEX the stream
     * maintains). dl = sum(tf) per doc — integer-exact and identical to
@@ -300,27 +381,7 @@ object RetrievalOps {
           .limit(20)
           .withColumn("vec_rk", row_number().over(wV).cast("long"))
           .select(col("doc_id"), col("vec_rk"))
-        val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
-        // fusion as union + one tiny aggregate (<= 40 rows) — a FULL
-        // OUTER join cannot broadcast and would sort-merge even two
-        // bounded lists; this spelling is also the shape that scales
-        // to N legs
-        lex
-          .select(col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
-          .unionAll(
-            vec.select(col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
-          .groupBy(col("doc_id"))
-          .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
-          .withColumn(
-            "rrf",
-            round(
-              coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
-                coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
-              6))
-          .withColumn("rk", row_number().over(wF).cast("long"))
-          .filter(col("rk") <= 10)
-          .select(col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
-          .orderBy(col("rk"))
+        rrfFuse(lex, vec)
       },
       Some(s"""WITH uni AS (
                SELECT d.doc_id, d.text FROM documents d
@@ -648,23 +709,7 @@ object RetrievalOps {
         // serve path itself), rn IS the dense rank
         val vec = S.ivfadcServe(s, idx, q7, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
           .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
-        val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
-        lex
-          .select(col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
-          .unionAll(
-            vec.select(col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
-          .groupBy(col("doc_id"))
-          .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
-          .withColumn(
-            "rrf",
-            round(
-              coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
-                coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
-              6))
-          .withColumn("rk", row_number().over(wF).cast("long"))
-          .filter(col("rk") <= 10)
-          .select(col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
-          .orderBy(col("rk"))
+        rrfFuse(lex, vec)
       },
       Some(s"""${SimilarityOps.ivfadcServeCtesSql(nprobe = 4, candN = 32)},
              uni AS (
@@ -689,6 +734,40 @@ object RetrievalOps {
              SELECT CAST(rk AS BIGINT) AS rk, doc_id, rrf,
                CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
              FROM fr WHERE rk <= 10 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q251
+    // ORDERED PROXIMITY RANKING from the PERSISTED positional index —
+    // Lucene's sloppy PhraseQuery / the NEAR operator, the query class
+    // between exact phrase (gap = 1, q242/q246) and bag-of-words
+    // (gap = infinity, BM25): rank documents by occurrences of "hash"
+    // followed by "table" within 4 tokens. Served FROM the build-once
+    // positional TieredIndex (buildPositionalIndex — the q246 schema
+    // as a batch artifact): each term is one key-range-pruned read
+    // (EqualTo(word, t) pushed to the clustered scan), and the gap
+    // match is the doc_id equi-join with the position delta as a
+    // range predicate — within-doc pair enumeration is bounded by
+    // per-doc term frequency, the same per-doc cost Lucene's sloppy
+    // matcher pays, never a corpus product. Oracle recomputes from
+    // raw text, so a mis-sorted positions list or a stale index row
+    // fails the hash.
+    QueryDef(
+      "q251_proximity_rank",
+      (s, dir) => {
+        val post = graft.operators.TieredIndex.read(s, buildPositionalIndex(s, dir))
+        proximityRank(post, "hash", "table", maxGap = 4)
+      },
+      Some(s"""WITH tl AS (SELECT doc_id, ${Tokenize.toksSql} AS toks FROM documents),
+             ja AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS j FROM tl),
+             pa AS (SELECT e.doc_id, e.j FROM ja e JOIN tl t USING (doc_id)
+               WHERE t.toks[e.j] = 'hash'),
+             pb AS (SELECT e.doc_id, e.j FROM ja e JOIN tl t USING (doc_id)
+               WHERE t.toks[e.j] = 'table'),
+             pr AS (SELECT a.doc_id FROM pa a JOIN pb b
+               ON a.doc_id = b.doc_id AND b.j - a.j BETWEEN 1 AND 4),
+             cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY doc_id),
+             r AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM cnt)
+             SELECT CAST(rk AS BIGINT) AS rk, doc_id, n FROM r
+             WHERE rk <= 20 ORDER BY rk""")
     )
   )
 }

@@ -3489,7 +3489,7 @@ object SimilarityOps {
                  FROM wq q CROSS JOIN wcc c) WHERE prn <= $nprobe)"""
   }
 
-  private def ivfadcSql(
+  private[graft] def ivfadcSql(
       k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2,
       nprobe: Int = 2): String = {
     val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"

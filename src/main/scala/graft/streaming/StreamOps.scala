@@ -13,8 +13,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * sink or exactly-once index mutation) and returns the materialized
   * result, which must equal the batch semantics the DuckDB oracle
   * expresses. The index lifecycles (dedup q174/q176, ANN
-  * q210-q228/q241, lexical q236/q237) share the staging helpers below
-  * and the TieredIndex exactly-once batch watermarks.
+  * q210-q228/q241/q249, lexical q236/q237/q246/q248) share the
+  * staging helpers below and the TieredIndex exactly-once batch
+  * watermarks.
   */
 object StreamOps {
 
@@ -1566,11 +1567,21 @@ object StreamOps {
       (s, dir) => {
         val R = graft.queries.RetrievalOps
         val T = graft.operators.TieredIndex
-        val phrase = Seq("slow", "hash", "batch")
+        // two request shapes per refresh: the 2-token exact phrase and
+        // the 3-token generalization (one more shifted equi-join —
+        // phraseRank is n-ary; the tri page may legitimately be empty
+        // on a tiny prefix, the bi page never is)
+        val phrases = Seq(("bi", Seq("table", "hash")), ("tri", Seq("slow", "hash", "batch")))
         def ranks(ss: org.apache.spark.sql.SparkSession, w: String, bid: Long)
-            : org.apache.spark.sql.DataFrame =
-          R.phraseRank(T.read(ss, s"$w/postings"), phrase)
-            .select(lit(bid).as("batch_id"), col("rk"), col("doc_id"), col("n"))
+            : org.apache.spark.sql.DataFrame = {
+          val post = T.read(ss, s"$w/postings")
+          phrases.map { case (tag, p) =>
+            R.phraseRank(post, p)
+              .select(
+                lit(bid).as("batch_id"), lit(tag).as("phrase"),
+                col("rk"), col("doc_id"), col("n"))
+          }.reduce(_ unionAll _)
+        }
         val work = bm25StreamIngest(
           s, dir, "q246",
           postFn = R.positionalPostingsOf,
@@ -1579,7 +1590,7 @@ object StreamOps {
           afterBatch = (ss, bid, w) =>
             ranks(ss, w, bid).write.mode("overwrite").parquet(s"$w/ranks/b$bid"))
         s.read.option("recursiveFileLookup", "true").parquet(s"$work/ranks")
-          .orderBy(col("batch_id"), col("rk"))
+          .orderBy(col("batch_id"), col("phrase"), col("rk"))
       },
       Some(phrasePrefixRanksOracleSql)
     ),
@@ -1674,6 +1685,117 @@ object StreamOps {
       Some("""SELECT CAST((vec_id // 5) % 4 AS BIGINT) AS batch_id, vec_id
              FROM embeddings WHERE vec_id % 5 = 0
              ORDER BY batch_id, vec_id""")
+    ),
+    // --------------------------------------------------------------- q250
+    // HYBRID SERVING OVER TWO LIVE INDEXES — the whole retrieval
+    // deployment in one gate: ONE CDC document stream maintains BOTH
+    // halves of the hybrid stack (the lexical postings TieredIndex and
+    // the ANN codes TieredIndex, each day-0-based on the standing
+    // population, each appended exactly-once per micro-batch with LSM
+    // maintenance), and after every batch the SAME fixed request
+    // ("more like document 7") is served HYBRID from the two live
+    // indexes: the sparse leg scores BM25 over the live postings
+    // (dynamic N/avgdl/df — the stats move as the corpus grows), the
+    // dense leg runs the complete two-stage request against the live
+    // codes (pruned ADC probe -> top-32 -> exact re-rank -> top-20),
+    // and RRF fuses the two positioned lists into the batch's top-10
+    // page — q244's composition with BOTH legs mutating under the
+    // stream, which is exactly what a production RAG system is. Batch
+    // b's arrivals must be reachable through BOTH legs in page b. The
+    // oracle recomputes each prefix population's BM25 chain and each
+    // prefix's ADC+re-rank dense leg (frozen encode => ADC distances
+    // are population-independent; one wadc serves all four prefixes)
+    // into four fusion chains — one mis-served neighbor or one stale
+    // collection stat anywhere in either index fails the hash. At
+    // 100 TB: per batch the appends are O(batch), the sparse leg reads
+    // its terms' key ranges, the dense leg nprobe/|cells| of the
+    // codes, fusion is free — the gate IS the deployment's request
+    // path.
+    QueryDef(
+      "q250_hybrid_live_serve",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val R = graft.queries.RetrievalOps
+        val T = graft.operators.TieredIndex
+        val work = graft.Engine.scratchDir("q250", dir)
+        graft.Engine.deleteRecursively(work)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
+        // the hybrid universe: docs that BOTH legs can reach
+        val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
+        val postDir = s"$work/postings"
+        T.create(
+          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+          4, Seq(col("word"), col("doc_id")))
+        val iv = S.ivecs(s, dir)
+        S.writeIvfAdcArtifacts(
+          s, work.toString, iv.filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
+        val codesDir = s"$work/codes"
+        val incoming = stageBatches(
+          uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          work.toString, expr("(doc_id div 5) % 4"), 4)
+        val pagesDir = s"$work/pages"
+        // hoisted request frames (q218 rationale): the fixed query's
+        // terms and micro-vector are shared by all batches
+        val qTerms = docs
+          .filter(col("doc_id") === 7)
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+          .distinct()
+          .localCheckpoint()
+        val q7 = iv
+          .filter(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            // LEXICAL upsert — exactly-once postings append + maintain
+            if (bid > T.lastBatch(postDir)) {
+              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            }
+            // VECTOR upsert — the batch's embeddings frozen-encode
+            // against the day-0 quantizers (q210's contract)
+            if (bid > T.lastBatch(codesDir)) {
+              val arrivals = iv.join(
+                broadcast(batch.select(col("doc_id").as("vec_id"))),
+                Seq("vec_id"), "left_semi")
+              val enc = S.ivfadcEncode(
+                arrivals,
+                ss.read.parquet(s"$work/coarse"),
+                ss.read.parquet(s"$work/codebook"))
+              T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+              T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            }
+            // HYBRID serve of the two LIVE indexes this batch mutated
+            val wL = org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))
+            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+              .filter(col("doc_id") =!= 7)
+              .orderBy(col("score").desc, col("doc_id"))
+              .limit(20)
+              .withColumn("lex_rk", row_number().over(wL).cast("long"))
+              .select(col("doc_id"), col("lex_rk"))
+            val vec = S.ivfadcServe(ss, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
+              .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+            R.rrfFuse(lex, vec)
+              .select(
+                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+                col("rrf"), col("lex_rk"), col("vec_rk"))
+              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(hybridLiveServeOracleSql)
     )
   )
 
@@ -1769,38 +1891,50 @@ object StreamOps {
              ORDER BY batch_id, rk"""
   }
 
-  /** q246's oracle — the 3-token phrase ("slow hash batch") ranked by
-    * per-prefix-population recompute FROM RAW TEXT (q242's adjacency
-    * chain extended one token), for the day-0 base (batch -1) and each
-    * of the 4 append prefixes: the live positional index must be
+  /** q246's oracle — the 2-token ("table hash") and 3-token ("slow
+    * hash batch") phrases ranked by per-prefix-population recompute
+    * FROM RAW TEXT (q242's adjacency chain, and the same chain
+    * extended one token), for the day-0 base (batch -1) and each of
+    * the 4 append prefixes: the live positional index must be
     * indistinguishable from re-tokenizing its population at every
-    * point. A def — eager interpolation rule.
+    * point, for BOTH phrase arities. A def — eager interpolation rule.
     */
   private def phrasePrefixRanksOracleSql: String = {
     val toks = graft.queries.Tokenize.toksSql
     def popWhere(b: Int): String =
       if (b < 0) "doc_id % 5 <> 0"
       else s"doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b"
+    val phrases = Seq(("bi", Seq("table", "hash")), ("tri", Seq("slow", "hash", "batch")))
     val chains = (-1 to 3).map { b =>
       val t = if (b < 0) "m1" else b.toString
+      val perPhrase = phrases.map { case (tag, p) =>
+        val cond = p.zipWithIndex
+          .map { case (w, i) => s"t.toks[e.j${if (i == 0) "" else s" + $i"}] = '$w'" }
+          .mkString(" AND ")
+        s"""ex$tag$t AS (SELECT doc_id, unnest(generate_series(1, len(toks) - ${p.size - 1})) AS j
+               FROM tl$t),
+             ph$tag$t AS (SELECT e.doc_id FROM ex$tag$t e JOIN tl$t t USING (doc_id)
+               WHERE $cond),
+             cnt$tag$t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM ph$tag$t GROUP BY doc_id)"""
+      }.mkString(",\n             ")
       s"""tl$t AS (SELECT doc_id, $toks AS toks FROM documents WHERE ${popWhere(b)}),
-             ex$t AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS j FROM tl$t),
-             ph$t AS (SELECT e.doc_id FROM ex$t e JOIN tl$t t USING (doc_id)
-               WHERE t.toks[e.j] = 'slow' AND t.toks[e.j + 1] = 'hash'
-                 AND t.toks[e.j + 2] = 'batch'),
-             cnt$t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-               FROM ph$t GROUP BY doc_id)"""
+             $perPhrase"""
     }.mkString(",\n             ")
-    val unions = (-1 to 3).map { b =>
+    val unions = (for {
+      b <- -1 to 3
+      (tag, _) <- phrases
+    } yield {
       val t = if (b < 0) "m1" else b.toString
-      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, n
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, '$tag' AS phrase,
+               CAST(rk AS BIGINT) AS rk, doc_id, n
              FROM (SELECT doc_id, n,
                  row_number() OVER (ORDER BY n DESC, doc_id) AS rk
-               FROM cnt$t) WHERE rk <= 20"""
-    }.mkString("\n             UNION ALL\n             ")
+               FROM cnt$tag$t) WHERE rk <= 20"""
+    }).mkString("\n             UNION ALL\n             ")
     s"""WITH $chains
              $unions
-             ORDER BY batch_id, rk"""
+             ORDER BY batch_id, phrase, rk"""
   }
 
   /** q248's oracle — per-batch PREFIX populations recomputed from
@@ -1833,5 +1967,58 @@ object StreamOps {
     s"""WITH ${(pops ++ chains).mkString(",\n             ")}
              $unions
              ORDER BY batch_id, qset, rk"""
+  }
+
+  /** q250's oracle — four per-prefix hybrid pages: each batch's sparse
+    * leg is a full BM25 recompute over the prefix population (prefixed
+    * bm25Sql chains over the hybrid universe), its dense leg the
+    * day-0-trained ADC chain filtered to the prefix population (frozen
+    * encode => ADC distances are population-independent, so ONE wadc
+    * serves all four prefixes), top-32 -> exact re-rank -> top-20, and
+    * the RRF fusion replayed per batch. A def — eager interpolation
+    * rule.
+    */
+  private def hybridLiveServeOracleSql: String = {
+    val terms = "SELECT DISTINCT unnest(" + graft.queries.Tokenize.toksSql +
+      ") AS word FROM documents WHERE doc_id = 7"
+    val perBatch = (0 until 4).map { b =>
+      s"""pop$b AS (SELECT doc_id, text FROM uni
+               WHERE doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b),
+             ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
+             lex$b AS (SELECT doc_id, lex_rk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+                 FROM x${b}scored WHERE doc_id <> 7)
+               WHERE lex_rk <= 20),
+             l32$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE qid = 7
+                 AND (vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)) WHERE rn <= 32),
+             lrr$b AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM l32$b c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id),
+             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
+                 FROM lrr$b) WHERE vec_rk <= 20),
+             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
+                 lex$b.lex_rk, vec$b.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
+               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
+             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+    }.mkString(",\n             ")
+    val unions = (0 until 4).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM fr$b WHERE rk <= 10"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${graft.queries.SimilarityOps.ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")},
+             uni AS (SELECT d.doc_id, d.text FROM documents d
+               WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+             $perBatch
+             $unions
+             ORDER BY batch_id, rk"""
   }
 }

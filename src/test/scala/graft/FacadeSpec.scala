@@ -81,4 +81,33 @@ class FacadeSpec extends AnyFunSuite {
     assert(scored.count() > 0, "somebody matches the query")
     Graft.releaseScratch(spark)
   }
+
+  test("positional postings / phrase reachable through the façade; BM25-compatible") {
+    import spark.implicits._
+    val docs = Graft.table(spark, dir, "documents")
+    val post = Graft.positionalPostings(docs)
+    assert(post.columns.toSeq == Seq("doc_id", "word", "tf", "positions"))
+    val page = Graft.phrase(post, Seq("table", "hash"))
+    assert(page.columns.toSeq == Seq("rk", "doc_id", "n"))
+    // the SAME positional frame scores BM25 unchanged (positions
+    // project away) — one index, both query classes
+    val scored = Graft.bm25(post, Seq("hash", "join").toDF("word"))
+    val plain = Graft.bm25(Graft.postings(docs), Seq("hash", "join").toDF("word"))
+    assert(scored.exceptAll(plain).isEmpty && plain.exceptAll(scored).isEmpty)
+    Graft.releaseScratch(spark)
+  }
+
+  test("deeper served pages via candN/topN; generation pointer round-trips") {
+    val root = Graft.buildAnnIndex(spark, dir, k = 16, rounds = 1)
+    val iv = Graft.microVecs(Graft.table(spark, dir, "embeddings"))
+    val q = iv.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val got = Graft.annServe(spark, root, q, iv, k = 16, candN = 32, topN = 10)
+    assert(got.count() == 20, "2 queries x positioned top-10")
+    val groot = s"${System.getProperty("java.io.tmpdir")}/graft_facade_gens"
+    Engine.deleteRecursively(new java.io.File(groot))
+    new java.io.File(groot, "gen-00000").mkdirs()
+    Graft.commitGeneration(groot, "gen-00000")
+    assert(Graft.resolveGeneration(groot).endsWith("gen-00000"))
+    Graft.releaseScratch(spark)
+  }
 }

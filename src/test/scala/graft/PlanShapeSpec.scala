@@ -614,6 +614,52 @@ class PlanShapeSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("q250: the live hybrid page keeps both legs' pruned reads under fusion") {
+    // run the gated lifecycle, then re-derive the per-batch hybrid
+    // page from the two LIVE indexes it left behind and pin its shape
+    SparkEntry.queries("q250_hybrid_live_serve")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q250", dir)
+    val S = graft.queries.SimilarityOps
+    val R = graft.queries.RetrievalOps
+    import org.apache.spark.sql.functions._
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val qTerms = Engine.table(spark, dir, "documents")
+      .filter(col("doc_id") === 7)
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+      .distinct()
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = R.bm25FromPostings(
+        graft.operators.TieredIndex.read(spark, s"$work/postings"), qTerms)
+      .filter(col("doc_id") =!= 7)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rk", row_number().over(wL).cast("long"))
+      .select(col("doc_id"), col("lex_rk"))
+    val vec = S.ivfadcServe(spark, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
+      .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+    val p = R.rrfFuse(lex, vec).queryExecution.executedPlan.toString
+    // the dense leg's codes scan keeps its pushed probed-list literals
+    // under the fusion plan; nothing goes cartesian
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
+  test("q251: each proximity term is a key-range-pruned read; the gap is a range predicate on an equi-join") {
+    val p = plan("q251_proximity_rank")
+    for (w <- Seq("hash", "table"))
+      assert(
+        s"EqualTo\\(word,$w\\)".r.findFirstIn(p).isDefined,
+        s"term '$w' not pushed to the postings scan:\n" + p.take(3000))
+    // pair matching joins on doc_id (equi) — a cartesian/NLJ would
+    // mean the join lost its key
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q242: phrase adjacency is an equi-join on (doc, position), page is a top-k") {
     val p = plan("q242_phrase_rank")
     // the page is a distributed top-k; adjacency joins positions —
