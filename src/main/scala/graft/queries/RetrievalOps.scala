@@ -247,6 +247,64 @@ object RetrievalOps {
       .filter(col("word").isin(words: _*))
       .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
 
+  /** BATCHED MULTI-QUERY BM25 — every production retriever's request
+    * shape (N queries scored in one pass, Vespa/ES msearch): `qterms`
+    * is (qid, word), and the result is (qid, doc_id, score) for every
+    * (query, matching doc) pair. The pruning survives batching: the
+    * token stream is semi-joined against the batch's DISTINCT word set
+    * (broadcast) BEFORE the tf shuffle, so the per-doc tf aggregation
+    * covers the batch's terms only; df is per WORD over matched docs
+    * (computed before the per-qid fan-out — duplicating tf rows across
+    * qids first would inflate it); dl/stats are the same corpus-level
+    * passes as the single-query path. Arithmetic is [[bm25Score]]'s
+    * term by term ([[bm25BatchSql]] mirrors it), grouped by (qid, doc).
+    */
+  private[graft] def bm25Batch(docs: DataFrame, qterms: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Tokenize.toksExpr).as("word"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val words = qterms.select(col("word")).distinct()
+    val tf = tok
+      .join(broadcast(words), "word")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(qterms), "word")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(statsOf(dl)))
+      .join(dl, "doc_id")
+      .withColumn(
+        "c",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+  }
+
+  /** [[bm25Batch]]'s DuckDB mirror: CTEs {p}tok/{p}dl/{p}stats/{p}qt/
+    * {p}tf/{p}df ending in `{p}scored` (qid, doc_id, score), over
+    * document relation `docsRel` and query-terms CTE `qtermsCte`
+    * (columns qid, word). A def — eager oracle interpolation rule.
+    */
+  private[graft] def bm25BatchSql(docsRel: String, qtermsCte: String, p: String = "h"): String =
+    s"""${p}tok AS (SELECT doc_id, unnest(${Tokenize.toksSql}) AS word FROM $docsRel),
+             ${p}qt AS ($qtermsCte),
+             ${p}dl AS (SELECT doc_id, count(*) AS dl FROM ${p}tok GROUP BY doc_id),
+             ${p}stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n_docs FROM ${p}dl),
+             ${p}tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+               FROM ${p}tok JOIN (SELECT DISTINCT word FROM ${p}qt) USING (word)
+               GROUP BY doc_id, word),
+             ${p}df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM ${p}tf GROUP BY word),
+             ${p}scored AS (SELECT q.qid, t.doc_id,
+                 round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))), 4) AS score
+               FROM ${p}tf t JOIN ${p}qt q USING (word) JOIN ${p}df d USING (word)
+               CROSS JOIN ${p}stats s
+               JOIN ${p}dl l ON t.doc_id = l.doc_id
+               GROUP BY q.qid, t.doc_id)"""
+
   /** THE BM25 scoring core — one definition site for the batch path
     * ([[bm25Scored]]), the index path ([[bm25FromPostings]]), and the
     * cached-epoch serve (q248, which injects epoch-materialized
@@ -768,6 +826,149 @@ object RetrievalOps {
              r AS (SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM cnt)
              SELECT CAST(rk AS BIGINT) AS rk, doc_id, n FROM r
              WHERE rk <= 20 ORDER BY rk""")
+    ),
+    // --------------------------------------------------------------- q252
+    // HYBRID SYSTEM METRICS — the evaluation a hybrid deployment
+    // actually publishes: MRR/nDCG@10 of the FUSED page, per query,
+    // over the full 20-query contract. Composes the round's whole
+    // retrieval surface end to end: the sparse leg is BATCHED
+    // multi-query BM25 (bm25Batch — all 20 more-like-this requests
+    // scored in ONE pass, the msearch shape; the batch's distinct
+    // term set prunes the token stream before the tf shuffle), the
+    // dense leg is the two-stage request against the persisted deep
+    // artifact (nprobe=4, top-32 -> exact re-rank -> top-20, all 20
+    // queries in one serve), RRF fuses per query (the keyed form of
+    // rrfFuse), and the fused top-10 is graded against labels with
+    // the shared-literal discount table and the left-join
+    // zero-relevant contract. One number series for "is hybrid
+    // beating either leg" — the ablation every RAG team runs
+    // (PERF.md ledgers fused vs q245's dense-only). At scale: one
+    // batched lexical pass + one batched ANN serve + bounded fusion/
+    // grading joins — request count amortizes everything.
+    QueryDef(
+      "q252_hybrid_system_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val S = SimilarityOps
+        val idx = S.buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val docs = Engine.table(s, dir, "documents")
+        val emb = Engine.table(s, dir, "embeddings")
+        val uni = docs.join(
+          emb.select(col("vec_id")), docs("doc_id") === col("vec_id"), "left_semi")
+        val qterms = docs
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), explode(Tokenize.toksExpr).as("word"))
+          .distinct()
+        val wL = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25Batch(uni, qterms)
+          .filter(col("qid") =!= col("doc_id"))
+          .withColumn("lex_rk", row_number().over(wL).cast("long"))
+          .filter(col("lex_rk") <= 20)
+          .select(col("qid"), col("doc_id"), col("lex_rk"))
+        val iv = S.ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val vec = S.ivfadcServe(s, idx, q, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+        // keyed RRF: rrfFuse's per-query form (fusion keys carry qid)
+        val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+        val fused = lex
+          .select(col("qid"), col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
+          .unionAll(vec.select(
+            col("qid"), col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
+          .withColumn(
+            "rrf",
+            round(
+              coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
+                coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
+              6))
+          .withColumn("p", row_number().over(wF))
+          .filter(col("p") <= 10)
+          .select(col("qid"), col("doc_id"), col("p"))
+        val lab = emb.select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+        val qlab = emb
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"))
+        val wdf = S.dcgWeights.toDF("p", "w")
+        val perq = fused
+          .join(broadcast(qlab), "qid")
+          .join(lab, "doc_id")
+          .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+          .join(broadcast(wdf), "p")
+          .groupBy(col("qid"))
+          .agg(
+            sum(col("rel")).cast("long").as("n_rel10"),
+            round(sum(col("rel") * col("w")), 6).as("dcg"),
+            min(when(col("rel") === 1, col("p"))).as("frank"))
+        val labCount = emb
+          .select(col("label").cast("long").as("label"))
+          .groupBy(col("label")).agg(count(lit(1)).as("nl"))
+        val rq = qlab
+          .join(broadcast(labCount), col("qlabel") === col("label"))
+          .select(col("qid"), (col("nl") - 1).as("nrel"))
+        val idcg = rq
+          .crossJoin(broadcast(wdf))
+          .filter(col("p") <= least(col("nrel"), lit(10L)))
+          .groupBy(col("qid"))
+          .agg(round(sum(col("w")), 6).as("idcg"))
+        perq
+          .join(idcg, Seq("qid"), "left")
+          .select(
+            col("qid"), col("n_rel10"),
+            round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"),
+            coalesce(round(col("dcg") / col("idcg"), 6), lit(0.0)).as("ndcg10"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val wRows = SimilarityOps.dcgWeights
+          .map { case (p, w) => s"SELECT $p AS p, CAST($w AS DOUBLE) AS w" }
+          .mkString(" UNION ALL ")
+        s"""${SimilarityOps.ivfadcServeCtesSql(nprobe = 4, candN = 32)},
+             uni AS (SELECT d.doc_id, d.text FROM documents d
+               WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+             ${bm25BatchSql(
+            "uni",
+            "SELECT DISTINCT doc_id AS qid, unnest(" + Tokenize.toksSql +
+              ") AS word FROM documents WHERE doc_id < 20")},
+             hlex AS (SELECT qid, doc_id, lex_rk FROM (SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rk
+               FROM hscored WHERE qid <> doc_id) WHERE lex_rk <= 20),
+             hvec AS (SELECT qid, vec_id AS doc_id, rn AS vec_rk FROM wsrv WHERE rn <= 20),
+             hfused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rk, v.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (l.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (v.vec_rk + 60), 0), 6) AS rrf
+               FROM hlex l FULL OUTER JOIN hvec v
+                 ON l.qid = v.qid AND l.doc_id = v.doc_id),
+             f10 AS (SELECT qid, doc_id, p FROM (SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS p
+               FROM hfused) WHERE p <= 10),
+             lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             ql AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel
+               FROM embeddings WHERE vec_id < 20),
+             w AS ($wRows),
+             perq AS (SELECT f.qid, CAST(sum(CASE WHEN cl.label = ql.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel10,
+                 round(sum(CASE WHEN cl.label = ql.qlabel THEN 1 ELSE 0 END * w.w), 6) AS dcg,
+                 min(CASE WHEN cl.label = ql.qlabel THEN f.p END) AS frank
+               FROM f10 f JOIN lab cl ON f.doc_id = cl.doc_id
+               JOIN ql ON f.qid = ql.qid
+               JOIN w ON f.p = w.p
+               GROUP BY f.qid),
+             lc AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS nl
+               FROM embeddings GROUP BY 1),
+             rq AS (SELECT ql.qid, lc.nl - 1 AS nrel
+               FROM ql JOIN lc ON ql.qlabel = lc.label),
+             idcg AS (SELECT rq.qid, round(sum(w.w), 6) AS idcg
+               FROM rq CROSS JOIN w WHERE w.p <= least(rq.nrel, 10)
+               GROUP BY rq.qid)
+             SELECT p.qid, p.n_rel10,
+               round(coalesce(CAST(1 AS DOUBLE) / p.frank, 0), 6) AS mrr,
+               coalesce(round(p.dcg / i.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg10
+             FROM perq p LEFT JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
+      }
     )
   )
 }

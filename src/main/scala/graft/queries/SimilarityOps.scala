@@ -550,7 +550,7 @@ object SimilarityOps {
     * metric's only transcendental never touches either engine's libm.
     * Defined before `entries` (eager oracle interpolation rule).
     */
-  private val dcgWeights: Seq[(Int, Double)] = (1 to 10).map { p =>
+  private[graft] val dcgWeights: Seq[(Int, Double)] = (1 to 10).map { p =>
     p -> BigDecimal(1.0 / (math.log(p + 1.0) / math.log(2.0)))
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .toDouble

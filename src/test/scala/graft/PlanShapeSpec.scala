@@ -660,6 +660,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q252: the batched hybrid eval keeps the pruned dense scan and per-query group limits") {
+    val p = plan("q252_hybrid_system_metrics")
+    // the dense leg (all 20 queries in one serve) still pushes its
+    // probed-list literal set to the codes scan
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // the batched lexical leg's per-query top-20 is a group limit,
+    // never a corpus sort; nothing goes cartesian
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q242: phrase adjacency is an equi-join on (doc, position), page is a top-k") {
     val p = plan("q242_phrase_rank")
     // the page is a distributed top-k; adjacency joins positions —
