@@ -374,19 +374,30 @@ object TieredIndex {
   /** Initialize `dir` as a tiered index holding `df` as its base
     * segment (range-clustered + sorted on `clusterCols`). Destroys any
     * prior index at the path — day-0 builds are self-contained.
+    *
+    * `seedBatch`/`seedDeleteBatch` SEED the streaming watermarks of
+    * the fresh index: when a mid-stream REBUILD folds data from
+    * batches <= b into a new index (q253's retrain — the re-encode
+    * already contains those batches' rows), the new index must
+    * remember b, or a replayed batch <= b would pass the fresh
+    * index's -1 watermark and append its rows a second time —
+    * exactly-once must survive the generation swap. Defaults (-1)
+    * keep the day-0 behavior.
     */
   def create(
       spark: SparkSession,
       dir: String,
       df: DataFrame,
       targetFiles: Int,
-      clusterCols: Seq[Column]): Unit = {
+      clusterCols: Seq[Column],
+      seedBatch: Long = -1L,
+      seedDeleteBatch: Long = -1L): Unit = {
     graft.Engine.deleteRecursively(new java.io.File(dir))
     Files.createDirectories(Paths.get(dir)): Unit
     withWriterLock(dir) {
       commit(
         dir, Seq(writeSegment(df, dir, "base", targetFiles, clusterCols)),
-        batch = -1L, dbatch = -1L)
+        batch = seedBatch, dbatch = seedDeleteBatch)
     }
   }
 

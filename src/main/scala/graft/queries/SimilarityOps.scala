@@ -2736,6 +2736,51 @@ object SimilarityOps {
           k = 16, rounds = 1, trainWhere = sampledTrainWhereSql)}
              SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d
              FROM wsrv WHERE rn <= 3 ORDER BY qid, rn""")
+    ),
+    // --------------------------------------------------------------- q254
+    // GENERATION ROLLBACK — the operational panic button q247's swap
+    // machinery must also serve: the retrained (green) generation
+    // ships, turns out bad (a recall regression the offline gate
+    // missed, a corrupted re-encode), and operations points CURRENT
+    // BACK at the retained previous generation — possible precisely
+    // because commit's GC keeps it alive for in-flight readers
+    // (GenerationsSpec pins that a rollback commit never GCs the
+    // generation being committed, whatever name-order says). Gated
+    // end to end: blue (biased-half quantizers) commits, green
+    // (sampled retrain) commits and swaps, then the ROLLBACK commit
+    // re-points at blue — and serving from the resolved CURRENT must
+    // EQUAL a fresh biased-train serve, i.e. the rollback restores
+    // bit-identical serving, not merely "some old files". At scale:
+    // a rollback is one pointer write — O(1), zero data movement,
+    // which is the whole argument for generations over in-place
+    // retraining.
+    QueryDef(
+      "q254_generation_rollback",
+      (s, dir) => {
+        val G = graft.operators.Generations
+        val root = graft.Engine.scratchDir("q254", dir)
+        graft.Engine.deleteRecursively(root)
+        val iv = ivecs(s, dir)
+        writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", iv, k = 16, rounds = 1,
+          trainIv = Some(iv.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
+        G.commit(root.toString, "gen-00000")
+        writeIvfAdcArtifacts(
+          s, s"$root/gen-00001", iv, k = 16, rounds = 1,
+          trainIv = Some(iv.filter(sampledTrainCol)))
+        G.commit(root.toString, "gen-00001")
+        // the green generation is bad: one pointer write rolls back
+        G.commit(root.toString, "gen-00000")
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        ivfadcServe(s, G.resolve(root.toString), q, iv, k = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""${ivfadcServeCtesSql(
+          k = 16, rounds = 1, trainWhere = "vec_id < 32 OR vec_id % 2 = 0")}
+             SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(d AS BIGINT) AS d
+             FROM wsrv WHERE rn <= 3 ORDER BY qid, rn""")
     )
   )
 
@@ -3351,7 +3396,7 @@ object SimilarityOps {
     */
   private[graft] def writeIvfAdcArtifacts(
       s: SparkSession, root: String, iv: DataFrame, k: Int, rounds: Int,
-      trainIv: Option[DataFrame] = None): Unit = {
+      trainIv: Option[DataFrame] = None, seedBatch: Long = -1L): Unit = {
     val (cc, ca, cb, a2) = ivfadcTrainIv(trainIv.getOrElse(iv), k, rounds)
     cc.coalesce(1).write.parquet(s"$root/coarse")
     cb.coalesce(1).write.parquet(s"$root/codebook")
@@ -3359,10 +3404,13 @@ object SimilarityOps {
       case None => a2.join(ca, "vec_id")
       case Some(_) => ivfadcEncode(iv, cc, cb)
     }
+    // seedBatch: a mid-stream REBUILD (q253's retrain) folds data from
+    // batches <= seedBatch into the fresh codes index — seed its
+    // watermark so exactly-once survives the generation swap
     graft.operators.TieredIndex.create(
       s, s"$root/codes",
       if (k <= 16) packCodes(enc) else packCodesHex(enc),
-      4, Seq(col("ccid"), col("vec_id")))
+      4, Seq(col("ccid"), col("vec_id")), seedBatch = seedBatch)
   }
 
   /** Build-once persisted IVFADC index (q206 at (16, 1), q213 at

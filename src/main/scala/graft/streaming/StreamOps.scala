@@ -1796,6 +1796,104 @@ object StreamOps {
           .orderBy(col("batch_id"), col("rk"))
       },
       Some(hybridLiveServeOracleSql)
+    ),
+    // --------------------------------------------------------------- q253
+    // RETRAIN + BLUE/GREEN SWAP UNDER A LIVE STREAM — q247's lifecycle
+    // where it actually happens: ingestion never stops for a retrain.
+    // The stream appends arrival slices to the LIVE generation's codes
+    // index (resolved per batch — the serving processes' view); at
+    // batch 2 the drift response fires MID-STREAM: retrain on the
+    // deterministic sample of everything ingested so far (day-0 +
+    // slices 0..2, q226's path), re-encode that whole population into
+    // gen-00001, commit, swap — and batch 3's append lands in the NEW
+    // generation while readers of the old one stay valid. The
+    // cross-generation exactly-once trap this gate exists to pin: the
+    // fresh generation's codes index already CONTAINS batches <= 2
+    // (the re-encode folded them), so its watermark is SEEDED at 2
+    // (TieredIndex.create seedBatch) — a replayed batch 2 no-ops
+    // against gen-00001 instead of appending its slice twice, and the
+    // retrain itself is guarded on the generation list (a replay after
+    // the swap skips it; a replay after a crash mid-retrain overwrites
+    // the un-pointed orphan dir). Gated observables: the post-swap
+    // serves of batches 2 and 3 — population prefix(2)/prefix(3) under
+    // the RETRAINED quantizers, through the complete two-stage path.
+    // The oracle replays the sampled prefix-2 training once (frozen
+    // encode covers everything; ADC distances are population-
+    // independent) and filters per-batch populations. At 100 TB this
+    // is the retrain story a year-long deployment runs quarterly:
+    // O(sample) Lloyd + one O(corpus) encode, zero ingest downtime,
+    // zero double-ingestion.
+    QueryDef(
+      "q253_stream_retrain_swap",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val T = graft.operators.TieredIndex
+        val G = graft.operators.Generations
+        val work = graft.Engine.scratchDir("q253", dir)
+        graft.Engine.deleteRecursively(work)
+        val root = s"$work/ann"
+        val iv = S.ivecs(s, dir)
+        val day0 = iv.filter(col("vec_id") % 5 =!= 0)
+        // BLUE: day-0 standing population, biased-half quantizers (the
+        // aged-codebook stand-in, q247's convention)
+        S.writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", day0, k = 16, rounds = 1,
+          trainIv = Some(day0.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
+        G.commit(root, "gen-00000")
+        val incoming = stageBatches(
+          graft.Engine.table(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+          work.toString, expr("(vec_id div 5) % 4"), 4)
+        val servesDir = s"$work/serves"
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            // append to the LIVE generation (resolved per batch — after
+            // the swap this is gen-00001, whose seeded watermark makes
+            // a replayed pre-swap batch a no-op)
+            val cur = G.resolve(root)
+            if (bid > T.lastBatch(s"$cur/codes")) {
+              val enc = S.ivfadcEncode(
+                S.toIv(batch),
+                ss.read.parquet(s"$cur/coarse"),
+                ss.read.parquet(s"$cur/codebook"))
+              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+              T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
+            }
+            if (bid == 2 && G.list(root) == Seq("gen-00000")) {
+              // MID-STREAM RETRAIN: everything ingested so far; a crash
+              // mid-retrain leaves an un-pointed orphan dir — overwrite
+              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+              val pop = iv.filter(
+                col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 2)
+              S.writeIvfAdcArtifacts(
+                ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
+                trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid)
+              G.commit(root, "gen-00001")
+            }
+            // gated observables: the post-swap two-stage serves
+            if (bid >= 2)
+              S.ivfadcServe(ss, G.resolve(root), q, iv, k = 16)
+                .select(
+                  lit(bid).as("batch_id"), col("qid"), col("rn"),
+                  col("vec_id"), col("d"))
+                .write.mode("overwrite").parquet(s"$servesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(servesDir)
+          .orderBy(col("batch_id"), col("qid"), col("rn"))
+      },
+      Some(streamRetrainSwapOracleSql)
     )
   )
 
@@ -1967,6 +2065,43 @@ object StreamOps {
     s"""WITH ${(pops ++ chains).mkString(",\n             ")}
              $unions
              ORDER BY batch_id, qset, rk"""
+  }
+
+  /** q253's oracle — the post-swap serves replayed: ONE sampled
+    * training chain over the prefix-2 population (what the mid-stream
+    * retrain saw: day-0 + arrival slices 0..2, restricted to the q226
+    * deterministic sample), frozen encode covering every vector, and
+    * per-batch two-stage serves (ADC top-16 -> exact re-rank -> top-3)
+    * filtered to the prefix-b searchable population for b in {2, 3}.
+    * ADC distances are population-independent, so one wadc serves both
+    * prefixes. A def — eager interpolation rule.
+    */
+  private def streamRetrainSwapOracleSql: String = {
+    val S = graft.queries.SimilarityOps
+    val trainWhere =
+      s"(vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= 2) AND (${S.sampledTrainWhereSql})"
+    val perBatch = (2 to 3).map { b =>
+      s"""l16$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM wadc WHERE vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)
+               WHERE rn <= 16),
+             lrr$b AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM l16$b c JOIN wq q ON c.qid = q.qid
+               JOIN t x ON c.vec_id = x.vec_id)"""
+    }.mkString(",\n             ")
+    val unions = (2 to 3).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, qid, CAST(rn AS BIGINT) AS rn, vec_id,
+               CAST(d AS BIGINT) AS d
+             FROM (SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM lrr$b) WHERE rn <= 3"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${S.ivfadcSql(16, 1, trainWhere = trainWhere)},
+             $perBatch
+             $unions
+             ORDER BY batch_id, qid, rn"""
   }
 
   /** q250's oracle — four per-prefix hybrid pages: each batch's sparse

@@ -412,6 +412,20 @@ class TieredIndexSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("a rebuilt index with a seeded watermark no-ops replayed batches (exactly-once across a swap)") {
+    val dir = tmp("seedwm")
+    // a mid-stream rebuild folded batches <= 2 into the fresh base
+    TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")), seedBatch = 2L)
+    assert(TieredIndex.lastBatch(dir) == 2L)
+    // the replay of an already-folded batch must be a no-op
+    TieredIndex.append(spark, dir, keyed(100 until 110), batchId = 2L)
+    assert(TieredIndex.read(spark, dir).count() == 100, "replayed batch double-ingested")
+    // the next live batch lands
+    TieredIndex.append(spark, dir, keyed(100 until 110), batchId = 3L)
+    assert(TieredIndex.read(spark, dir).count() == 110)
+    Engine.releaseScratch(spark)
+  }
+
   test("writer fence: a second concurrent mutator fails loudly instead of racing the pointer") {
     val dir = tmp("fence")
     TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
