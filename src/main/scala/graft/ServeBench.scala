@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Output: one JSON line per nprobe with min/mean/p50/max request
   * seconds and the pushed-literal counts; PERF.md records the sf0.1 /
-  * sf1 rows.
+  * sf1 rows. A LEXICAL section (round 15) measures the sparse half
+  * the same way: single-term BM25 requests against a live postings
+  * TieredIndex with epoch-cached dl/stats (q248's deployment shape),
+  * the term pushed as a scan literal — verified per request.
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {

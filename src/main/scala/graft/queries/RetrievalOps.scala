@@ -7,15 +7,23 @@ import org.apache.spark.sql.functions._
 
 /** RETRIEVAL — the RAG stack's query-time surface over the corpus the
   * other modules curate and index: BM25 lexical ranking (q229),
-  * hybrid lexical+vector reciprocal-rank fusion (q230), multi-vector
-  * MaxSim late-interaction re-ranking (q232), pseudo-relevance-
-  * feedback query expansion (q233), field-collapsed diversity top-k
-  * (q234), and exact-phrase ranking over positional postings (q242) —
-  * the operations a production retrieval deployment composes in front
-  * of an LLM, expressed as the same oracle-gated Spark plans as the
-  * rest of the engine. The scoring core ([[bm25FromPostings]]) reads
-  * either raw documents or a persisted postings index — q236/q237
-  * stream-maintain and time-travel that index in StreamOps.
+  * hybrid lexical+vector reciprocal-rank fusion (q230 brute legs;
+  * q244 over the SERVED dense leg — the persisted-index two-stage
+  * request composed under [[rrfFuse]]), multi-vector MaxSim
+  * late-interaction re-ranking (q232), pseudo-relevance-feedback
+  * query expansion (q233), field-collapsed diversity top-k (q234),
+  * exact-phrase ranking over positional postings (q242 from raw text;
+  * q246 from the live [[positionalPostingsOf]] index), ordered
+  * proximity / NEAR ranking (q251, [[proximityRank]]), and BATCHED
+  * multi-query BM25 + hybrid system metrics (q252, [[bm25Batch]] —
+  * the msearch shape, fused and graded per query) — the operations a
+  * production retrieval deployment composes in front of an LLM,
+  * expressed as the same oracle-gated Spark plans as the rest of the
+  * engine. The scoring core ([[bm25Score]]) serves raw documents
+  * ([[bm25Scored]]), a persisted postings index
+  * ([[bm25FromPostings]] — q236/q237 stream-maintain and time-travel
+  * it in StreamOps), and epoch-cached serving (q248,
+  * [[termTfPushed]] + injected dl/stats).
   *
   * Scale notes (100 TB), per path:
   *  - BATCH (tokenize-then-score, [[bm25Scored]]): the per-doc tf

@@ -13,9 +13,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * sink or exactly-once index mutation) and returns the materialized
   * result, which must equal the batch semantics the DuckDB oracle
   * expresses. The index lifecycles (dedup q174/q176, ANN
-  * q210-q228/q241/q249, lexical q236/q237/q246/q248) share the
-  * staging helpers below and the TieredIndex exactly-once batch
-  * watermarks.
+  * q210-q228/q241/q249/q253, lexical q236/q237/q246/q248, hybrid
+  * q250) share the staging helpers below and the TieredIndex
+  * exactly-once batch watermarks.
   */
 object StreamOps {
 
@@ -1869,9 +1869,14 @@ object StreamOps {
               T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
               T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
             }
-            if (bid == 2 && G.list(root) == Seq("gen-00000")) {
-              // MID-STREAM RETRAIN: everything ingested so far; a crash
-              // mid-retrain leaves an un-pointed orphan dir — overwrite
+            // guard on the POINTER, not the dir listing: a crash
+            // mid-retrain leaves an un-pointed orphan gen-00001 dir,
+            // and a listing-based guard would skip the replayed
+            // retrain entirely (serving forever from the old
+            // quantizers); the pointer only moves at commit
+            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+              // MID-STREAM RETRAIN: everything ingested so far; the
+              // un-pointed orphan from a crashed attempt — overwrite
               graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
               val pop = iv.filter(
                 col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 2)
