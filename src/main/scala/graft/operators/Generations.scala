@@ -15,6 +15,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * {{{
   *   CURRENT        one line: the name of the live generation dir
+  *   HISTORY        append-only commit log: one "<gen> <mark>" line
+  *                  per commit, oldest first — the pointer's history
+  *   LOCK           the writer-fence lock file (see below)
   *   gen-NNNNN/     a complete artifact set (coarse/ codebook/ codes/)
   * }}}
   *
@@ -24,19 +27,55 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    generation in full, never a half-retrained mix (a new codebook
   *    scoring old codes would be silent garbage; the generation dir
   *    makes that unrepresentable).
-  *  - READERS ACROSS THE SWAP: [[commit]]'s GC keeps the newest
-  *    `retain` generations (default 2 = current + previous), so a
-  *    request that resolved the old generation keeps serving from it
-  *    through one full retrain cycle — the same contract TieredIndex
-  *    gives segment readers across a compaction.
+  *  - READERS ACROSS THE SWAP: [[commit]]'s GC keeps the `retain`
+  *    generations the pointer MOST RECENTLY pointed at (default 2 =
+  *    current + the generation serving until this instant), judged by
+  *    COMMIT RECENCY from the HISTORY log, not by name order — so a
+  *    request that resolved the pre-swap generation keeps serving
+  *    from it through one full retrain cycle even when the commit
+  *    sequence includes a ROLLBACK (the round-15 ADVICE trap: after a
+  *    rollback, name-order GC would delete the generation that was
+  *    CURRENT until the next forward commit while retaining the
+  *    abandoned bad one).
+  *  - SINGLE WRITER, FENCED: [[commit]] runs its fsync + swap + GC
+  *    body under the same exclusive OS file lock TieredIndex's
+  *    mutators use (`root/LOCK`) — two concurrent commits would
+  *    otherwise interleave so one commit's GC deletes the generation
+  *    the other just pointed CURRENT at. A second committer throws
+  *    immediately (the caller owns serialization; the fence only
+  *    enforces it).
   *  - CRASH SAFETY: a retrain killed mid-write leaves CURRENT on the
   *    old generation and the half-written dir as an un-pointed orphan
-  *    (the next same-named retrain overwrites it; [[commit]] is only
-  *    called after the generation is complete on disk).
+  *    — never in the pointer history, so the next commit's GC removes
+  *    it (and a same-named retrain replay may overwrite it first;
+  *    [[commit]] is only called after the generation is complete on
+  *    disk). The HISTORY
+  *    line is committed (fsync + rename) immediately BEFORE the
+  *    pointer swap: a crash between the two leaves one logged-but-
+  *    never-current entry pointing at a complete, fsync'd artifact
+  *    set — readable, never garbage — and CURRENT still on the old
+  *    generation.
+  *  - TIME TRAVEL: [[commit]]'s `mark` tags the commit with the
+  *    stream batch id it happened under (Delta's commit version, one
+  *    level up); [[resolveAsOf]] answers "which generation served
+  *    batch b" from the HISTORY log — the resolve a time-travel read
+  *    of a post-retrain index needs, because a pre-swap codes
+  *    snapshot decoded with post-swap quantizers is silent garbage
+  *    (q256 gates exactly that cross-generation resolve).
   */
 object Generations {
 
   private def currentPath(root: String) = Paths.get(root, "CURRENT")
+  private def historyPath(root: String) = Paths.get(root, "HISTORY")
+
+  private val GenName = "gen-(\\d+)".r
+
+  private def genNum(name: String): Long = name match {
+    case GenName(d) => d.toLong
+    case _ =>
+      throw new IllegalArgumentException(
+        s"Generations: '$name' is not a gen-NNNNN generation name")
+  }
 
   /** The live generation's absolute path. Fails loudly on a missing
     * pointer or a pointer at a GC'd/unwritten generation — never
@@ -53,36 +92,113 @@ object Generations {
     dir.toString
   }
 
-  /** Committed generation names, oldest first (spec observable). */
+  /** Committed generation names surviving on disk, oldest first by the
+    * parsed NUMERIC suffix (spec observable) — lexicographic order
+    * breaks the moment a name outgrows the 5-digit convention
+    * (gen-100000 sorts before gen-99999), and GC ordering must never
+    * hang off a formatting accident.
+    */
   def list(root: String): Seq[String] =
     Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("gen-")).sorted.toSeq
+      .filter(n =>
+        GenName.pattern.matcher(n).matches && new java.io.File(root, n).isDirectory)
+      .sortBy(genNum)
+      .toSeq
+
+  /** The commit log, oldest first: every (generation, mark) the
+    * pointer has been moved to, rollbacks included — the authority
+    * for GC recency and [[resolveAsOf]].
+    */
+  def history(root: String): Seq[(String, Long)] =
+    if (!Files.exists(historyPath(root))) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(historyPath(root), StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(gen, mark) = line.split(" ", 2)
+          (gen, mark.trim.toLong)
+        }
+    }
+
+  /** The generation that was CURRENT as of stream batch `mark` — the
+    * LAST commit whose mark is <= `mark` (commits are logged in
+    * pointer order, so "last" is "what a reader at that batch
+    * resolved"). Returns the generation's absolute path; fails loudly
+    * when the resolved generation has been GC'd (raise `retain` on
+    * the commit schedule that owns this root — snapshot retention is
+    * a policy knob, priced as retained disk) or when no commit
+    * predates the mark.
+    */
+  def resolveAsOf(root: String, mark: Long): String = {
+    val h = history(root)
+    require(h.nonEmpty, s"Generations: $root has no commit history")
+    val gen = h.reverse
+      .collectFirst { case (g, m) if m <= mark => g }
+      .getOrElse(throw new IllegalStateException(
+        s"Generations.resolveAsOf($mark): no commit at or before this " +
+          s"mark in $root (earliest is mark ${h.head._2})"))
+    val dir = new java.io.File(root, gen)
+    require(
+      dir.isDirectory,
+      s"Generations.resolveAsOf($mark): generation $gen aged out of the " +
+        s"GC retention window under $root — raise commit(retain = ...) on " +
+        "the retrain schedule that owns this root")
+    dir.toString
+  }
 
   /** Point CURRENT at `gen` (a complete generation dir under `root`),
-    * durably: the generation tree is fsync'd (parquet writers do not
-    * force their output), the pointer write is fsync'd, the swap is
-    * one atomic rename, and the directory entry is forced — the same
+    * durably and fenced: the whole body runs under the exclusive
+    * writer lock on `root/LOCK` (TieredIndex's fence — a concurrent
+    * commit throws instead of racing the swap/GC), the generation
+    * tree is fsync'd (parquet writers do not force their output), the
+    * HISTORY line and the pointer write are fsync'd, each swap is one
+    * atomic rename, and the directory entry is forced — the same
     * ordering TieredIndex's manifest commit uses, so a power loss can
-    * never persist a pointer ahead of the artifacts it names. Then
-    * generations older than the newest `retain` are deleted (the GC
-    * that bounds disk while keeping the previous generation alive for
-    * in-flight readers).
+    * never persist a pointer ahead of the artifacts it names.
+    *
+    * GC: generations are retired by COMMIT RECENCY — the last
+    * `retain` DISTINCT generations in the HISTORY log (which always
+    * include `gen` itself, just appended) survive; every other gen-*
+    * dir is deleted. After a rollback (history ... g0, g1, g0) the
+    * next forward commit of g2 therefore keeps {g2, g0} and GCs the
+    * abandoned g1 — the generation that was serving until this
+    * instant survives one full cycle, whatever name-order says
+    * (round-15 ADVICE; spec-pinned).
+    *
+    * `mark`: the stream batch id this commit happened under (-1 for
+    * out-of-band commits), recorded in HISTORY for [[resolveAsOf]].
     */
-  def commit(root: String, gen: String, retain: Int = 2): Unit = {
+  def commit(root: String, gen: String, retain: Int = 2, mark: Long = -1L): Unit = {
+    genNum(gen): Unit // validate the name BEFORE it enters the log
     val dir = new java.io.File(root, gen)
     require(
       dir.isDirectory,
       s"Generations: cannot commit missing generation $gen under $root")
-    TieredIndex.fsyncTree(dir)
-    val tmp = Paths.get(root, "CURRENT.tmp")
-    TieredIndex.writeFsync(tmp, gen.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPath(root), StandardCopyOption.ATOMIC_MOVE): Unit
-    TieredIndex.fsyncDir(root)
-    // never GC the generation just committed, whatever its name sorts
-    // as — a ROLLBACK commit points CURRENT at an older name, and
-    // name-order GC alone would delete the live generation
-    list(root).dropRight(math.max(1, retain)).filterNot(_ == gen).foreach { old =>
-      graft.Engine.deleteRecursively(new java.io.File(root, old))
+    TieredIndex.withWriterLock(root, owner = "Generations") {
+      TieredIndex.fsyncTree(dir)
+      // HISTORY first (the GC/as-of authority), then the pointer: a
+      // crash between the two leaves a logged entry at a complete
+      // artifact set and CURRENT still on the old generation
+      val lines = history(root) :+ (gen, mark)
+      val htmp = Paths.get(root, "HISTORY.tmp")
+      TieredIndex.writeFsync(
+        htmp,
+        lines.map { case (g, m) => s"$g $m" }.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(htmp, historyPath(root), StandardCopyOption.ATOMIC_MOVE): Unit
+      val tmp = Paths.get(root, "CURRENT.tmp")
+      TieredIndex.writeFsync(tmp, gen.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentPath(root), StandardCopyOption.ATOMIC_MOVE): Unit
+      TieredIndex.fsyncDir(root)
+      // retire by pointer recency: the last `retain` distinct
+      // generations the pointer has named (always including this
+      // commit's) survive for in-flight readers and time travel
+      val keep = lines.reverseIterator.map(_._1).distinct
+        .take(math.max(1, retain)).toSet
+      list(root).filterNot(keep).foreach { old =>
+        graft.Engine.deleteRecursively(new java.io.File(root, old))
+      }
     }
   }
 }

@@ -289,8 +289,13 @@ object TieredIndex {
     * manifest/segment namespaces, so GC and readers never see it;
     * releasing is crash-safe (an OS lock dies with its process — a
     * killed writer never wedges the index the way a lease FILE would).
+    * `owner` labels the violation message — [[Generations.commit]]
+    * reuses this fence for its own swap/GC body (round-15 ADVICE: its
+    * scaladoc claimed TieredIndex's commit discipline but had no
+    * fence, so two concurrent commits could interleave GC and swap).
     */
-  private def withWriterLock[A](dir: String)(body: => A): A = {
+  private[operators] def withWriterLock[A](
+      dir: String, owner: String = "TieredIndex")(body: => A): A = {
     import java.nio.file.StandardOpenOption._
     val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "LOCK"), CREATE, WRITE)
     try {
@@ -299,9 +304,9 @@ object TieredIndex {
         catch { case _: java.nio.channels.OverlappingFileLockException => null }
       if (lock == null)
         throw new IllegalStateException(
-          s"TieredIndex: concurrent writer detected on $dir — the index is " +
+          s"$owner: concurrent writer detected on $dir — the store is " +
             "single-writer by contract (one mutator at a time; serialize " +
-            "appends/deletes/maintenance through one owner)")
+            "mutations through one owner)")
       try body
       finally lock.release()
     } finally ch.close()
@@ -392,9 +397,18 @@ object TieredIndex {
       clusterCols: Seq[Column],
       seedBatch: Long = -1L,
       seedDeleteBatch: Long = -1L): Unit = {
-    graft.Engine.deleteRecursively(new java.io.File(dir))
     Files.createDirectories(Paths.get(dir)): Unit
     withWriterLock(dir) {
+      // destroy any prior index CONTENTS under the held lock, keeping
+      // the LOCK file itself — deleting the whole tree first (the
+      // round-15 ADVICE race) would unlink the very inode a live
+      // append/delete/maintain holds its lock on, so a racing create
+      // would acquire a FRESH lock and both mutators would proceed
+      // unfenced; this way create contends on the same inode and the
+      // second mutator throws
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .filterNot(_.getName == "LOCK")
+        .foreach(graft.Engine.deleteRecursively)
       commit(
         dir, Seq(writeSegment(df, dir, "base", targetFiles, clusterCols)),
         batch = seedBatch, dbatch = seedDeleteBatch)

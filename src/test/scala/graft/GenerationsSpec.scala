@@ -13,7 +13,17 @@ import graft.operators.Generations
   *   3. GC bounds disk: a third commit collects the oldest generation;
   *   4. ROLLBACK never self-destructs: committing an OLDER name keeps
   *      that generation alive whatever the name-order GC says;
-  *   5. loud failures: no pointer / missing generation dirs.
+  *   5. RETRAIN AFTER ROLLBACK (round-15 ADVICE): GC retires by
+  *      pointer recency, so the next forward commit after a rollback
+  *      GCs the abandoned bad generation and KEEPS the one that was
+  *      serving until that instant;
+  *   6. numeric generation ordering past the 5-digit convention;
+  *   7. resolveAsOf answers "which generation served batch b" from
+  *      the commit-mark history, and fails loudly past retention;
+  *   8. the writer fence: a concurrent commit throws instead of
+  *      racing the swap/GC;
+  *   9. loud failures: no pointer / missing generation dirs / bad
+  *      generation names.
   */
 class GenerationsSpec extends AnyFunSuite {
 
@@ -58,6 +68,7 @@ class GenerationsSpec extends AnyFunSuite {
   test("rollback: committing an older generation never GCs the generation being committed") {
     val root = tmp("rollback")
     writeGen(root, "gen-00000", "old")
+    Generations.commit(root, "gen-00000")
     writeGen(root, "gen-00001", "bad")
     Generations.commit(root, "gen-00001")
     // roll back to gen-00000 with retain = 1: name-order GC alone
@@ -66,12 +77,108 @@ class GenerationsSpec extends AnyFunSuite {
     assert(payloadOf(Generations.resolve(root)) == "old")
   }
 
-  test("loud failures: missing pointer, missing generation dir") {
+  test("an un-pointed orphan generation (crashed retrain) is GC'd by the next commit") {
+    val root = tmp("orphan")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000")
+    // a retrain crashed after writing its dir, before its commit: the
+    // dir is complete-looking but never entered the pointer history
+    writeGen(root, "gen-00001", "halfway")
+    writeGen(root, "gen-00002", "green")
+    Generations.commit(root, "gen-00002")
+    assert(payloadOf(Generations.resolve(root)) == "green")
+    assert(!new java.io.File(root, "gen-00001").exists, "orphan survived GC")
+    assert(new java.io.File(root, "gen-00000").isDirectory)
+  }
+
+  test("retrain after rollback: GC retires by pointer recency, not name order") {
+    val root = tmp("retrain_after_rollback")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000")
+    writeGen(root, "gen-00001", "bad-green")
+    Generations.commit(root, "gen-00001")
+    // the green generation regresses: roll back to blue
+    Generations.commit(root, "gen-00000")
+    // ... and the NEXT forward retrain commits gen-00002. Name-order
+    // GC (round-15 ADVICE) would keep {gen-00001, gen-00002} and
+    // delete gen-00000 — the generation serving requests until this
+    // instant. Recency GC keeps {gen-00002, gen-00000} and retires
+    // the abandoned bad generation instead.
+    writeGen(root, "gen-00002", "good-green")
+    Generations.commit(root, "gen-00002")
+    assert(payloadOf(Generations.resolve(root)) == "good-green")
+    assert(
+      new java.io.File(root, "gen-00000").isDirectory,
+      "the previously-serving generation must survive one full cycle")
+    assert(
+      !new java.io.File(root, "gen-00001").exists,
+      "the abandoned rolled-back-from generation is the one to GC")
+  }
+
+  test("generation order is numeric, not lexicographic") {
+    val root = tmp("numeric")
+    writeGen(root, "gen-99999", "older")
+    Generations.commit(root, "gen-99999")
+    // lexicographically 'gen-100000' < 'gen-99999'; numerically it is
+    // the NEWEST — list order and GC retention must both see that
+    writeGen(root, "gen-100000", "newest")
+    Generations.commit(root, "gen-100000")
+    assert(Generations.list(root) == Seq("gen-99999", "gen-100000"))
+    writeGen(root, "gen-100001", "evennewer")
+    Generations.commit(root, "gen-100001")
+    assert(Generations.list(root) == Seq("gen-100000", "gen-100001"))
+    assert(!new java.io.File(root, "gen-99999").exists)
+  }
+
+  test("resolveAsOf: the generation that served batch b, from commit marks") {
+    val root = tmp("asof")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000", retain = 4, mark = -1L)
+    writeGen(root, "gen-00001", "green")
+    Generations.commit(root, "gen-00001", retain = 4, mark = 2L)
+    // pre-swap batches resolve blue, the swap batch and later green
+    assert(payloadOf(Generations.resolveAsOf(root, 0L)) == "blue")
+    assert(payloadOf(Generations.resolveAsOf(root, 1L)) == "blue")
+    assert(payloadOf(Generations.resolveAsOf(root, 2L)) == "green")
+    assert(payloadOf(Generations.resolveAsOf(root, 99L)) == "green")
+    val ex = intercept[IllegalStateException](Generations.resolveAsOf(root, -5L))
+    assert(ex.getMessage.contains("no commit at or before"), ex.getMessage)
+    // age blue out (retain = 1): the as-of resolve must fail LOUDLY
+    // with the retention knob, never serve a missing artifact set
+    writeGen(root, "gen-00002", "newest")
+    Generations.commit(root, "gen-00002", retain = 1, mark = 5L)
+    val gone = intercept[IllegalArgumentException](Generations.resolveAsOf(root, 0L))
+    assert(gone.getMessage.contains("retention window"), gone.getMessage)
+  }
+
+  test("writer fence: a concurrent commit throws instead of racing the swap") {
+    val root = tmp("fence")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000")
+    writeGen(root, "gen-00001", "green")
+    // hold the root's writer lock as "another process" would
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(root, "LOCK"), CREATE, WRITE)
+    val held = ch.lock()
+    try {
+      val ex = intercept[IllegalStateException](Generations.commit(root, "gen-00001"))
+      assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    } finally { held.release(); ch.close() }
+    // with the lock released the same commit proceeds
+    Generations.commit(root, "gen-00001")
+    assert(payloadOf(Generations.resolve(root)) == "green")
+  }
+
+  test("loud failures: missing pointer, missing generation dir, bad names") {
     val root = tmp("fail")
     val exNoPtr = intercept[IllegalArgumentException](Generations.resolve(root))
     assert(exNoPtr.getMessage.contains("CURRENT"), exNoPtr.getMessage)
     val exNoGen = intercept[IllegalArgumentException](
       Generations.commit(root, "gen-09999"))
     assert(exNoGen.getMessage.contains("missing generation"), exNoGen.getMessage)
+    val exBadName = intercept[IllegalArgumentException](
+      Generations.commit(root, "generation-one"))
+    assert(exBadName.getMessage.contains("gen-NNNNN"), exBadName.getMessage)
   }
 }

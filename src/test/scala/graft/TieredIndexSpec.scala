@@ -450,6 +450,19 @@ class TieredIndexSpec extends AnyFunSuite {
         TieredIndex.maintain(spark, dir, Seq(col("k")))
       }
       assert(exM.getMessage.contains("concurrent writer"), exM.getMessage)
+      // create participates in the SAME fence (round-15 ADVICE: it
+      // used to deleteRecursively the tree — unlinking the peer's
+      // held-lock inode — BEFORE locking, so a racing create went
+      // undetected and both mutators proceeded). It must throw while
+      // the peer holds the lock, and must NOT have destroyed the
+      // peer's index contents in the attempt.
+      val exC = intercept[IllegalStateException] {
+        TieredIndex.create(spark, dir, keyed(0 until 10), 1, Seq(col("k")))
+      }
+      assert(exC.getMessage.contains("concurrent writer"), exC.getMessage)
+      assert(
+        TieredIndex.read(spark, dir).count() == 100,
+        "a fenced-out create must leave the live index untouched")
     } finally { lock.release(); ch.close() }
     // the index is uncorrupted and writable once the peer releases
     assert(TieredIndex.read(spark, dir).count() == 100)
