@@ -127,6 +127,55 @@ object ServeBench {
         s""""p50":${fmt(lsorted(requests / 2))},""" +
         s""""mean":${fmt(ltimes.sum / requests)},"max":${fmt(lsorted.last)},""" +
         s""""pushed_term_filters":$lpushed,"sf":"$sfDir"}""")
+
+    // ---- HYBRID rows (round 16): the FUSED request end to end —
+    // q244's shape at request granularity (round-15 verdict #6: the
+    // two legs were priced separately, so the hybrid ablation's
+    // quality gain carried no per-request cost). One more-like-this
+    // request = the query doc's distinct terms BM25-paged against the
+    // live postings (epoch-cached dl/stats, the q248 shape) + the
+    // complete two-stage dense serve at the q220-tuned nprobe=4 +
+    // RRF fusion of the two top-20s into the top-10 page — the whole
+    // request timed as one unit, fresh frames per request.
+    val docs = Engine.table(spark, sfDir, "documents")
+    def hybridPage(r: Int) = {
+      val qTerms = docs
+        .filter(col("doc_id") === r)
+        .select(explode(queries.Tokenize.toksExpr).as("word"))
+        .distinct()
+      val wL = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val tf = post
+        .join(broadcast(qTerms), "word")
+        .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
+      val lex = R.bm25Score(tf, dl, stats)
+        .filter(col("doc_id") =!= r)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("lex_rk", row_number().over(wL).cast("long"))
+        .select(col("doc_id"), col("lex_rk"))
+      val q1 = iv
+        .filter(col("vec_id") === r)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      val vec = S
+        .ivfadcServe(spark, idx, q1, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
+        .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+      R.rrfFuse(lex, vec)
+    }
+    hybridPage(0).count(): Unit // warm
+    val htimes = Array.ofDim[Double](requests)
+    for (r <- 0 until requests) {
+      val t0 = System.nanoTime()
+      hybridPage(r).count(): Unit
+      htimes(r) = (System.nanoTime() - t0) / 1e9
+    }
+    val hsorted = htimes.sorted
+    println(
+      s"""{"metric":"hybrid_serve_per_request","unit":"sec","nprobe":4,""" +
+        s""""requests":$requests,"min":${fmt(hsorted.head)},""" +
+        s""""p50":${fmt(hsorted(requests / 2))},""" +
+        s""""mean":${fmt(htimes.sum / requests)},"max":${fmt(hsorted.last)},""" +
+        s""""sf":"$sfDir"}""")
     Engine.releaseScratch(spark)
     spark.stop()
   }

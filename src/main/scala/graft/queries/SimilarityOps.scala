@@ -3301,10 +3301,15 @@ object SimilarityOps {
       s: SparkSession, root: String, q: DataFrame, iv: DataFrame, k: Int,
       nprobe: Int = 2, where: Option[Column] = None,
       scoreFilter: DataFrame => DataFrame = identity,
-      candN: Int = 16, topN: Int = 3): DataFrame = {
+      candN: Int = 16, topN: Int = 3, asOf: Option[Long] = None): DataFrame = {
+    // asOf threads straight to the codes snapshot resolve: a
+    // time-travel SERVE is the same two-stage request against a
+    // historical code population (quantizers are per-generation
+    // artifacts — the CALLER resolves which generation's root to
+    // serve from; q256 pairs Generations.resolveAsOf with this)
     val cand = ivfadcProbeIndex(
       s, root, q, k, topN = candN, nprobe = nprobe, where = where,
-      scoreFilter = scoreFilter)
+      scoreFilter = scoreFilter, asOf = asOf)
       .select(col("qid"), col("vec_id"))
     exactRerank(cand, q, iv, topN)
   }
@@ -3505,73 +3510,87 @@ object SimilarityOps {
     * chain) and q211 (the probe-ceiling ledger).
     */
   private def ivfCoarseSql(
-      trainWhere: String, coarseRounds: Int, nprobe: Int = 2): String = {
+      trainWhere: String, coarseRounds: Int, nprobe: Int = 2,
+      p: String = "", lead: Boolean = true, tSrc: String = "embeddings"): String = {
     val ccWhere =
       if (trainWhere.isEmpty) "vec_id < 16" else s"vec_id < 16 AND ($trainWhere)"
     val csubWhere = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val coarseCtes =
       if (coarseRounds <= 0)
-        s"wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM t WHERE $ccWhere)"
+        s"${p}wcc AS (SELECT vec_id AS ccid, iv AS ccv FROM ${p}t WHERE $ccWhere)"
       else
-        s"""gsub AS MATERIALIZED (SELECT vec_id, 0 AS m, iv AS sv FROM t$csubWhere),
-             gini AS (SELECT 0 AS m, vec_id AS cid, iv AS cv FROM t WHERE $ccWhere),
-             ${lloydRoundCtesSql(coarseRounds, "gsub", "gini", "ga", "gm", "gc")},
-             wcc AS MATERIALIZED (SELECT cid AS ccid, cv AS ccv FROM gc$coarseRounds)"""
-    s"""WITH t AS (
+        s"""${p}gsub AS MATERIALIZED (SELECT vec_id, 0 AS m, iv AS sv FROM ${p}t$csubWhere),
+             ${p}gini AS (SELECT 0 AS m, vec_id AS cid, iv AS cv FROM ${p}t WHERE $ccWhere),
+             ${lloydRoundCtesSql(
+            coarseRounds, s"${p}gsub", s"${p}gini", s"${p}ga", s"${p}gm", s"${p}gc")},
+             ${p}wcc AS MATERIALIZED (SELECT cid AS ccid, cv AS ccv FROM ${p}gc$coarseRounds)"""
+    s"""${if (lead) "WITH " else ""}${p}t AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) + 16777216) AS iv
-               FROM embeddings),
+               FROM $tSrc),
              $coarseCtes,
-             wca AS MATERIALIZED (SELECT vec_id, ccid FROM (
+             ${p}wca AS MATERIALIZED (SELECT vec_id, ccid FROM (
                  SELECT t.vec_id, c.ccid,
                    row_number() OVER (PARTITION BY t.vec_id ORDER BY
                      list_sum(list_transform(generate_series(1, len(t.iv)),
                        j -> (t.iv[j] - c.ccv[j]) * (t.iv[j] - c.ccv[j]))), c.ccid) AS rk
-                 FROM t CROSS JOIN wcc c) WHERE rk = 1),
-             wq AS (SELECT vec_id AS qid, iv AS qiv FROM t WHERE vec_id < 20),
-             wpr AS (SELECT qid, ccid, qiv, prn FROM (
+                 FROM ${p}t t CROSS JOIN ${p}wcc c) WHERE rk = 1),
+             ${p}wq AS (SELECT vec_id AS qid, iv AS qiv FROM ${p}t WHERE vec_id < 20),
+             ${p}wpr AS (SELECT qid, ccid, qiv, prn FROM (
                  SELECT q.qid, c.ccid, q.qiv,
                    row_number() OVER (PARTITION BY q.qid ORDER BY
                      list_sum(list_transform(generate_series(1, len(q.qiv)),
                        j -> (q.qiv[j] - c.ccv[j]) * (q.qiv[j] - c.ccv[j]))), c.ccid) AS prn
-                 FROM wq q CROSS JOIN wcc c) WHERE prn <= $nprobe)"""
+                 FROM ${p}wq q CROSS JOIN ${p}wcc c) WHERE prn <= $nprobe)"""
   }
 
+  /** `p` prefixes every CTE name so TWO complete chains can coexist
+    * in ONE oracle — the cross-generation gates need a BLUE and a
+    * GREEN quantizer chain side by side (q256 time-travels across the
+    * q253 swap; q257 retrains mid-hybrid), and the upsert gate (q258)
+    * needs the original and the updated corpus chains. `lead` drops
+    * the `WITH ` keyword for non-first chains; `tSrc` points the
+    * integer-vector CTE at an updated-corpus relation. Defaults keep
+    * every pre-round-16 oracle's text semantics unchanged.
+    */
   private[graft] def ivfadcSql(
       k: Int, rounds: Int, trainWhere: String = "", coarseRounds: Int = 2,
-      nprobe: Int = 2): String = {
-    val trainSub = if (trainWhere.isEmpty) "wsub" else "wsubt"
-    val roundCtes = lloydRoundCtesSql(rounds, trainSub, "wini", "wa", "wm", "wc")
-    val fin = s"wc$rounds"
+      nprobe: Int = 2, p: String = "", lead: Boolean = true,
+      tSrc: String = "embeddings"): String = {
+    val trainSub = if (trainWhere.isEmpty) s"${p}wsub" else s"${p}wsubt"
+    val roundCtes =
+      lloydRoundCtesSql(rounds, trainSub, s"${p}wini", s"${p}wa", s"${p}wm", s"${p}wc")
+    val fin = s"${p}wc$rounds"
     val subtCte =
       if (trainWhere.isEmpty) ""
-      else s"wsubt AS MATERIALIZED (SELECT * FROM wsub WHERE $trainWhere),\n             "
-    s"""${ivfCoarseSql(trainWhere, coarseRounds, nprobe)},
-             wrv AS (SELECT a.vec_id, a.ccid,
+      else s"${p}wsubt AS MATERIALIZED (SELECT * FROM ${p}wsub WHERE $trainWhere),\n             "
+    s"""${ivfCoarseSql(trainWhere, coarseRounds, nprobe, p, lead, tSrc)},
+             ${p}wrv AS (SELECT a.vec_id, a.ccid,
                  list_transform(generate_series(1, len(t.iv)),
                    j -> t.iv[j] - c.ccv[j] + 16777216) AS rv
-               FROM wca a JOIN t ON a.vec_id = t.vec_id JOIN wcc c ON a.ccid = c.ccid),
-             wsub AS MATERIALIZED (SELECT vec_id, ccid, mm.m,
+               FROM ${p}wca a JOIN ${p}t t ON a.vec_id = t.vec_id
+               JOIN ${p}wcc c ON a.ccid = c.ccid),
+             ${p}wsub AS MATERIALIZED (SELECT vec_id, ccid, mm.m,
                  list_slice(rv, mm.m * 8 + 1, mm.m * 8 + 8) AS sv
-               FROM wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-             ${subtCte}wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
+               FROM ${p}wrv, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             $subtCte${p}wini AS (SELECT m, vec_id - 16 AS cid, sv AS cv
                FROM $trainSub WHERE vec_id >= 16 AND vec_id < ${16 + k}),
              $roundCtes,
-             ${lloydFinalAssignSql("wfa", "wsub", fin)},
-             wqr AS (SELECT p.qid, p.ccid,
+             ${lloydFinalAssignSql(s"${p}wfa", s"${p}wsub", fin)},
+             ${p}wqr AS (SELECT p.qid, p.ccid,
                  list_transform(generate_series(1, len(p.qiv)),
                    j -> p.qiv[j] - c.ccv[j] + 16777216) AS qrv
-               FROM wpr p JOIN wcc c ON p.ccid = c.ccid),
-             wqs AS (SELECT qid, ccid, mm.m,
+               FROM ${p}wpr p JOIN ${p}wcc c ON p.ccid = c.ccid),
+             ${p}wqs AS (SELECT qid, ccid, mm.m,
                  list_slice(qrv, mm.m * 8 + 1, mm.m * 8 + 8) AS qsv
-               FROM wqr, (SELECT unnest(generate_series(0, 7)) AS m) mm),
-             wpd AS (SELECT q.qid, q.ccid, q.m, c.cid,
+               FROM ${p}wqr, (SELECT unnest(generate_series(0, 7)) AS m) mm),
+             ${p}wpd AS (SELECT q.qid, q.ccid, q.m, c.cid,
                  list_sum(list_transform(generate_series(1, len(q.qsv)),
                    j -> (q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]))) AS pd
-               FROM wqs q JOIN $fin c ON q.m = c.m),
-             wadc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
-               FROM wfa a JOIN wca l ON a.vec_id = l.vec_id
-               JOIN wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
+               FROM ${p}wqs q JOIN $fin c ON q.m = c.m),
+             ${p}wadc AS (SELECT p.qid, a.vec_id, CAST(sum(p.pd) AS BIGINT) AS ad
+               FROM ${p}wfa a JOIN ${p}wca l ON a.vec_id = l.vec_id
+               JOIN ${p}wpd p ON p.ccid = l.ccid AND p.m = a.m AND p.cid = a.cid
                WHERE a.rk = 1 AND p.qid <> a.vec_id
                GROUP BY p.qid, a.vec_id)"""
   }
@@ -3623,20 +3642,23 @@ object SimilarityOps {
     */
   private[graft] def ivfadcServeCtesSql(
       k: Int = 256, rounds: Int = 2, nprobe: Int = 2, candN: Int = 16,
-      whereSql: String = "", trainWhere: String = ""): String =
-    s"""${ivfadcSql(k, rounds, trainWhere = trainWhere, nprobe = nprobe)},
-             wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+      whereSql: String = "", trainWhere: String = "", p: String = "",
+      lead: Boolean = true, tSrc: String = "embeddings"): String =
+    s"""${ivfadcSql(
+        k, rounds, trainWhere = trainWhere, nprobe = nprobe, p = p,
+        lead = lead, tSrc = tSrc)},
+             ${p}wad16 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
-               FROM wadc${if (whereSql.isEmpty) "" else s" WHERE $whereSql"})
+               FROM ${p}wadc${if (whereSql.isEmpty) "" else s" WHERE $whereSql"})
                WHERE rn <= $candN),
-             wrr AS (SELECT c.qid, c.vec_id,
+             ${p}wrr AS (SELECT c.qid, c.vec_id,
                  list_sum(list_transform(generate_series(1, len(q.qiv)),
                    j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM wad16 c JOIN wq q ON c.qid = q.qid
-               JOIN t x ON c.vec_id = x.vec_id),
-             wsrv AS (SELECT qid, vec_id, d,
+               FROM ${p}wad16 c JOIN ${p}wq q ON c.qid = q.qid
+               JOIN ${p}t x ON c.vec_id = x.vec_id),
+             ${p}wsrv AS (SELECT qid, vec_id, d,
                  row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
-               FROM wrr)"""
+               FROM ${p}wrr)"""
 
   /** q223's oracle — the DELETE symmetric of [[ivfadcStreamSearchOracleSql]]:
     * the deep (256, 2) full-population chain probed after every

@@ -681,4 +681,120 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
   }
+
+  test("q255: the retracted hybrid page masks via broadcast anti-joins and keeps both pruned reads") {
+    // run the gated CDC lifecycle, then pin the SERVING read shape it
+    // leaves behind: the lexical leg's tombstone masks must plan as
+    // BROADCAST anti-joins on the postings read (a sort-merge anti
+    // would shuffle the whole index per request), and the dense leg
+    // keeps its pushed probed-list literals under the fusion
+    SparkEntry.queries("q255_hybrid_cdc_retract")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q255", dir)
+    // NOTE: by stream end the LSM may have major-compacted the
+    // tombstones away entirely (they did their job and were absorbed
+    // — the bounded steady state). The LIVE-tombstone read shape is
+    // pinned unconditionally by the "retraction read shape" test
+    // below; here we pin the serving composition.
+    val S = graft.queries.SimilarityOps
+    val R = graft.queries.RetrievalOps
+    import org.apache.spark.sql.functions._
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val qTerms = Engine.table(spark, dir, "documents")
+      .filter(col("doc_id") === 7)
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+      .distinct()
+    val wL = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = R.bm25FromPostings(
+        graft.operators.TieredIndex.read(spark, s"$work/postings"), qTerms)
+      .filter(col("doc_id") =!= 7)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rk", row_number().over(wL).cast("long"))
+      .select(col("doc_id"), col("lex_rk"))
+    val vec = S.ivfadcServe(spark, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
+      .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+    val p = R.rrfFuse(lex, vec).queryExecution.executedPlan.toString
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(3000))
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
+  test("retraction read shape: live tombstone masks plan as broadcast anti-joins") {
+    // the per-request cost claim behind q255/q258's retractions: a
+    // doc-keyed tombstone is tiny by construction, so the masked read
+    // must anti-join it BROADCAST — a sort-merge anti would shuffle
+    // the whole index per request. Pinned on a live-tombstone state
+    // (before maintenance absorbs it).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val T = graft.operators.TieredIndex
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_plan_tombshape"
+    Engine.deleteRecursively(new java.io.File(d))
+    T.create(
+      spark, d, (0 until 500).map(i => (i.toLong, s"w$i")).toDF("doc_id", "word"),
+      2, Seq(col("word"), col("doc_id")))
+    T.delete(spark, d, Seq(1L, 3L).toDF("doc_id"))
+    val p = T.read(spark, d).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(2500))
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(2500))
+    Engine.releaseScratch(spark)
+  }
+
+  test("q256: every cross-generation as-of serve keeps the pruned codes scan") {
+    // the gated result IS the four as-of serves (no parquet
+    // read-back), so the executed plan carries each snapshot probe:
+    // the probed-list literals must reach every generation's codes
+    // scan, and nothing may go cartesian
+    val p = plan("q256_generation_time_travel")
+    assert("In\\(ccid, \\[".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q257: the post-swap hybrid page serves the GREEN generation with pruned reads") {
+    SparkEntry.queries("q257_hybrid_retrain_swap")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q257", dir)
+    val root = s"$work/ann"
+    val G = graft.operators.Generations
+    // the swap happened and the pointer history recorded it at mark 2
+    assert(G.resolve(root).endsWith("gen-00001"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 1L).endsWith("gen-00000"), G.history(root).toString)
+    val S = graft.queries.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    // the live post-swap dense request: pruned scan against the
+    // RETRAINED generation's codes
+    val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+      .queryExecution.executedPlan.toString
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
+  test("q258: the upserted indexes read with broadcast tombstone masks on both legs") {
+    SparkEntry.queries("q258_cdc_upsert_lifecycle")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q258", dir)
+    val T = graft.operators.TieredIndex
+    import org.apache.spark.sql.functions._
+    // any tombstone still live after the stream must mask broadcast,
+    // never sort-merge (absorption by a major is equally acceptable —
+    // the unconditional live-tomb shape is pinned separately)
+    val pLex = T.read(spark, s"$work/postings")
+      .queryExecution.executedPlan.toString
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(pLex).isDefined, pLex.take(3000))
+    val S = graft.queries.SimilarityOps
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val pVec = S.ivfadcServe(spark, work.toString, q7, iv, k = 16, candN = 32, topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(pVec).isDefined, pVec.take(3000))
+    assert("In\\(ccid, \\[".r.findFirstIn(pVec).isDefined, pVec.take(3000))
+    assert(!pVec.contains("CartesianProduct"), pVec.take(3000))
+    Engine.releaseScratch(spark)
+  }
 }
