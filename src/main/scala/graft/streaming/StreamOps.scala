@@ -1917,30 +1917,44 @@ object StreamOps {
     QueryDef(
       "q257_hybrid_retrain_swap",
       (s, dir) => {
+        val (work, _) = hybridRetrainIngest(
+          s, dir, "q257", graft.operators.TieredIndex.Policy())
+        s.read.option("recursiveFileLookup", "true").parquet(s"$work/pages")
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(hybridRetrainSwapOracleSql)
+    ),
+    // --------------------------------------------------------------- q259
+    // THE HISTORICAL HYBRID PAGE — time travel across BOTH legs AND
+    // the generation swap in one audit: "what page did we serve at
+    // batch b" answered POST-HOC after the q257 lifecycle (retrain
+    // mid-stream included), by composing every as-of resolve the
+    // engine now has — the postings index readAsOf(b) (manifest
+    // watermarks), the generation pointer resolveAsOf(b) (commit-mark
+    // history: blue for batches 0-1, green for 2-3), and that
+    // generation's codes readAsOf(b) — then re-running the SAME
+    // request (BM25 from the snapshot postings with snapshot-derived
+    // dl/stats, two-stage dense serve from the snapshot codes, RRF).
+    // Oracle: q257's string object VERBATIM — the replayed pages must
+    // equal the live mid-stream pages to the hash, the q237/q241
+    // zero-drift contract extended over the full hybrid deployment
+    // with a retrain in the middle. This is the what-did-we-serve
+    // investigation a production RAG system runs after an incident;
+    // at scale each audit costs three snapshot resolves + the
+    // ordinary request (pruned key-range + nprobe/|cells| reads), on
+    // demand, with retention the only standing price.
+    QueryDef(
+      "q259_hybrid_page_time_travel",
+      (s, dir) => {
         val S = graft.queries.SimilarityOps
         val R = graft.queries.RetrievalOps
         val T = graft.operators.TieredIndex
         val G = graft.operators.Generations
-        val work = graft.Engine.scratchDir("q257", dir)
-        graft.Engine.deleteRecursively(work)
+        val (work, root) = hybridRetrainIngest(
+          s, dir, "q259",
+          graft.operators.TieredIndex.Policy(retainGenerations = 16))
         val docs = graft.Engine.table(s, dir, "documents")
-        val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
-        val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
-        val postDir = s"$work/postings"
-        T.create(
-          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
-          4, Seq(col("word"), col("doc_id")))
-        val root = s"$work/ann"
         val iv = S.ivecs(s, dir)
-        val day0 = iv.filter(col("vec_id") % 5 =!= 0)
-        S.writeIvfAdcArtifacts(
-          s, s"$root/gen-00000", day0, k = 16, rounds = 1,
-          trainIv = Some(day0.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
-        G.commit(root, "gen-00000", mark = -1L)
-        val incoming = stageBatches(
-          uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
-          work.toString, expr("(doc_id div 5) % 4"), 4)
-        val pagesDir = s"$work/pages"
         val qTerms = docs
           .filter(col("doc_id") === 7)
           .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
@@ -1950,87 +1964,28 @@ object StreamOps {
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
           .localCheckpoint()
-        // the q248 epoch cache with the GENERATION in its key: dl and
-        // the 1-row stats are recomputed only when (postings
-        // watermark, live generation) moves — the swap alone is
-        // enough to invalidate, which is exactly the stale-epoch bug
-        // class the composition introduces
-        var epochKey: (Long, String) = null
-        var dlCache: org.apache.spark.sql.DataFrame = null
-        var statsCache: org.apache.spark.sql.DataFrame = null
-        val stream = s.readStream
-          .schema(s.read.parquet(incoming).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(incoming)
-        val query = stream.writeStream
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            val ss = batch.sparkSession
-            // LEXICAL leg: appends straight through the swap
-            if (bid > T.lastBatch(postDir)) {
-              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
-              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            }
-            // DENSE leg: append to the LIVE generation
-            val cur = G.resolve(root)
-            if (bid > T.lastBatch(s"$cur/codes")) {
-              val arrivals = iv.join(
-                broadcast(batch.select(col("doc_id").as("vec_id"))),
-                Seq("vec_id"), "left_semi")
-              val enc = S.ivfadcEncode(
-                arrivals,
-                ss.read.parquet(s"$cur/coarse"),
-                ss.read.parquet(s"$cur/codebook"))
-              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
-              T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
-            }
-            // the mid-stream retrain, pointer-guarded (q253's shape)
-            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
-              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
-              val pop = iv.filter(
-                col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 2)
-              S.writeIvfAdcArtifacts(
-                ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
-                trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid)
-              G.commit(root, "gen-00001", mark = bid)
-            }
-            // EPOCH BOUNDARY: refresh the cached lexical stats iff the
-            // epoch key moved (postings watermark OR generation)
-            val post = T.read(ss, postDir)
-            val key = (T.lastBatch(postDir), new java.io.File(G.resolve(root)).getName)
-            if (key != epochKey) {
-              dlCache = post
-                .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-                .localCheckpoint()
-              statsCache = R.statsOf(dlCache).localCheckpoint()
-              epochKey = key
-            }
-            // HYBRID serve: cached-epoch BM25 + the live generation's
-            // two-stage dense request, fused
+        (0 until 4)
+          .map { b =>
+            val post = T.readAsOf(s, s"$work/postings", b.toLong)
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val tf = post
-              .join(broadcast(qTerms), "word")
-              .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
-            val lex = R.bm25Score(tf, dlCache, statsCache)
+            val lex = R.bm25FromPostings(post, qTerms)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
               .withColumn("lex_rk", row_number().over(wL).cast("long"))
               .select(col("doc_id"), col("lex_rk"))
             val vec = S
-              .ivfadcServe(ss, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+              .ivfadcServe(
+                s, G.resolveAsOf(root, b.toLong), q7, iv, k = 16,
+                candN = 32, topN = 20, asOf = Some(b.toLong))
               .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
             R.rrfFuse(lex, vec)
               .select(
-                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+                lit(b.toLong).as("batch_id"), col("rk"), col("doc_id"),
                 col("rrf"), col("lex_rk"), col("vec_rk"))
-              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
           }
-          .start()
-        query.awaitTermination()
-        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+          .reduce(_ unionAll _)
           .orderBy(col("batch_id"), col("rk"))
       },
       Some(hybridRetrainSwapOracleSql)
@@ -2420,6 +2375,138 @@ object StreamOps {
               lit(bid).as("batch_id"), col("qid"), col("rn"),
               col("vec_id"), col("d"))
             .write.mode("overwrite").parquet(s"$servesDir/b$bid")
+      }
+      .start()
+    query.awaitTermination()
+    (work.toString, root)
+  }
+
+  /** q257's dual-index retrain-under-hybrid lifecycle — ONE
+    * definition site for q257 (which gates the LIVE per-batch hybrid
+    * pages) and q259 (which re-derives every page POST-HOC through
+    * the composed time-travel resolves): q250's dual-index CDC stream
+    * (postings + codes, exactly-once, LSM maintenance under `policy`)
+    * with q253's mid-stream sampled retrain + blue/green swap at
+    * batch 2 (marks recorded in the pointer history) on the dense
+    * leg, the lexical epoch stats cached per (postings watermark,
+    * live generation) — the swap alone invalidates, the stale-epoch
+    * bug class of this composition — and a hybrid RRF page served
+    * after every batch into `<work>/pages`. Returns (work dir,
+    * generations root).
+    */
+  private def hybridRetrainIngest(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      policy: graft.operators.TieredIndex.Policy): (String, String) = {
+    val S = graft.queries.SimilarityOps
+    val R = graft.queries.RetrievalOps
+    val T = graft.operators.TieredIndex
+    val G = graft.operators.Generations
+    val work = graft.Engine.scratchDir(tag, dir)
+    graft.Engine.deleteRecursively(work)
+    val docs = graft.Engine.table(s, dir, "documents")
+    val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
+    val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
+    val postDir = s"$work/postings"
+    T.create(
+      s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+      4, Seq(col("word"), col("doc_id")))
+    val root = s"$work/ann"
+    val iv = S.ivecs(s, dir)
+    val day0 = iv.filter(col("vec_id") % 5 =!= 0)
+    S.writeIvfAdcArtifacts(
+      s, s"$root/gen-00000", day0, k = 16, rounds = 1,
+      trainIv = Some(day0.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
+    G.commit(root, "gen-00000", mark = -1L)
+    val incoming = stageBatches(
+      uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+      work.toString, expr("(doc_id div 5) % 4"), 4)
+    val pagesDir = s"$work/pages"
+    val qTerms = docs
+      .filter(col("doc_id") === 7)
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+      .distinct()
+      .localCheckpoint()
+    val q7 = iv
+      .filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      .localCheckpoint()
+    // the q248 epoch cache with the GENERATION in its key: dl and the
+    // 1-row stats are recomputed only when (postings watermark, live
+    // generation) moves — the swap alone is enough to invalidate,
+    // which is exactly the stale-epoch bug class the composition
+    // introduces
+    var epochKey: (Long, String) = null
+    var dlCache: org.apache.spark.sql.DataFrame = null
+    var statsCache: org.apache.spark.sql.DataFrame = null
+    val stream = s.readStream
+      .schema(s.read.parquet(incoming).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incoming)
+    val query = stream.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val ss = batch.sparkSession
+        // LEXICAL leg: appends straight through the swap
+        if (bid > T.lastBatch(postDir)) {
+          T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+          T.maintain(ss, postDir, Seq(col("word"), col("doc_id")), policy): Unit
+        }
+        // DENSE leg: append to the LIVE generation
+        val cur = G.resolve(root)
+        if (bid > T.lastBatch(s"$cur/codes")) {
+          val arrivals = iv.join(
+            broadcast(batch.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"), "left_semi")
+          val enc = S.ivfadcEncode(
+            arrivals,
+            ss.read.parquet(s"$cur/coarse"),
+            ss.read.parquet(s"$cur/codebook"))
+          T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+          T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id")), policy): Unit
+        }
+        // the mid-stream retrain, pointer-guarded (q253's shape)
+        if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+          graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+          val pop = iv.filter(
+            col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 2)
+          S.writeIvfAdcArtifacts(
+            ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
+            trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid)
+          G.commit(root, "gen-00001", mark = bid)
+        }
+        // EPOCH BOUNDARY: refresh the cached lexical stats iff the
+        // epoch key moved (postings watermark OR generation)
+        val post = T.read(ss, postDir)
+        val key = (T.lastBatch(postDir), new java.io.File(G.resolve(root)).getName)
+        if (key != epochKey) {
+          dlCache = post
+            .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+            .localCheckpoint()
+          statsCache = R.statsOf(dlCache).localCheckpoint()
+          epochKey = key
+        }
+        // HYBRID serve: cached-epoch BM25 + the live generation's
+        // two-stage dense request, fused
+        val wL = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val tf = post
+          .join(broadcast(qTerms), "word")
+          .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
+        val lex = R.bm25Score(tf, dlCache, statsCache)
+          .filter(col("doc_id") =!= 7)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("lex_rk", row_number().over(wL).cast("long"))
+          .select(col("doc_id"), col("lex_rk"))
+        val vec = S
+          .ivfadcServe(ss, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+          .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+        R.rrfFuse(lex, vec)
+          .select(
+            lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+            col("rrf"), col("lex_rk"), col("vec_rk"))
+          .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
       }
       .start()
     query.awaitTermination()

@@ -743,6 +743,15 @@ class PlanShapeSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("q259: every historical hybrid page keeps the pruned codes scan under its fusion") {
+    // the gated result IS the four post-hoc pages (no parquet
+    // read-back): each page's dense leg must push its probed-list
+    // literals to that snapshot's codes scan, composed under RRF
+    val p = plan("q259_hybrid_page_time_travel")
+    assert("In\\(ccid, \\[".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q256: every cross-generation as-of serve keeps the pruned codes scan") {
     // the gated result IS the four as-of serves (no parquet
     // read-back), so the executed plan carries each snapshot probe:
