@@ -3401,7 +3401,8 @@ object SimilarityOps {
     */
   private[graft] def writeIvfAdcArtifacts(
       s: SparkSession, root: String, iv: DataFrame, k: Int, rounds: Int,
-      trainIv: Option[DataFrame] = None, seedBatch: Long = -1L): Unit = {
+      trainIv: Option[DataFrame] = None, seedBatch: Long = -1L,
+      seedDeleteBatch: Long = -1L): Unit = {
     val (cc, ca, cb, a2) = ivfadcTrainIv(trainIv.getOrElse(iv), k, rounds)
     cc.coalesce(1).write.parquet(s"$root/coarse")
     cb.coalesce(1).write.parquet(s"$root/codebook")
@@ -3409,13 +3410,17 @@ object SimilarityOps {
       case None => a2.join(ca, "vec_id")
       case Some(_) => ivfadcEncode(iv, cc, cb)
     }
-    // seedBatch: a mid-stream REBUILD (q253's retrain) folds data from
-    // batches <= seedBatch into the fresh codes index — seed its
-    // watermark so exactly-once survives the generation swap
+    // seedBatch/seedDeleteBatch: a mid-stream REBUILD (q253's retrain)
+    // folds data from batches <= seedBatch into the fresh codes index
+    // — seed its watermarks so exactly-once survives the generation
+    // swap on BOTH mutation kinds (a CDC batch that also deleted or
+    // upserted would otherwise re-issue its tombstone on replay —
+    // q260's retract+retrain composition)
     graft.operators.TieredIndex.create(
       s, s"$root/codes",
       if (k <= 16) packCodes(enc) else packCodesHex(enc),
-      4, Seq(col("ccid"), col("vec_id")), seedBatch = seedBatch)
+      4, Seq(col("ccid"), col("vec_id")), seedBatch = seedBatch,
+      seedDeleteBatch = seedDeleteBatch)
   }
 
   /** Build-once persisted IVFADC index (q206 at (16, 1), q213 at

@@ -2238,6 +2238,182 @@ object StreamOps {
           .orderBy(col("batch_id"), col("leg"), col("rk"))
       },
       Some(cdcUpsertLifecycleOracleSql)
+    ),
+    // --------------------------------------------------------------- q260
+    // THE FULL CDC MATRIX UNDER A MID-STREAM RETRAIN — every lifecycle
+    // event this engine's serving stack supports, in ONE gated
+    // deployment: each micro-batch b simultaneously APPENDS arrival
+    // slice b (doc_id % 5 = 0), RETRACTS standing slice b (% 5 = 1),
+    // and UPSERTS content-update slice b (% 5 = 3: text suffixed,
+    // embedding re-embedded) through BOTH live indexes — tombstones
+    // first, fresh postings/codes second, exactly-once per watermark —
+    // and at batch 2 the dense leg RETRAINS mid-stream on the sampled
+    // CURRENT population STATE (membership minus retractions plus
+    // arrivals, content with updates applied) and blue/green-swaps
+    // with BOTH watermarks seeded (a replayed batch-2 append OR
+    // delete must no-op against the fresh generation — the
+    // seedDeleteBatch composition this gate exists to pin). Hybrid
+    // pages after every batch: batches 0-1 fuse against the blue
+    // quantizers, 2-3 against the green, all over the shifting
+    // population with moving collection stats. The oracle composes
+    // FOUR quantizer chains (blue/green x original/updated content —
+    // training rows exclude the updatable class on both sides, so
+    // each generation's quantizers are bit-identical across its two
+    // content chains) and picks every vector's row from the chain
+    // matching its as-of-b generation and content. At 100 TB: each
+    // batch is O(changed) on both indexes, the retrain O(sample) +
+    // O(corpus) at the trigger, the swap O(1) — the whole matrix
+    // costs what its parts cost.
+    QueryDef(
+      "q260_hybrid_full_cdc_retrain",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val R = graft.queries.RetrievalOps
+        val T = graft.operators.TieredIndex
+        val G = graft.operators.Generations
+        val work = graft.Engine.scratchDir("q260", dir)
+        graft.Engine.deleteRecursively(work)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val emb = graft.Engine.table(s, dir, "embeddings")
+        val uni = docs.join(
+          emb.select(col("vec_id")), docs("doc_id") === col("vec_id"), "left_semi")
+        val postDir = s"$work/postings"
+        T.create(
+          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+          4, Seq(col("word"), col("doc_id")))
+        val root = s"$work/ann"
+        val iv = S.ivecs(s, dir)
+        val day0 = iv.filter(col("vec_id") % 5 =!= 0)
+        // BLUE: biased-half day-0 quantizers, training EXCLUDING the
+        // updatable class (frozen artifacts must be reproducible from
+        // content that never changes — the oracle's decomposition
+        // hinges on it)
+        S.writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", day0, k = 16, rounds = 1,
+          trainIv = Some(day0.filter(
+            (col("vec_id") < 32 || col("vec_id") % 2 === 0) &&
+              col("vec_id") % 5 =!= 3)))
+        G.commit(root, "gen-00000", mark = -1L)
+        val incoming = stageBatches(
+          uni.filter(
+            col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 3)
+            .select(col("doc_id"), col("text"))
+            .withColumn(
+              "op",
+              when(col("doc_id") % 5 === 0, lit("add"))
+                .when(col("doc_id") % 5 === 1, lit("del"))
+                .otherwise(lit("upd"))),
+          work.toString, expr("(doc_id div 5) % 4"), 4)
+        val pagesDir = s"$work/pages"
+        val qTerms = docs
+          .filter(col("doc_id") === 7)
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+          .distinct()
+          .localCheckpoint()
+        val q7 = iv
+          .filter(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        // the embedding corpus as of update-slice prefix u
+        def embAsOf(u: Long) = emb.withColumn(
+          "embedding",
+          when(
+            col("vec_id") % 5 === 3 && expr("(vec_id div 5) % 4") <= u,
+            reverse(col("embedding"))).otherwise(col("embedding")))
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            val adds = batch.filter(col("op") === "add")
+            val dels = batch.filter(col("op") === "del")
+            val upds = batch.filter(col("op") === "upd")
+              .withColumn("text", concat(col("text"), lit(" graft refreshed revision")))
+            // LEXICAL: retractions + superseded content tombstone
+            // FIRST, fresh postings second (order contract: the
+            // tombstone must predate the re-appended rows)
+            T.delete(
+              ss, postDir,
+              dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
+              batchId = bid)
+            if (bid > T.lastBatch(postDir))
+              T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
+            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            // DENSE: the same discipline against the LIVE generation
+            val cur = G.resolve(root)
+            T.delete(
+              ss, s"$cur/codes",
+              dels.select(col("doc_id").as("vec_id"))
+                .unionAll(upds.select(col("doc_id").as("vec_id"))),
+              batchId = bid)
+            if (bid > T.lastBatch(s"$cur/codes")) {
+              val addIv = iv.join(
+                broadcast(adds.select(col("doc_id").as("vec_id"))),
+                Seq("vec_id"), "left_semi")
+              val updIv = S.toIv(emb
+                .join(
+                  broadcast(upds.select(col("doc_id").as("vec_id"))),
+                  Seq("vec_id"), "left_semi")
+                .withColumn("embedding", reverse(col("embedding"))))
+              val enc = S.ivfadcEncode(
+                addIv.unionByName(updIv),
+                ss.read.parquet(s"$cur/coarse"),
+                ss.read.parquet(s"$cur/codebook"))
+              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+            }
+            T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
+            // MID-STREAM RETRAIN on the current population STATE —
+            // membership minus retractions plus arrivals as of batch
+            // 2, content with updates <= 2 applied; BOTH fresh
+            // watermarks seeded so a replayed batch-2 append OR
+            // delete no-ops against the new generation
+            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+              val popPred =
+                (col("vec_id") % 5 === 2 || col("vec_id") % 5 === 3 ||
+                  col("vec_id") % 5 === 4) ||
+                  (col("vec_id") % 5 === 1 && expr("(vec_id div 5) % 4") > 2) ||
+                  (col("vec_id") % 5 === 0 && expr("(vec_id div 5) % 4") <= 2)
+              val ivState2 = S.toIv(embAsOf(2L)).filter(popPred)
+              S.writeIvfAdcArtifacts(
+                ss, s"$root/gen-00001", ivState2, k = 16, rounds = 1,
+                trainIv = Some(ivState2.filter(
+                  S.sampledTrainCol && col("vec_id") % 5 =!= 3)),
+                seedBatch = bid, seedDeleteBatch = bid)
+              G.commit(root, "gen-00001", mark = bid)
+            }
+            // HYBRID page from the two live indexes: moving stats on
+            // the sparse leg, as-updated exact re-rank on the dense
+            val wL = org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))
+            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+              .filter(col("doc_id") =!= 7)
+              .orderBy(col("score").desc, col("doc_id"))
+              .limit(20)
+              .withColumn("lex_rk", row_number().over(wL).cast("long"))
+              .select(col("doc_id"), col("lex_rk"))
+            val vec = S
+              .ivfadcServe(
+                ss, G.resolve(root), q7, S.toIv(embAsOf(bid)), k = 16,
+                candN = 32, topN = 20)
+              .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+            R.rrfFuse(lex, vec)
+              .select(
+                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+                col("rrf"), col("lex_rk"), col("vec_rk"))
+              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(hybridFullCdcRetrainOracleSql)
     )
   )
 
@@ -2777,6 +2953,92 @@ object StreamOps {
              $perBatch
              $unions
              ORDER BY batch_id, leg, rk"""
+  }
+
+  /** q260's oracle — FOUR quantizer chains (blue/green generations x
+    * original/updated content, all via the prefixed-CTE + tSrc
+    * composition): training rows exclude the updatable class on every
+    * chain, so each generation's quantizers are bit-identical across
+    * its two content chains, and every vector's ADC row is picked
+    * from the chain matching its as-of-b generation (blue for
+    * batches 0-1, green for 2-3) and content version (updated iff its
+    * update slice <= b). The sparse legs recompute BM25 per batch
+    * over the shifting population (arrivals in, retractions out,
+    * updates' text applied), the exact re-rank reads the as-of-b
+    * merged corpus, and each batch's RRF fusion is replayed. A def —
+    * eager interpolation rule.
+    */
+  private def hybridFullCdcRetrainOracleSql: String = {
+    val S = graft.queries.SimilarityOps
+    val terms = "SELECT DISTINCT unnest(" + graft.queries.Tokenize.toksSql +
+      ") AS word FROM documents WHERE doc_id = 7"
+    def pop(v: String, b: Int): String =
+      s"""(($v % 5 = 2 OR $v % 5 = 3 OR $v % 5 = 4)
+                 OR ($v % 5 = 1 AND ($v // 5) % 4 > $b)
+                 OR ($v % 5 = 0 AND ($v // 5) % 4 <= $b))"""
+    def upd(v: String, b: Int): String =
+      s"($v % 5 = 3 AND ($v // 5) % 4 <= $b)"
+    val blueTrain =
+      "(vec_id % 5 <> 0) AND (vec_id % 5 <> 3) AND (vec_id < 32 OR vec_id % 2 = 0)"
+    val greenTrain =
+      s"${pop("vec_id", 2)} AND (vec_id % 5 <> 3) AND (${S.sampledTrainWhereSql})"
+    val perBatch = (0 until 4).map { b =>
+      val (po, pu) = if (b < 2) ("", "v") else ("g", "h")
+      s"""pop$b AS (SELECT doc_id,
+                 CASE WHEN ${upd("doc_id", b)}
+                   THEN text || ' graft refreshed revision' ELSE text END AS text
+               FROM uni WHERE ${pop("doc_id", b)}),
+             ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
+             lex$b AS (SELECT doc_id, lex_rk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+                 FROM x${b}scored WHERE doc_id <> 7)
+               WHERE lex_rk <= 20),
+             adc$b AS (SELECT qid, vec_id, ad FROM ${pu}wadc
+                 WHERE qid = 7 AND ${pop("vec_id", b)} AND ${upd("vec_id", b)}
+               UNION ALL
+               SELECT qid, vec_id, ad FROM ${po}wadc
+                 WHERE qid = 7 AND ${pop("vec_id", b)} AND NOT ${upd("vec_id", b)}),
+             l32$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+               FROM adc$b) WHERE rn <= 32),
+             tb$b AS (SELECT vec_id, iv FROM vt WHERE ${upd("vec_id", b)}
+               UNION ALL SELECT vec_id, iv FROM t WHERE NOT ${upd("vec_id", b)}),
+             lrr$b AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM l32$b c JOIN wq q ON c.qid = q.qid
+               JOIN tb$b x ON c.vec_id = x.vec_id),
+             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
+                 FROM lrr$b) WHERE vec_rk <= 20),
+             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
+                 lex$b.lex_rk, vec$b.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
+               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
+             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+    }.mkString(",\n             ")
+    val unions = (0 until 4).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM fr$b WHERE rk <= 10"""
+    }.mkString("\n             UNION ALL\n             ")
+    s"""${S.ivfadcSql(16, 1, trainWhere = blueTrain)},
+             emb2 AS (SELECT vec_id,
+                 CASE WHEN vec_id % 5 = 3 THEN list_reverse(embedding)
+                   ELSE embedding END AS embedding
+               FROM embeddings),
+             ${S.ivfadcSql(
+        16, 1, trainWhere = blueTrain, p = "v", lead = false, tSrc = "emb2")},
+             ${S.ivfadcSql(16, 1, trainWhere = greenTrain, p = "g", lead = false)},
+             ${S.ivfadcSql(
+        16, 1, trainWhere = greenTrain, p = "h", lead = false, tSrc = "emb2")},
+             uni AS (SELECT d.doc_id, d.text FROM documents d
+               WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
+             $perBatch
+             $unions
+             ORDER BY batch_id, rk"""
   }
 
   /** q250's oracle — four per-prefix hybrid pages: each batch's sparse

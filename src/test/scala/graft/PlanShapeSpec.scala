@@ -722,6 +722,31 @@ class PlanShapeSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("q260: the full-matrix lifecycle swaps generations, seeds both watermarks, serves pruned") {
+    SparkEntry.queries("q260_hybrid_full_cdc_retrain")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q260", dir)
+    val root = s"$work/ann"
+    val G = graft.operators.Generations
+    val T = graft.operators.TieredIndex
+    // the swap happened, is in the pointer history at mark 2, and the
+    // green generation carried BOTH seeded watermarks forward through
+    // batch 3's append+delete
+    assert(G.resolve(root).endsWith("gen-00001"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 1L).endsWith("gen-00000"), G.history(root).toString)
+    assert(T.lastBatch(s"${G.resolve(root)}/codes") == 3L)
+    assert(T.lastDeleteBatch(s"${G.resolve(root)}/codes") == 3L)
+    val S = graft.queries.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+      .queryExecution.executedPlan.toString
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
   test("retraction read shape: live tombstone masks plan as broadcast anti-joins") {
     // the per-request cost claim behind q255/q258's retractions: a
     // doc-keyed tombstone is tiny by construction, so the masked read

@@ -426,6 +426,28 @@ class TieredIndexSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("a rebuilt index seeds BOTH watermarks: replayed deletes no-op too") {
+    val dir = tmp("seeddwm")
+    // a mid-stream rebuild folded batch <= 2's appends AND deletes
+    // into the fresh base (q260's retrain under a full CDC stream)
+    TieredIndex.create(
+      spark, dir, keyed(0 until 100), 2, Seq(col("k")),
+      seedBatch = 2L, seedDeleteBatch = 2L)
+    assert(TieredIndex.lastDeleteBatch(dir) == 2L)
+    // the replayed batch-2 delete must be a no-op (its keys were
+    // already excluded by the rebuild — a tombstone here would be
+    // harmless today but breaks the exactly-once discipline)
+    TieredIndex.delete(spark, dir, keyed(0 until 10).select(col("k")), batchId = 2L)
+    assert(
+      !TieredIndex.currentSegments(dir).exists(_._1 == "tomb"),
+      "replayed delete re-issued its tombstone")
+    assert(TieredIndex.read(spark, dir).count() == 100)
+    // the next live batch's delete lands
+    TieredIndex.delete(spark, dir, keyed(0 until 10).select(col("k")), batchId = 3L)
+    assert(TieredIndex.read(spark, dir).count() == 90)
+    Engine.releaseScratch(spark)
+  }
+
   test("writer fence: a second concurrent mutator fails loudly instead of racing the pointer") {
     val dir = tmp("fence")
     TieredIndex.create(spark, dir, keyed(0 until 100), 2, Seq(col("k")))
