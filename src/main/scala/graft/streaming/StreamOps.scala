@@ -2955,6 +2955,53 @@ object StreamOps {
              ORDER BY batch_id, leg, rk"""
   }
 
+  // ---- the q250-family hybrid-page oracle fragments: ONE definition
+  // site for the per-batch CTEs every hybrid gate shares
+  // (q250/q255/q257/q259/q260 differ only in their population
+  // predicates and in WHICH quantizer chain feeds the candidates —
+  // the lex page, the exact re-rank join, the RRF fusion tail, and
+  // the gated page row must never fork between them).
+
+  /** The sparse leg's positioned top-20 over `x{b}scored` (the
+    * bm25Sql chain's output), query doc excluded.
+    */
+  private def hybridLexCte(b: Int): String =
+    s"""lex$b AS (SELECT doc_id, lex_rk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+                 FROM x${b}scored WHERE doc_id <> 7)
+               WHERE lex_rk <= 20)"""
+
+  /** The exact-integer re-rank distances of candidate set `l32{b}`
+    * against corpus `tRel` and query batch `wqRel`.
+    */
+  private def hybridRerankCte(b: Int, tRel: String = "t", wqRel: String = "wq"): String =
+    s"""lrr$b AS (SELECT c.qid, c.vec_id,
+                 list_sum(list_transform(generate_series(1, len(q.qiv)),
+                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
+               FROM l32$b c JOIN $wqRel q ON c.qid = q.qid
+               JOIN $tRel x ON c.vec_id = x.vec_id)"""
+
+  /** The dense top-20 from `lrr{b}` and the RRF fusion tail ending at
+    * `fr{b}` (rk-positioned page rows).
+    */
+  private def hybridFuseCtes(b: Int): String =
+    s"""vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
+                 FROM lrr$b) WHERE vec_rk <= 20),
+             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
+                 lex$b.lex_rk, vec$b.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
+               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
+             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+
+  /** Batch `b`'s gated top-10 page row over `fr{b}`. */
+  private def hybridPageRowSql(b: Int): String =
+    s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM fr$b WHERE rk <= 10"""
+
   /** q260's oracle — FOUR quantizer chains (blue/green generations x
     * original/updated content, all via the prefixed-CTE + tSrc
     * composition): training rows exclude the updatable class on every
@@ -2989,10 +3036,7 @@ object StreamOps {
                    THEN text || ' graft refreshed revision' ELSE text END AS text
                FROM uni WHERE ${pop("doc_id", b)}),
              ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
-             lex$b AS (SELECT doc_id, lex_rk FROM (
-                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
-                 FROM x${b}scored WHERE doc_id <> 7)
-               WHERE lex_rk <= 20),
+             ${hybridLexCte(b)},
              adc$b AS (SELECT qid, vec_id, ad FROM ${pu}wadc
                  WHERE qid = 7 AND ${pop("vec_id", b)} AND ${upd("vec_id", b)}
                UNION ALL
@@ -3003,27 +3047,11 @@ object StreamOps {
                FROM adc$b) WHERE rn <= 32),
              tb$b AS (SELECT vec_id, iv FROM vt WHERE ${upd("vec_id", b)}
                UNION ALL SELECT vec_id, iv FROM t WHERE NOT ${upd("vec_id", b)}),
-             lrr$b AS (SELECT c.qid, c.vec_id,
-                 list_sum(list_transform(generate_series(1, len(q.qiv)),
-                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM l32$b c JOIN wq q ON c.qid = q.qid
-               JOIN tb$b x ON c.vec_id = x.vec_id),
-             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
-                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
-                 FROM lrr$b) WHERE vec_rk <= 20),
-             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
-                 lex$b.lex_rk, vec$b.vec_rk,
-                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
-                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
-               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
-             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
-               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+             ${hybridRerankCte(b, tRel = s"tb$b")},
+             ${hybridFuseCtes(b)}"""
     }.mkString(",\n             ")
-    val unions = (0 until 4).map { b =>
-      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
-               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
-             FROM fr$b WHERE rk <= 10"""
-    }.mkString("\n             UNION ALL\n             ")
+    val unions = (0 until 4).map(hybridPageRowSql)
+      .mkString("\n             UNION ALL\n             ")
     s"""${S.ivfadcSql(16, 1, trainWhere = blueTrain)},
              emb2 AS (SELECT vec_id,
                  CASE WHEN vec_id % 5 = 3 THEN list_reverse(embedding)
@@ -3057,35 +3085,16 @@ object StreamOps {
       s"""pop$b AS (SELECT doc_id, text FROM uni
                WHERE doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b),
              ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
-             lex$b AS (SELECT doc_id, lex_rk FROM (
-                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
-                 FROM x${b}scored WHERE doc_id <> 7)
-               WHERE lex_rk <= 20),
+             ${hybridLexCte(b)},
              l32$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc WHERE qid = 7
                  AND (vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)) WHERE rn <= 32),
-             lrr$b AS (SELECT c.qid, c.vec_id,
-                 list_sum(list_transform(generate_series(1, len(q.qiv)),
-                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM l32$b c JOIN wq q ON c.qid = q.qid
-               JOIN t x ON c.vec_id = x.vec_id),
-             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
-                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
-                 FROM lrr$b) WHERE vec_rk <= 20),
-             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
-                 lex$b.lex_rk, vec$b.vec_rk,
-                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
-                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
-               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
-             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
-               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+             ${hybridRerankCte(b)},
+             ${hybridFuseCtes(b)}"""
     }.mkString(",\n             ")
-    val unions = (0 until 4).map { b =>
-      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
-               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
-             FROM fr$b WHERE rk <= 10"""
-    }.mkString("\n             UNION ALL\n             ")
+    val unions = (0 until 4).map(hybridPageRowSql)
+      .mkString("\n             UNION ALL\n             ")
     s"""${graft.queries.SimilarityOps.ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")},
              uni AS (SELECT d.doc_id, d.text FROM documents d
                WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
@@ -3117,35 +3126,16 @@ object StreamOps {
       s"""pop$b AS (SELECT doc_id, text FROM uni
                WHERE doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b),
              ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
-             lex$b AS (SELECT doc_id, lex_rk FROM (
-                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
-                 FROM x${b}scored WHERE doc_id <> 7)
-               WHERE lex_rk <= 20),
+             ${hybridLexCte(b)},
              l32$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM ${p}wadc WHERE qid = 7
                  AND (vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $b)) WHERE rn <= 32),
-             lrr$b AS (SELECT c.qid, c.vec_id,
-                 list_sum(list_transform(generate_series(1, len(q.qiv)),
-                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM l32$b c JOIN ${p}wq q ON c.qid = q.qid
-               JOIN ${p}t x ON c.vec_id = x.vec_id),
-             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
-                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
-                 FROM lrr$b) WHERE vec_rk <= 20),
-             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
-                 lex$b.lex_rk, vec$b.vec_rk,
-                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
-                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
-               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
-             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
-               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+             ${hybridRerankCte(b, tRel = s"${p}t", wqRel = s"${p}wq")},
+             ${hybridFuseCtes(b)}"""
     }.mkString(",\n             ")
-    val unions = (0 until 4).map { b =>
-      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
-               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
-             FROM fr$b WHERE rk <= 10"""
-    }.mkString("\n             UNION ALL\n             ")
+    val unions = (0 until 4).map(hybridPageRowSql)
+      .mkString("\n             UNION ALL\n             ")
     s"""${S.ivfadcSql(16, 1, trainWhere = blueTrain)},
              ${S.ivfadcSql(16, 1, trainWhere = greenTrain, p = "g", lead = false)},
              uni AS (SELECT d.doc_id, d.text FROM documents d
@@ -3177,35 +3167,16 @@ object StreamOps {
       s"""pop$b AS (SELECT doc_id, text FROM uni
                WHERE ${popWhere("doc_id", b)}),
              ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},
-             lex$b AS (SELECT doc_id, lex_rk FROM (
-                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
-                 FROM x${b}scored WHERE doc_id <> 7)
-               WHERE lex_rk <= 20),
+             ${hybridLexCte(b)},
              l32$b AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
                  row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
                FROM wadc WHERE qid = 7
                  AND ${popWhere("vec_id", b)}) WHERE rn <= 32),
-             lrr$b AS (SELECT c.qid, c.vec_id,
-                 list_sum(list_transform(generate_series(1, len(q.qiv)),
-                   j -> (q.qiv[j] - x.iv[j]) * (q.qiv[j] - x.iv[j]))) AS d
-               FROM l32$b c JOIN wq q ON c.qid = q.qid
-               JOIN t x ON c.vec_id = x.vec_id),
-             vec$b AS (SELECT vec_id AS doc_id, vec_rk FROM (
-                 SELECT vec_id, row_number() OVER (ORDER BY d, vec_id) AS vec_rk
-                 FROM lrr$b) WHERE vec_rk <= 20),
-             fused$b AS (SELECT coalesce(lex$b.doc_id, vec$b.doc_id) AS doc_id,
-                 lex$b.lex_rk, vec$b.vec_rk,
-                 round(coalesce(CAST(1 AS DOUBLE) / (lex$b.lex_rk + 60), 0)
-                   + coalesce(CAST(1 AS DOUBLE) / (vec$b.vec_rk + 60), 0), 6) AS rrf
-               FROM lex$b FULL OUTER JOIN vec$b ON lex$b.doc_id = vec$b.doc_id),
-             fr$b AS (SELECT doc_id, rrf, lex_rk, vec_rk,
-               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused$b)"""
+             ${hybridRerankCte(b)},
+             ${hybridFuseCtes(b)}"""
     }.mkString(",\n             ")
-    val unions = (0 until 4).map { b =>
-      s"""SELECT CAST($b AS BIGINT) AS batch_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
-               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
-             FROM fr$b WHERE rk <= 10"""
-    }.mkString("\n             UNION ALL\n             ")
+    val unions = (0 until 4).map(hybridPageRowSql)
+      .mkString("\n             UNION ALL\n             ")
     s"""${graft.queries.SimilarityOps.ivfadcSql(16, 1, trainWhere = "vec_id % 5 <> 0")},
              uni AS (SELECT d.doc_id, d.text FROM documents d
                WHERE d.doc_id IN (SELECT vec_id FROM embeddings)),
