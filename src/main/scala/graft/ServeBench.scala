@@ -131,24 +131,21 @@ object ServeBench {
     // ---- HYBRID rows (round 16): the FUSED request end to end —
     // q244's shape at request granularity (round-15 verdict #6: the
     // two legs were priced separately, so the hybrid ablation's
-    // quality gain carried no per-request cost). One more-like-this
-    // request = the query doc's distinct terms BM25-paged against the
-    // live postings (epoch-cached dl/stats, the q248 shape) + the
-    // complete two-stage dense serve at the q220-tuned nprobe=4 +
-    // RRF fusion of the two top-20s into the top-10 page — the whole
-    // request timed as one unit, fresh frames per request.
-    val docs = Engine.table(spark, sfDir, "documents")
+    // quality gain carried no per-request cost). One hybrid request =
+    // a 3-term keyword query (the terms arrive WITH the request, so
+    // they go down as PUSHED LITERALS — the q248 serving shape; a
+    // broadcast-join restriction cannot reach the scan and was
+    // measured at 3-5x the cost here, scanning the whole postings
+    // index per request) BM25-paged against the live postings with
+    // epoch-cached dl/stats, PLUS the complete two-stage dense serve
+    // at the q220-tuned nprobe=4, PLUS RRF fusion of the two top-20s
+    // into the top-10 page — the whole request timed as one unit,
+    // fresh frames per request.
     def hybridPage(r: Int) = {
-      val qTerms = docs
-        .filter(col("doc_id") === r)
-        .select(explode(queries.Tokenize.toksExpr).as("word"))
-        .distinct()
+      val words = (0 until 3).map(j => terms((r + j) % terms.length))
       val wL = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))
-      val tf = post
-        .join(broadcast(qTerms), "word")
-        .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
-      val lex = R.bm25Score(tf, dl, stats)
+      val lex = R.bm25Score(R.termTfPushed(post, words), dl, stats)
         .filter(col("doc_id") =!= r)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
