@@ -107,7 +107,11 @@ object Generations {
 
   /** The commit log, oldest first: every (generation, mark) the
     * pointer has been moved to, rollbacks included — the authority
-    * for GC recency and [[resolveAsOf]].
+    * for GC recency and [[resolveAsOf]]. Append-only and unbounded BY
+    * DESIGN: one line per retrain/rollback (a deployment commits
+    * generations quarterly, not per batch), and the full pointer
+    * history IS the audit trail time travel answers from — truncating
+    * it would silently cap [[resolveAsOf]]'s reach.
     */
   def history(root: String): Seq[(String, Long)] =
     if (!Files.exists(historyPath(root))) Seq.empty
