@@ -86,22 +86,11 @@ object ServeBench {
     // bounded scoring joins). Timed per request: a FRESH single-term
     // page (terms as pushed literals), full top-5 materialization.
     val R = queries.RetrievalOps
-    val postRoot = Engine.scratchDir("servebench_postings", sfDir)
-    if (!new java.io.File(postRoot, "COMPLETE").exists) {
-      Engine.deleteRecursively(postRoot)
-      graft.operators.TieredIndex.create(
-        spark, s"$postRoot/postings",
-        R.postingsOf(Engine.table(spark, sfDir, "documents")),
-        4, Seq(col("word"), col("doc_id")))
-      new java.io.File(postRoot, "COMPLETE").createNewFile(): Unit
-    }
-    val post = graft.operators.TieredIndex.read(spark, s"$postRoot/postings")
+    val post = graft.operators.TieredIndex.read(
+      spark, R.buildPostingsIndex(spark, sfDir))
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).localCheckpoint()
     val stats = R.statsOf(dl).localCheckpoint()
-    val terms = Seq(
-      "hash", "join", "spark", "table", "scan", "sort", "data", "stream", "batch",
-      "window", "filter", "merge", "group", "query", "value", "fast", "slow",
-      "key", "row", "agg")
+    val terms = R.serveTerms
     def page(term: String) = R
       .bm25Score(R.termTfPushed(post, Seq(term)), dl, stats)
       .orderBy(col("score").desc, col("doc_id"))
@@ -173,6 +162,51 @@ object ServeBench {
         s""""p50":${fmt(hsorted(requests / 2))},""" +
         s""""mean":${fmt(htimes.sum / requests)},"max":${fmt(hsorted.last)},""" +
         s""""sf":"$sfDir"}""")
+
+    // ---- BATCHED HYBRID MSEARCH row (round 17): the SAME N fused
+    // requests — identical terms windows, identical query vectors —
+    // served in ONE plan (q263's msearch path): one pushed word-list
+    // postings scan for all N lexical legs, one pushed ccid-list
+    // codes scan for all N dense legs, one keyed fusion. The
+    // single-request row above prices a request dominated by fixed
+    // per-plan overhead; this row shows that overhead amortizing —
+    // per_request here vs `mean` there IS the msearch argument.
+    {
+      import spark.implicits._
+      val wLq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      def msearchPage(n: Int) = {
+        val pairs = R.msearchQTerms(n)
+        val qterms = pairs.toDF("qid", "word")
+          .select(col("qid").cast("long").as("qid"), col("word"))
+        val lex = R.bm25ScoreKeyed(
+          R.termTfPushed(post, pairs.map(_._2).distinct), qterms, dl, stats)
+          .filter(col("qid") =!= col("doc_id"))
+          .withColumn("lex_rk", row_number().over(wLq).cast("long"))
+          .filter(col("lex_rk") <= 20)
+          .select(col("qid"), col("doc_id"), col("lex_rk"))
+        val qb = iv
+          .filter(col("vec_id") < n)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val vec = S
+          .ivfadcServe(spark, idx, qb, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+        R.rrfFuseKeyed(lex, vec)
+      }
+      msearchPage(requests).count(): Unit // warm
+      val btimes = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        msearchPage(requests).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = btimes.min
+      println(
+        s"""{"metric":"hybrid_msearch_batch","unit":"sec","nprobe":4,""" +
+          s""""requests":$requests,"total":${fmt(best)},""" +
+          s""""per_request":${fmt(best / requests)},""" +
+          s""""single_request_mean":${fmt(htimes.sum / requests)},""" +
+          s""""sf":"$sfDir"}""")
+    }
     Engine.releaseScratch(spark)
     spark.stop()
   }

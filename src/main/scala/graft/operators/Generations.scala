@@ -111,24 +111,59 @@ object Generations {
     * DESIGN: one line per retrain/rollback (a deployment commits
     * generations quarterly, not per batch), and the full pointer
     * history IS the audit trail time travel answers from — truncating
-    * it would silently cap [[resolveAsOf]]'s reach.
+    * it would silently cap [[resolveAsOf]]'s reach. Reads are memoized
+    * per (path, mtime, size): serve paths resolve per request and
+    * audit loops ([[resolveAsOf]] per batch, q259's shape) re-read the
+    * log per call, so a year-long deployment would otherwise re-parse
+    * an ever-growing file on every page — the stat is the cheap part,
+    * and any [[commit]] moves the mtime/size, invalidating the entry.
     */
-  def history(root: String): Seq[(String, Long)] =
-    if (!Files.exists(historyPath(root))) Seq.empty
+  def history(root: String): Seq[(String, Long)] = {
+    val p = historyPath(root)
+    if (!Files.exists(p)) Seq.empty
     else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(historyPath(root), StandardCharsets.UTF_8).asScala.toSeq
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(gen, mark) = line.split(" ", 2)
-          (gen, mark.trim.toLong)
-        }
+      val key = (p.toString, Files.getLastModifiedTime(p), Files.size(p))
+      if (historyCache.size > 1024) historyCache.clear() // test-suite churn bound
+      historyCache.getOrElseUpdate(key, parseHistory(p))
     }
+  }
+
+  private val historyCache =
+    new scala.collection.concurrent.TrieMap[
+      (String, java.nio.file.attribute.FileTime, Long), Seq[(String, Long)]]
+
+  private def parseHistory(p: java.nio.file.Path): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        // a malformed line must name the file and the offending text —
+        // a bare MatchError from a truncated log is undiagnosable
+        try {
+          val Array(gen, mark) = line.split(" ", 2)
+          (genName(gen), mark.trim.toLong)
+        } catch {
+          case e: Exception =>
+            throw new IllegalStateException(
+              s"Generations: malformed HISTORY line '$line' in $p", e)
+        }
+      }
+  }
+
+  private def genName(name: String): String = { genNum(name): Unit; name }
 
   /** The generation that was CURRENT as of stream batch `mark` — the
     * LAST commit whose mark is <= `mark` (commits are logged in
     * pointer order, so "last" is "what a reader at that batch
-    * resolved"). Returns the generation's absolute path; fails loudly
+    * resolved"). That reading is only sound because [[commit]] keeps
+    * the logged marks NON-DECREASING: an explicit mark below the last
+    * logged one throws, and an out-of-band commit (mark -1, the
+    * rollback convention) is logged AT the last mark — "the pointer
+    * moved now", not "before everything" — so a rollback entry never
+    * shadows the marked history behind it (the round-16 ADVICE trap:
+    * an unordered -1 would match every `m <= mark` probe and answer
+    * for batches its generation never served). Returns the
+    * generation's absolute path; fails loudly
     * when the resolved generation has been GC'd (raise `retain` on
     * the commit schedule that owns this root — snapshot retention is
     * a policy knob, priced as retained disk) or when no commit
@@ -172,6 +207,18 @@ object Generations {
     *
     * `mark`: the stream batch id this commit happened under (-1 for
     * out-of-band commits), recorded in HISTORY for [[resolveAsOf]].
+    * Marks are logged NON-DECREASING — the invariant [[resolveAsOf]]'s
+    * reverse scan depends on: an explicit mark below the last logged
+    * one throws (a commit cannot happen before a commit it follows),
+    * and -1 is logged as the LAST mark itself (an out-of-band commit —
+    * a rollback — happens "now", at whatever batch the log has
+    * reached, not before the beginning of time). On a root written by
+    * pre-HISTORY code (CURRENT exists, HISTORY absent) the history is
+    * first seeded with the CURRENT generation at mark -1, so the first
+    * new-code commit's GC keep-set still contains the generation that
+    * was serving until this instant — without the seed it would be
+    * deleted out from under its in-flight readers (round-16 ADVICE
+    * migration hazard).
     */
   def commit(root: String, gen: String, retain: Int = 2, mark: Long = -1L): Unit = {
     genNum(gen): Unit // validate the name BEFORE it enters the log
@@ -184,7 +231,22 @@ object Generations {
       // HISTORY first (the GC/as-of authority), then the pointer: a
       // crash between the two leaves a logged entry at a complete
       // artifact set and CURRENT still on the old generation
-      val lines = history(root) :+ (gen, mark)
+      val prior0 = history(root)
+      val prior =
+        if (prior0.isEmpty && Files.exists(currentPath(root)))
+          // pre-HISTORY root: seed with the serving generation so GC
+          // recency sees it (mark -1 = "before the logged era")
+          Seq((new String(Files.readAllBytes(currentPath(root)),
+            StandardCharsets.UTF_8).trim, -1L))
+        else prior0
+      val lastMark = prior.lastOption.map(_._2).getOrElse(-1L)
+      val effMark = if (mark < 0L) lastMark else mark
+      require(
+        effMark >= lastMark,
+        s"Generations.commit($gen, mark = $mark): mark precedes the last " +
+          s"logged mark $lastMark under $root — HISTORY marks must be " +
+          "non-decreasing (resolveAsOf reads the log as pointer order)")
+      val lines = prior :+ (gen, effMark)
       val htmp = Paths.get(root, "HISTORY.tmp")
       TieredIndex.writeFsync(
         htmp,

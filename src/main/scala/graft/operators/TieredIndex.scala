@@ -183,6 +183,40 @@ object TieredIndex {
     */
   def lastDeleteBatch(dir: String): Long = state(dir)._3
 
+  /** CROSS-INDEX SERVE FENCE — the dual-store consistency contract of
+    * the hybrid stack (q250/q255/q257/q258/q260: ONE CDC batch commits
+    * into TWO independent LSM indexes, postings then codes). Each
+    * index is exactly-once against its OWN watermarks, so a crash
+    * BETWEEN the two commits leaves them one batch apart until the
+    * stream's replay repairs the lagging one — standard for dual
+    * independent stores, and harmless to the indexes themselves. The
+    * exposure is a hybrid SERVE issued inside that window: it would
+    * fuse a post-batch lexical leg with a pre-batch dense leg, a page
+    * neither corpus state ever produced. CONTRACT: within a healthy
+    * stream the foreachBatch ordering (postings committed, then codes,
+    * then serve) already guarantees serve-after-both-commits; this
+    * fence makes the contract CHECKED at serve time — both indexes
+    * must agree on BOTH watermarks (append and delete), else it throws
+    * loudly naming the lag instead of serving a cross-batch chimera.
+    * A fenced deployment that prefers availability over failing can
+    * serve the min-watermark prefix via [[readAsOf]] on the leading
+    * index — the consistent-prefix alternative the fence's message
+    * names. Returns the agreed append watermark. Spec-pinned
+    * (TieredIndexSpec: the half-committed CDC batch fails loudly).
+    */
+  def fenceAligned(a: String, b: String): Long = {
+    val (wa, da) = (lastBatch(a), lastDeleteBatch(a))
+    val (wb, db) = (lastBatch(b), lastDeleteBatch(b))
+    require(
+      wa == wb && da == db,
+      s"TieredIndex.fenceAligned: indexes disagree mid-CDC-batch — " +
+        s"$a at (append $wa, delete $da) vs $b at (append $wb, delete $db); " +
+        "a hybrid serve here would fuse two different corpus states. " +
+        "Let the stream's replay repair the lagging index, or serve the " +
+        s"consistent prefix via readAsOf(${math.min(wa, wb)}) on the leader")
+    wa
+  }
+
   private def segs(dir: String): Seq[Seg] = readManifest(dir, currentManifest(dir))
 
   private def nextNumber(dir: String, prefix: String): Int = {

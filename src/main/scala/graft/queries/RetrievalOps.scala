@@ -186,6 +186,47 @@ object RetrievalOps {
     s"$root/postings"
   }
 
+  /** Build-once persisted STANDARD postings index over
+    * `{dir}/documents.parquet` — [[buildPositionalIndex]]'s twin for
+    * the (word, doc_id, tf) schema: the batched hybrid msearch (q263)
+    * and ServeBench's lexical/hybrid request rows all serve from this
+    * one artifact instead of each rebuilding it. COMPLETE-marker
+    * committed, idempotent per (process, sf-dir).
+    */
+  private[graft] def buildPostingsIndex(s: SparkSession, dir: String): String = {
+    val root = Engine.scratchDir("postidx", dir)
+    val done = new java.io.File(root, "COMPLETE")
+    if (!done.exists) {
+      Engine.deleteRecursively(root)
+      graft.operators.TieredIndex.create(
+        s, s"$root/postings",
+        postingsOf(Engine.table(s, dir, "documents")),
+        4, Seq(col("word"), col("doc_id")))
+      done.createNewFile(): Unit
+    }
+    s"$root/postings"
+  }
+
+  /** The serving-bench keyword vocabulary — ONE definition site for
+    * ServeBench's single-request rows and the batched msearch (q263):
+    * request r's 3-term keyword query is the rotating window
+    * (r, r+1, r+2) over this list, so the batch path and the
+    * one-at-a-time path price the SAME requests.
+    */
+  private[graft] val serveTerms: Seq[String] = Seq(
+    "hash", "join", "spark", "table", "scan", "sort", "data", "stream", "batch",
+    "window", "filter", "merge", "group", "query", "value", "fast", "slow",
+    "key", "row", "agg")
+
+  /** The N-request msearch batch's (qid, word) pairs — request r =
+    * "more like vector r" dense leg + the [[serveTerms]] window
+    * (r, r+1, r+2) lexical leg. A pure function of (r), so the oracle
+    * replays the exact pairs as literals.
+    */
+  private[graft] def msearchQTerms(n: Int): Seq[(Int, String)] =
+    for { r <- 0 until n; j <- 0 until 3 }
+      yield (r, serveTerms((r + j) % serveTerms.length))
+
   /** RECIPROCAL-RANK FUSION of two positioned top-k legs (doc_id,
     * lex_rk) and (doc_id, vec_rk): score = sum of 1/(60 + rank) over
     * the legs a doc appears in (k = 60, the Cormack/Clarke constant),
@@ -214,6 +255,32 @@ object RetrievalOps {
       .filter(col("rk") <= topN)
       .select(col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
       .orderBy(col("rk"))
+  }
+
+  /** [[rrfFuse]]'s KEYED form — N requests fused in ONE plan (qid
+    * partitions every window): the q252 metrics gate and the batched
+    * hybrid msearch (q263) both fuse through this one definition
+    * site. Same union + bounded-aggregate spelling (<= |legs| x k x N
+    * rows — still never a sort-merge), returning (qid, rk, doc_id,
+    * rrf, lex_rk, vec_rk) pages.
+    */
+  private[graft] def rrfFuseKeyed(lex: DataFrame, vec: DataFrame, topN: Int = 10): DataFrame = {
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+    lex
+      .select(col("qid"), col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
+      .unionAll(vec.select(
+        col("qid"), col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
+          6))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("qid"), col("rk"), col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
   }
 
   /** BM25 over a POSTINGS frame (doc_id, word, tf) — the incremental
@@ -334,6 +401,36 @@ object RetrievalOps {
       .agg(round(sum(col("c")), 4).as("score"))
   }
 
+  /** [[bm25Score]]'s KEYED serving form — the msearch lexical leg
+    * from a postings INDEX (q263): `tfw` is the batch's term-tf rows
+    * (from [[termTfPushed]] — the batch's DISTINCT word set goes down
+    * as ONE pushed `word IN (...)` literal list, so the whole
+    * N-request batch pays ONE key-range-pruned postings scan), df is
+    * per word over those rows (computed BEFORE the per-qid fan-out —
+    * fanning out first would inflate it, [[bm25Batch]]'s rule), the
+    * Okapi contribution `c` is per (word, doc) — also computed before
+    * the fan-out, so the broadcast `qterms` join only routes finished
+    * contributions to requests — and the final sum groups by (qid,
+    * doc). dl/stats arrive epoch-materialized (q248's amortization:
+    * one corpus pass serves every request of the epoch, batch or
+    * not). Same arithmetic as [[bm25Score]] term by term.
+    */
+  private[graft] def bm25ScoreKeyed(
+      tfw: DataFrame, qterms: DataFrame, dl: DataFrame, stats: DataFrame): DataFrame = {
+    val dfreq = tfw.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+    tfw.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      .withColumn(
+        "c",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .join(broadcast(qterms), "word")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+  }
+
   /** [[bm25Scored]]'s DuckDB mirror: CTEs {p}tok/{p}dl/{p}stats/{p}tf/
     * {p}df ending in `{p}scored` (doc_id, score), over document
     * relation `docsRel` (must expose doc_id + text) and term CTE
@@ -358,6 +455,25 @@ object RetrievalOps {
                FROM ${p}tf t JOIN ${p}df d USING (word) CROSS JOIN ${p}stats s
                JOIN ${p}dl l ON t.doc_id = l.doc_id
                GROUP BY t.doc_id)"""
+
+  /** The keyed-fusion oracle fragment shared by q252 (which grades the
+    * fused pages into MRR/nDCG) and q263 (which gates the pages
+    * themselves): lexical top-20 per qid from `hscored` (self
+    * excluded), dense top-20 from `wsrv`, RRF with the 6dp round —
+    * [[rrfFuseKeyed]]'s DuckDB mirror ending at `hfused`. A def —
+    * eager oracle interpolation rule.
+    */
+  private[graft] def hybridKeyedFuseCtesSql: String =
+    """hlex AS (SELECT qid, doc_id, lex_rk FROM (SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rk
+               FROM hscored WHERE qid <> doc_id) WHERE lex_rk <= 20),
+             hvec AS (SELECT qid, vec_id AS doc_id, rn AS vec_rk FROM wsrv WHERE rn <= 20),
+             hfused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rk, v.vec_rk,
+                 round(coalesce(CAST(1 AS DOUBLE) / (l.lex_rk + 60), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (v.vec_rk + 60), 0), 6) AS rrf
+               FROM hlex l FULL OUTER JOIN hvec v
+                 ON l.qid = v.qid AND l.doc_id = v.doc_id)"""
 
   val entries: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- q229
@@ -879,23 +995,11 @@ object RetrievalOps {
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
         val vec = S.ivfadcServe(s, idx, q, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
           .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
-        // keyed RRF: rrfFuse's per-query form (fusion keys carry qid)
-        val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
-        val fused = lex
-          .select(col("qid"), col("doc_id"), col("lex_rk"), lit(null).cast("long").as("vec_rk"))
-          .unionAll(vec.select(
-            col("qid"), col("doc_id"), lit(null).cast("long").as("lex_rk"), col("vec_rk")))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
-          .withColumn(
-            "rrf",
-            round(
-              coalesce(lit(1.0) / (col("lex_rk") + 60), lit(0.0)) +
-                coalesce(lit(1.0) / (col("vec_rk") + 60), lit(0.0)),
-              6))
-          .withColumn("p", row_number().over(wF))
-          .filter(col("p") <= 10)
-          .select(col("qid"), col("doc_id"), col("p"))
+        // keyed RRF through the ONE fusion site (q263's msearch pages
+        // fuse through the same helper — the metric gate and the page
+        // gate cannot drift)
+        val fused = rrfFuseKeyed(lex, vec)
+          .select(col("qid"), col("doc_id"), col("rk").as("p"))
         val lab = emb.select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
         val qlab = emb
           .filter(col("vec_id") < 20)
@@ -941,16 +1045,7 @@ object RetrievalOps {
             "uni",
             "SELECT DISTINCT doc_id AS qid, unnest(" + Tokenize.toksSql +
               ") AS word FROM documents WHERE doc_id < 20")},
-             hlex AS (SELECT qid, doc_id, lex_rk FROM (SELECT qid, doc_id,
-                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rk
-               FROM hscored WHERE qid <> doc_id) WHERE lex_rk <= 20),
-             hvec AS (SELECT qid, vec_id AS doc_id, rn AS vec_rk FROM wsrv WHERE rn <= 20),
-             hfused AS (SELECT coalesce(l.qid, v.qid) AS qid,
-                 coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rk, v.vec_rk,
-                 round(coalesce(CAST(1 AS DOUBLE) / (l.lex_rk + 60), 0)
-                   + coalesce(CAST(1 AS DOUBLE) / (v.vec_rk + 60), 0), 6) AS rrf
-               FROM hlex l FULL OUTER JOIN hvec v
-                 ON l.qid = v.qid AND l.doc_id = v.doc_id),
+             $hybridKeyedFuseCtesSql,
              f10 AS (SELECT qid, doc_id, p FROM (SELECT qid, doc_id,
                  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS p
                FROM hfused) WHERE p <= 10),
@@ -976,6 +1071,72 @@ object RetrievalOps {
                round(coalesce(CAST(1 AS DOUBLE) / p.frank, 0), 6) AS mrr,
                coalesce(round(p.dcg / i.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg10
              FROM perq p LEFT JOIN idcg i ON p.qid = i.qid ORDER BY p.qid"""
+      }
+    ),
+    // --------------------------------------------------------------- q263
+    // BATCHED HYBRID MSEARCH FROM THE PERSISTED INDEXES — the request
+    // shape q252 grades and ServeBench prices one-at-a-time, served
+    // as a production msearch endpoint serves it (round-16 verdict
+    // #4): N fused requests in ONE plan against the SERVING artifacts
+    // (the build-once postings TieredIndex and the deep IVFADC
+    // index), not a per-request loop. The batch economics, all
+    // plan-pinned: the lexical leg's N x 3 keyword terms collapse to
+    // ONE pushed `word IN (...)` literal list — one key-range-pruned
+    // postings scan covers every request — with df and the Okapi
+    // contribution computed per (word, doc) BEFORE the per-qid
+    // fan-out and dl/stats epoch-materialized once (q248's
+    // amortization); the dense leg's N queries union their probed
+    // cells into ONE pushed `ccid IN (...)` codes scan (the q216
+    // batch-serve path — one scan, not N) through the full two-stage
+    // request; and rrfFuseKeyed fuses all N pages in one bounded
+    // aggregate. Oracle: per-qid replay of the exact chains (the
+    // (qid, word) pairs are a pure function of qid, interpolated as
+    // literals). ServeBench's batch row prices this against the
+    // 1.24 s single-request hybrid: the per-plan fixed overhead that
+    // dominates a single request amortizes across the batch. At
+    // 100 TB: request count amortizes every corpus-proportional term
+    // — the whole argument for msearch endpoints.
+    QueryDef(
+      "q263_hybrid_msearch",
+      (s, dir) => {
+        import s.implicits._
+        val S = SimilarityOps
+        val idx = S.buildIvfAdcIndex(s, dir, k = 256, rounds = 2)
+        val post = graft.operators.TieredIndex.read(s, buildPostingsIndex(s, dir))
+        // epoch boundary: one dl pass + one stats row for the batch
+        val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = statsOf(dl)
+        val pairs = msearchQTerms(20)
+        val qterms = pairs.toDF("qid", "word")
+          .select(col("qid").cast("long").as("qid"), col("word"))
+        val wL = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25ScoreKeyed(
+          termTfPushed(post, pairs.map(_._2).distinct), qterms, dl, stats)
+          .filter(col("qid") =!= col("doc_id"))
+          .withColumn("lex_rk", row_number().over(wL).cast("long"))
+          .filter(col("lex_rk") <= 20)
+          .select(col("qid"), col("doc_id"), col("lex_rk"))
+        val iv = S.ivecs(s, dir)
+        val q = iv
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+        val vec = S.ivfadcServe(s, idx, q, iv, k = 256, nprobe = 4, candN = 32, topN = 20)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+        rrfFuseKeyed(lex, vec).orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val qtermsRows = msearchQTerms(20)
+          .map { case (q, w) => s"SELECT $q AS qid, '$w' AS word" }
+          .mkString("\n               UNION ALL ")
+        s"""${SimilarityOps.ivfadcServeCtesSql(nprobe = 4, candN = 32)},
+             ${bm25BatchSql("documents", qtermsRows)},
+             $hybridKeyedFuseCtesSql,
+             fr AS (SELECT qid, doc_id, rrf, lex_rk, vec_rk,
+               row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+               FROM hfused)
+             SELECT qid, CAST(rk AS BIGINT) AS rk, doc_id, rrf,
+               CAST(lex_rk AS BIGINT) AS lex_rk, CAST(vec_rk AS BIGINT) AS vec_rk
+             FROM fr WHERE rk <= 10 ORDER BY qid, rk"""
       }
     )
   )

@@ -67,20 +67,37 @@ object StreamOps {
     */
   private def stageBatches(
       df: org.apache.spark.sql.DataFrame, work: String,
-      batchExpr: org.apache.spark.sql.Column, parts: Int): String = {
+      batchExpr: org.apache.spark.sql.Column, parts: Int): String =
+    stageBatchSlices(df, work, batchExpr, 0 until parts)
+
+  /** [[stageBatches]]'s RANGE form — stage only `slices`, appending to
+    * whatever is already staged under `work/incoming` with strictly
+    * LATER mtimes (floor = max staged mtime + one step): the restart-
+    * recovery lifecycle (q262) stages batches 0-1, runs a query to
+    * completion, then stages 2-3 and resumes from the checkpoint — the
+    * file source must list the new files after the consumed ones so
+    * the resumed micro-batch ids continue exactly where the offsets
+    * log stopped.
+    */
+  private def stageBatchSlices(
+      df: org.apache.spark.sql.DataFrame, work: String,
+      batchExpr: org.apache.spark.sql.Column, slices: Seq[Int]): String = {
     val incoming = s"$work/incoming"
-    var seen = Set.empty[String]
-    val base = System.currentTimeMillis
-    for (b <- 0 until parts) {
+    def staged = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    var seen = staged.map(_.getName).toSet
+    val base = math.max(
+      System.currentTimeMillis,
+      (staged.map(_.lastModified) :+ 0L).max + 60000L)
+    for ((b, i) <- slices.zipWithIndex) {
       df.filter(batchExpr === b).coalesce(1).write.mode("append").parquet(incoming)
-      val fs = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
+      val fs = staged
       // batch-id-equals-k depends on these mtimes: fail loudly if the
       // filesystem refuses (a slow write's real mtime could otherwise
       // scramble micro-batch ids and fail the gate undiagnosably)
       fs.filterNot(f => seen(f.getName)).foreach { f =>
         require(
-          f.setLastModified(base + b * 60000L),
+          f.setLastModified(base + i * 60000L),
           s"stageBatches: setLastModified failed for ${f.getPath} — " +
             "micro-batch ids would not equal the staged batch numbers")
       }
@@ -1714,85 +1731,8 @@ object StreamOps {
     QueryDef(
       "q250_hybrid_live_serve",
       (s, dir) => {
-        val S = graft.queries.SimilarityOps
-        val R = graft.queries.RetrievalOps
-        val T = graft.operators.TieredIndex
-        val work = graft.Engine.scratchDir("q250", dir)
-        graft.Engine.deleteRecursively(work)
-        val docs = graft.Engine.table(s, dir, "documents")
-        val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
-        // the hybrid universe: docs that BOTH legs can reach
-        val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
-        val postDir = s"$work/postings"
-        T.create(
-          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
-          4, Seq(col("word"), col("doc_id")))
-        val iv = S.ivecs(s, dir)
-        S.writeIvfAdcArtifacts(
-          s, work.toString, iv.filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
-        val codesDir = s"$work/codes"
-        val incoming = stageBatches(
-          uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
-          work.toString, expr("(doc_id div 5) % 4"), 4)
-        val pagesDir = s"$work/pages"
-        // hoisted request frames (q218 rationale): the fixed query's
-        // terms and micro-vector are shared by all batches
-        val qTerms = docs
-          .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
-        val q7 = iv
-          .filter(col("vec_id") === 7)
-          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
-          .localCheckpoint()
-        val stream = s.readStream
-          .schema(s.read.parquet(incoming).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(incoming)
-        val query = stream.writeStream
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-            val ss = batch.sparkSession
-            // LEXICAL upsert — exactly-once postings append + maintain
-            if (bid > T.lastBatch(postDir)) {
-              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
-              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            }
-            // VECTOR upsert — the batch's embeddings frozen-encode
-            // against the day-0 quantizers (q210's contract)
-            if (bid > T.lastBatch(codesDir)) {
-              val arrivals = iv.join(
-                broadcast(batch.select(col("doc_id").as("vec_id"))),
-                Seq("vec_id"), "left_semi")
-              val enc = S.ivfadcEncode(
-                arrivals,
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"))
-              T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
-              T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
-            }
-            // HYBRID serve of the two LIVE indexes this batch mutated
-            val wL = org.apache.spark.sql.expressions.Window
-              .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
-              .filter(col("doc_id") =!= 7)
-              .orderBy(col("score").desc, col("doc_id"))
-              .limit(20)
-              .withColumn("lex_rk", row_number().over(wL).cast("long"))
-              .select(col("doc_id"), col("lex_rk"))
-            val vec = S.ivfadcServe(ss, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
-              .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
-            R.rrfFuse(lex, vec)
-              .select(
-                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
-                col("rrf"), col("lex_rk"), col("vec_rk"))
-              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
-          }
-          .start()
-        query.awaitTermination()
-        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+        val work = hybridLiveIngest(s, dir, "q250", phases = Seq(0 until 4))
+        s.read.option("recursiveFileLookup", "true").parquet(s"$work/pages")
           .orderBy(col("batch_id"), col("rk"))
       },
       Some(hybridLiveServeOracleSql)
@@ -2086,7 +2026,10 @@ object StreamOps {
               ss, codesDir, dels.select(col("doc_id").as("vec_id")), batchId = bid)
             T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             // HYBRID serve — retracted docs must be gone from BOTH
-            // legs, and the sparse scores must carry the SHRUNK stats
+            // legs, and the sparse scores must carry the SHRUNK stats;
+            // fenced: one CDC batch commits FOUR marks (append+delete
+            // on each index), and the page waits for all of them
+            T.fenceAligned(postDir, codesDir): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
             val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
@@ -2206,9 +2149,12 @@ object StreamOps {
               T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
             }
             T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
-            // SERVE both legs with metrics. The exact re-rank corpus
-            // is the AS-UPDATED state (updates <= bid applied) — a
-            // candidate's distance must reflect its live content
+            // SERVE both legs with metrics, fenced (the upsert batch
+            // commits all four marks before either leg serves). The
+            // exact re-rank corpus is the AS-UPDATED state (updates
+            // <= bid applied) — a candidate's distance must reflect
+            // its live content
+            T.fenceAligned(postDir, codesDir): Unit
             val ivLive = S.toIv(emb.withColumn(
               "embedding",
               when(
@@ -2388,7 +2334,11 @@ object StreamOps {
               G.commit(root, "gen-00001", mark = bid)
             }
             // HYBRID page from the two live indexes: moving stats on
-            // the sparse leg, as-updated exact re-rank on the dense
+            // the sparse leg, as-updated exact re-rank on the dense —
+            // fenced across the full CDC matrix (append AND delete
+            // watermarks of both indexes agree, the seeded generation
+            // included)
+            T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
             val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
@@ -2414,6 +2364,269 @@ object StreamOps {
           .orderBy(col("batch_id"), col("rk"))
       },
       Some(hybridFullCdcRetrainOracleSql)
+    ),
+    // --------------------------------------------------------------- q261
+    // ROLLBACK WITH CATCH-UP UNDER THE LIVE HYBRID STREAM — the ops
+    // event q254's O(1) pointer write cannot serve alone (round-16
+    // verdict #1): the q257-shaped deployment swaps to the retrained
+    // GREEN generation at batch 2 (the swap fires BEFORE the batch's
+    // dense append here, so arrival batches 2 AND 3 land ONLY in
+    // green — blue's codes index freezes at batch 1), green turns out
+    // bad, and at batch 3 operations rolls back to blue WITH INGEST
+    // CONTINUING. A bare pointer write would serve blue silently
+    // missing two committed batches; rollbackCatchUp closes the gap
+    // first — blue's own watermark names the missed range (2..3), the
+    // staged source replays each missed batch's arrivals re-encoded
+    // against BLUE's frozen quantizers under the ORIGINAL batch ids
+    // (exactly-once by construction), and the pointer moves only once
+    // blue is current. Gated pages: batches 0-1 fuse against blue,
+    // batch 2 against green (the swap's one live page), batch 3
+    // against blue again over the FULL batch-0..3 population — the
+    // blue chain over the complete prefix, which only holds if the
+    // catch-up actually re-drove the gap (a frozen blue index fails
+    // the hash on every arrival in batches 2-3). The lexical leg
+    // appends straight through swap AND rollback. At 100 TB: the
+    // catch-up is O(missed batches) — the batches' own encode cost,
+    // paid once — and the rollback stays zero-downtime on both legs.
+    QueryDef(
+      "q261_rollback_catchup",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val R = graft.queries.RetrievalOps
+        val T = graft.operators.TieredIndex
+        val G = graft.operators.Generations
+        val work = graft.Engine.scratchDir("q261", dir)
+        graft.Engine.deleteRecursively(work)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
+        val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
+        val postDir = s"$work/postings"
+        T.create(
+          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+          4, Seq(col("word"), col("doc_id")))
+        val root = s"$work/ann"
+        val iv = S.ivecs(s, dir)
+        val day0 = iv.filter(col("vec_id") % 5 =!= 0)
+        S.writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", day0, k = 16, rounds = 1,
+          trainIv = Some(day0.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)))
+        G.commit(root, "gen-00000", mark = -1L)
+        val incoming = stageBatches(
+          uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          work.toString, expr("(doc_id div 5) % 4"), 4)
+        val pagesDir = s"$work/pages"
+        val qTerms = docs
+          .filter(col("doc_id") === 7)
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+          .distinct()
+          .localCheckpoint()
+        val q7 = iv
+          .filter(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        // the retained staged source IS the catch-up's replay log
+        // (Kafka-retention's stand-in): batch b's arrivals, by the
+        // staged membership
+        val batchDocs = (b: Long) =>
+          s.read.parquet(incoming).filter(expr("(doc_id div 5) % 4") === b)
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            // LEXICAL leg: appends through swap AND rollback
+            if (bid > T.lastBatch(postDir)) {
+              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            }
+            // the mid-stream retrain fires BEFORE this batch's dense
+            // append (pointer-guarded): green trains on the prefix-1
+            // population, it is seeded at batch 1, and batches 2-3
+            // land ONLY in green — the exact gap the rollback must
+            // close
+            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+              val pop = iv.filter(
+                col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 1)
+              S.writeIvfAdcArtifacts(
+                ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
+                trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid - 1)
+              G.commit(root, "gen-00001", mark = bid)
+            }
+            // DENSE append to the LIVE generation
+            val cur = G.resolve(root)
+            if (bid > T.lastBatch(s"$cur/codes")) {
+              val arr = iv.join(
+                broadcast(batch.select(col("doc_id").as("vec_id"))),
+                Seq("vec_id"), "left_semi")
+              val enc = S.ivfadcEncode(
+                arr,
+                ss.read.parquet(s"$cur/coarse"),
+                ss.read.parquet(s"$cur/codebook"))
+              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+              T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
+            }
+            // THE ROLLBACK EVENT: green regressed — roll back to blue
+            // at batch 3 with ingest continuing (pointer-guarded, the
+            // retrain's replay discipline)
+            if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
+              rollbackCatchUp(
+                ss, root, "gen-00000", upTo = bid, mark = bid, iv,
+                batchDocs, graft.operators.TieredIndex.Policy())
+            // HYBRID page from the live pair, fenced — at batch 3 the
+            // fence itself proves the catch-up (a frozen blue index
+            // would disagree with the postings watermark)
+            T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
+            val wL = org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))
+            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+              .filter(col("doc_id") =!= 7)
+              .orderBy(col("score").desc, col("doc_id"))
+              .limit(20)
+              .withColumn("lex_rk", row_number().over(wL).cast("long"))
+              .select(col("doc_id"), col("lex_rk"))
+            val vec = S
+              .ivfadcServe(ss, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+              .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+            R.rrfFuse(lex, vec)
+              .select(
+                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+                col("rrf"), col("lex_rk"), col("vec_rk"))
+              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(rollbackCatchUpOracleSql)
+    ),
+    // --------------------------------------------------------------- q262
+    // STREAMING RESTART RECOVERY FROM THE CHECKPOINT — the one
+    // production codepath every prior gate left untested (round-16
+    // verdict #2): they all run `Trigger.AvailableNow()` to
+    // completion, so the `checkpointLocation` each query dutifully
+    // writes was never read back by an actual restart. This gate runs
+    // q250's dual-index hybrid deployment SPLIT ACROSS A REAL
+    // STOP/START: batches 0-1 are staged and a query runs to
+    // termination; then batches 2-3 are staged and a NEW query starts
+    // on the SAME checkpoint dir. Structured Streaming's recovery
+    // path must do the rest — the file-source offsets log marks the
+    // consumed files so the resumed query processes EXACTLY the two
+    // new ones, micro-batch ids CONTINUE at 2 (the staged-slice ids
+    // the per-batch observables join on), and any replayed
+    // foreachBatch invocation no-ops through the index watermarks.
+    // Oracle: q250's string object VERBATIM — the four pages of the
+    // stop/start lifecycle must hash-equal the single-run deployment,
+    // which is the whole recovery contract (a re-read file would
+    // double-append and shift BM25 stats; a skipped file would freeze
+    // page 2-3; a restarted batch id would misalign every prefix).
+    // At 100 TB this is the nightly reality of any long-running
+    // ingest: executors die, queries restart, and the checkpoint +
+    // watermark pair is what makes that invisible.
+    QueryDef(
+      "q262_restart_recovery",
+      (s, dir) => {
+        val work = hybridLiveIngest(
+          s, dir, "q262", phases = Seq(Seq(0, 1), Seq(2, 3)))
+        s.read.option("recursiveFileLookup", "true").parquet(s"$work/pages")
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(hybridLiveServeOracleSql)
+    ),
+    // --------------------------------------------------------------- q264
+    // POSITIONAL POSTINGS UNDER CDC — the round-16 verdict's #5 gap:
+    // q246 stream-maintains the positional index but only ever
+    // APPENDS, and q255/q258 retract/upsert only the standard
+    // postings — a retracted doc's positions rows would keep serving
+    // phrase matches forever, and a content update would double-count
+    // phrase occurrences (stale positions next to fresh ones). This
+    // gate runs the full CDC discipline with `positionalPostingsOf`
+    // as the segment payload: each micro-batch b APPENDS arrival
+    // slice b (doc_id % 5 = 0), RETRACTS standing slice b (% 5 = 1),
+    // and UPSERTS content-update slice b (% 5 = 3 — the text gains a
+    // suffix CONTAINING BOTH GATE PHRASES, so a missed update or a
+    // surviving stale row shifts the counts, not just membership),
+    // tombstones first / fresh rows second under one batchId (the LSM
+    // order contract), exactly-once per watermark. After every batch
+    // BOTH phrase arities rank from the live index; oracle = per-batch
+    // population recompute from raw text (retractions out, arrivals
+    // in, updated text applied) through the q246 adjacency chains. At
+    // 100 TB: a retraction is O(keys), an upsert O(changed docs'
+    // tokens), and the phrase serve keeps q242's economics (k pruned
+    // key-range reads + (k-1) bounded joins).
+    QueryDef(
+      "q264_phrase_cdc_lifecycle",
+      (s, dir) => {
+        val R = graft.queries.RetrievalOps
+        val T = graft.operators.TieredIndex
+        val work = graft.Engine.scratchDir("q264", dir)
+        graft.Engine.deleteRecursively(work)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val postDir = s"$work/postings"
+        T.create(
+          s, postDir,
+          R.positionalPostingsOf(docs.filter(col("doc_id") % 5 =!= 0)),
+          4, Seq(col("word"), col("doc_id")))
+        val incoming = stageBatches(
+          docs.filter(
+            col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 3)
+            .select(col("doc_id"), col("text"))
+            .withColumn(
+              "op",
+              when(col("doc_id") % 5 === 0, lit("add"))
+                .when(col("doc_id") % 5 === 1, lit("del"))
+                .otherwise(lit("upd"))),
+          work.toString, expr("(doc_id div 5) % 4"), 4)
+        val ranksDir = s"$work/ranks"
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            val adds = batch.filter(col("op") === "add")
+            val dels = batch.filter(col("op") === "del")
+            val upds = batch.filter(col("op") === "upd")
+              .withColumn("text", concat(col("text"), lit(s" $phraseCdcSuffix")))
+            // tombstone FIRST (retractions + superseded content — the
+            // doc-keyed mask covers every positions row of the doc),
+            // fresh positional postings second: the order contract
+            T.delete(
+              ss, postDir,
+              dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
+              batchId = bid)
+            if (bid > T.lastBatch(postDir))
+              T.append(
+                ss, postDir,
+                R.positionalPostingsOf(adds.unionByName(upds)), batchId = bid)
+            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            // serve BOTH phrase arities from the live positional index
+            val post = T.read(ss, postDir)
+            gatePhrases
+              .map { case (tag, p) =>
+                R.phraseRank(post, p, topN = 20)
+                  .select(
+                    lit(bid).as("batch_id"), lit(tag).as("phrase"),
+                    col("rk"), col("doc_id"), col("n"))
+              }
+              .reduce(_ unionAll _)
+              .write.mode("overwrite").parquet(s"$ranksDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(ranksDir)
+          .orderBy(col("batch_id"), col("phrase"), col("rk"))
+      },
+      Some(phraseCdcRanksOracleSql)
     )
   )
 
@@ -2465,6 +2678,108 @@ object StreamOps {
       }
       .start()
     query.awaitTermination()
+    work.toString
+  }
+
+  /** q250's dual-index hybrid deployment — ONE definition site for
+    * q250 (one continuous run over all four arrival batches) and q262
+    * (the SAME lifecycle split across a real STOP/RESTART: each
+    * `phases` element stages its slices and runs a NEW streaming query
+    * to completion against the ONE checkpoint dir, so the resumed
+    * query must recover from the offsets log — micro-batch ids
+    * continue where the previous query stopped, consumed files are
+    * never re-read, and a replayed foreachBatch no-ops via the index
+    * watermarks). Per batch: exactly-once postings + codes appends
+    * with LSM maintenance, the cross-index serve fence, and the fixed
+    * hybrid request's fused page into `<work>/pages`. Returns the
+    * work dir.
+    */
+  private def hybridLiveIngest(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      phases: Seq[Seq[Int]]): String = {
+    val S = graft.queries.SimilarityOps
+    val R = graft.queries.RetrievalOps
+    val T = graft.operators.TieredIndex
+    val work = graft.Engine.scratchDir(tag, dir)
+    graft.Engine.deleteRecursively(work)
+    val docs = graft.Engine.table(s, dir, "documents")
+    val ids = graft.Engine.table(s, dir, "embeddings").select(col("vec_id"))
+    // the hybrid universe: docs that BOTH legs can reach
+    val uni = docs.join(ids, docs("doc_id") === ids("vec_id"), "left_semi")
+    val postDir = s"$work/postings"
+    T.create(
+      s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+      4, Seq(col("word"), col("doc_id")))
+    val iv = S.ivecs(s, dir)
+    S.writeIvfAdcArtifacts(
+      s, work.toString, iv.filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
+    val codesDir = s"$work/codes"
+    val arrivals = uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+    val pagesDir = s"$work/pages"
+    // hoisted request frames (q218 rationale): the fixed query's
+    // terms and micro-vector are shared by all batches
+    val qTerms = docs
+      .filter(col("doc_id") === 7)
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+      .distinct()
+      .localCheckpoint()
+    val q7 = iv
+      .filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      .localCheckpoint()
+    for (slices <- phases) {
+      val incoming = stageBatchSlices(
+        arrivals, work.toString, expr("(doc_id div 5) % 4"), slices)
+      val stream = s.readStream
+        .schema(s.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+      val query = stream.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val ss = batch.sparkSession
+          // LEXICAL upsert — exactly-once postings append + maintain
+          if (bid > T.lastBatch(postDir)) {
+            T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+          }
+          // VECTOR upsert — the batch's embeddings frozen-encode
+          // against the day-0 quantizers (q210's contract)
+          if (bid > T.lastBatch(codesDir)) {
+            val arr = iv.join(
+              broadcast(batch.select(col("doc_id").as("vec_id"))),
+              Seq("vec_id"), "left_semi")
+            val enc = S.ivfadcEncode(
+              arr,
+              ss.read.parquet(s"$work/coarse"),
+              ss.read.parquet(s"$work/codebook"))
+            T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+            T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+          }
+          // HYBRID serve of the two LIVE indexes this batch mutated —
+          // behind the cross-index fence (both watermark pairs agree,
+          // so the page can never fuse two different corpus states)
+          T.fenceAligned(postDir, codesDir): Unit
+          val wL = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))
+          val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+            .filter(col("doc_id") =!= 7)
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(20)
+            .withColumn("lex_rk", row_number().over(wL).cast("long"))
+            .select(col("doc_id"), col("lex_rk"))
+          val vec = S.ivfadcServe(ss, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
+            .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+          R.rrfFuse(lex, vec)
+            .select(
+              lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+              col("rrf"), col("lex_rk"), col("vec_rk"))
+            .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
+        }
+        .start()
+      query.awaitTermination()
+    }
     work.toString
   }
 
@@ -2663,7 +2978,10 @@ object StreamOps {
           epochKey = key
         }
         // HYBRID serve: cached-epoch BM25 + the live generation's
-        // two-stage dense request, fused
+        // two-stage dense request, fused — behind the cross-index
+        // fence (the live generation's codes must agree with the
+        // postings on both watermark pairs before a page fuses them)
+        T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
         val wL = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))
         val tf = post
@@ -2687,6 +3005,55 @@ object StreamOps {
       .start()
     query.awaitTermination()
     (work.toString, root)
+  }
+
+  /** ROLLBACK WITH CATCH-UP — the lifecycle arrow q254's pointer write
+    * alone cannot serve under a LIVE stream (round-16 verdict #1):
+    * ingest appends only to the LIVE generation, so after a mid-stream
+    * swap the batches that landed in the new (green) generation are
+    * MISSING from the rolled-back-to (blue) one — a bare rollback
+    * would serve blue's codes index silently frozen at the swap. The
+    * driver loop that closes the gap is exactly the machinery the
+    * watermarks already provide: blue's `lastBatch` NAMES the first
+    * missed batch, the retained staged source (`batchDocs`) replays
+    * each missed batch's arrivals, and each replay re-encodes against
+    * BLUE's frozen quantizers and appends under the ORIGINAL batch id
+    * — exactly-once by construction, so a crashed catch-up resumes
+    * where it stopped (the loop re-derives `from` from the watermark)
+    * and a concurrent replay no-ops. The pointer only moves AFTER the
+    * target is current (commit last): a reader that resolves the
+    * rollback target never sees the frozen gap, and a crash
+    * mid-catch-up leaves CURRENT on the abandoned generation — the
+    * rollback simply re-runs. At 100 TB: the catch-up costs
+    * O(missed batches) encodes — the price of the batches themselves,
+    * paid once — while the swap stays O(1); this is the ops-runbook
+    * event (bad retrain, roll back NOW, keep ingesting) the blue/
+    * green machinery exists for (q261 gates it end to end).
+    */
+  private def rollbackCatchUp(
+      ss: org.apache.spark.sql.SparkSession, root: String, target: String,
+      upTo: Long, mark: Long, iv: org.apache.spark.sql.DataFrame,
+      batchDocs: Long => org.apache.spark.sql.DataFrame,
+      policy: graft.operators.TieredIndex.Policy): Unit = {
+    val S = graft.queries.SimilarityOps
+    val T = graft.operators.TieredIndex
+    val tgt = s"$root/$target"
+    val codes = s"$tgt/codes"
+    // the gap IS the target's watermark: (lastBatch, upTo] never
+    // reached it — re-drive each batch with its original id
+    val from = T.lastBatch(codes) + 1
+    (from to upTo).foreach { b =>
+      val arr = iv.join(
+        broadcast(batchDocs(b).select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      val enc = S.ivfadcEncode(
+        arr, ss.read.parquet(s"$tgt/coarse"), ss.read.parquet(s"$tgt/codebook"))
+      T.append(ss, codes, S.packCodes(enc), batchId = b)
+      T.maintain(ss, codes, Seq(col("ccid"), col("vec_id")), policy): Unit
+    }
+    // the pointer moves LAST: the rollback target is only resolvable
+    // once it has caught up to the stream watermark
+    graft.operators.Generations.commit(root, target, mark = mark)
   }
 
   /** The fixed keyword query's positioned top-5 over a postings frame
@@ -2743,10 +3110,37 @@ object StreamOps {
     def popWhere(b: Int): String =
       if (b < 0) "doc_id % 5 <> 0"
       else s"doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b"
-    val phrases = Seq(("bi", Seq("table", "hash")), ("tri", Seq("slow", "hash", "batch")))
-    val chains = (-1 to 3).map { b =>
-      val t = if (b < 0) "m1" else b.toString
-      val perPhrase = phrases.map { case (tag, p) =>
+    phraseRanksOracleSql(-1 to 3, b =>
+      s"tl${phraseTag(b)} AS (SELECT doc_id, $toks AS toks FROM documents WHERE ${popWhere(b)})")
+  }
+
+  /** The two fixed gate phrases — ONE definition site for the engine
+    * serves (q246/q264 rank both arities per batch) and the oracle
+    * adjacency chains.
+    */
+  private def gatePhrases: Seq[(String, Seq[String])] =
+    Seq(("bi", Seq("table", "hash")), ("tri", Seq("slow", "hash", "batch")))
+
+  /** The content-update suffix the q264 upserts append — it CONTAINS
+    * both gate phrases ("table hash" and "slow hash batch"), so a
+    * superseded doc's surviving stale positions or a missed update
+    * shifts the gated COUNTS, not merely membership. A def shared
+    * with the oracle's `text || ' ...'` spelling.
+    */
+  private def phraseCdcSuffix: String = "graft table hash slow hash batch"
+
+  /** The phrase-ranks oracle SKELETON shared by q246 (per-prefix
+    * populations, day-0 probe included) and q264 (CDC populations
+    * with retractions applied and updated text): `tlCtes(b)` supplies
+    * batch b's tokenized-population CTE chain ending at
+    * `tl{phraseTag(b)}`, and the skeleton replays both gate phrases'
+    * adjacency chains (ex/ph/cnt per arity) and positioned top-20s
+    * over it. A def — eager interpolation rule.
+    */
+  private def phraseRanksOracleSql(batches: Seq[Int], tlCtes: Int => String): String = {
+    val chains = batches.map { b =>
+      val t = phraseTag(b)
+      val perPhrase = gatePhrases.map { case (tag, p) =>
         val cond = p.zipWithIndex
           .map { case (w, i) => s"t.toks[e.j${if (i == 0) "" else s" + $i"}] = '$w'" }
           .mkString(" AND ")
@@ -2757,14 +3151,14 @@ object StreamOps {
              cnt$tag$t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
                FROM ph$tag$t GROUP BY doc_id)"""
       }.mkString(",\n             ")
-      s"""tl$t AS (SELECT doc_id, $toks AS toks FROM documents WHERE ${popWhere(b)}),
+      s"""${tlCtes(b)},
              $perPhrase"""
     }.mkString(",\n             ")
     val unions = (for {
-      b <- -1 to 3
-      (tag, _) <- phrases
+      b <- batches
+      (tag, _) <- gatePhrases
     } yield {
-      val t = if (b < 0) "m1" else b.toString
+      val t = phraseTag(b)
       s"""SELECT CAST($b AS BIGINT) AS batch_id, '$tag' AS phrase,
                CAST(rk AS BIGINT) AS rk, doc_id, n
              FROM (SELECT doc_id, n,
@@ -2774,6 +3168,29 @@ object StreamOps {
     s"""WITH $chains
              $unions
              ORDER BY batch_id, phrase, rk"""
+  }
+
+  private def phraseTag(b: Int): String = if (b < 0) "m1" else b.toString
+
+  /** q264's oracle — the phrase skeleton over CDC populations: batch
+    * b's corpus is the standing classes (doc_id % 5 in {2, 3, 4})
+    * minus retraction slices <= b (% 5 = 1 out) plus arrival slices
+    * <= b (% 5 = 0 in), with the update slices' text suffixed (both
+    * gate phrases gain an occurrence per applied update). A def —
+    * eager interpolation rule.
+    */
+  private def phraseCdcRanksOracleSql: String = {
+    val toks = graft.queries.Tokenize.toksSql
+    def popWhere(b: Int): String =
+      s"""((doc_id % 5 = 2 OR doc_id % 5 = 3 OR doc_id % 5 = 4)
+                 OR (doc_id % 5 = 1 AND (doc_id // 5) % 4 > $b)
+                 OR (doc_id % 5 = 0 AND (doc_id // 5) % 4 <= $b))"""
+    def updWhen(b: Int): String = s"(doc_id % 5 = 3 AND (doc_id // 5) % 4 <= $b)"
+    phraseRanksOracleSql(0 until 4, b =>
+      s"""src$b AS (SELECT doc_id, CASE WHEN ${updWhen(b)}
+                 THEN text || ' $phraseCdcSuffix' ELSE text END AS text
+               FROM documents WHERE ${popWhere(b)}),
+             tl$b AS (SELECT doc_id, $toks AS toks FROM src$b)""")
   }
 
   /** q248's oracle — per-batch PREFIX populations recomputed from
@@ -3114,15 +3531,40 @@ object StreamOps {
     * population, and every batch's RRF fusion is replayed. A def —
     * eager interpolation rule.
     */
-  private def hybridRetrainSwapOracleSql: String = {
+  private def hybridRetrainSwapOracleSql: String =
+    hybridGenerationSwapOracleSql(
+      greenPrefix = 2, chainOf = b => if (b < 2) "" else "g")
+
+  /** q261's oracle — the same skeleton with the ROLLBACK's chain map:
+    * the green generation trains on the prefix-1 population (the swap
+    * fires before batch 2's append) and serves ONLY batch 2's page;
+    * batches 0-1 AND 3 ride the blue chain — batch 3 over the FULL
+    * prefix-3 population, which is precisely the catch-up's gated
+    * claim (a blue codes index frozen at the swap would miss every
+    * batch-2/3 arrival). A def — eager interpolation rule.
+    */
+  private def rollbackCatchUpOracleSql: String =
+    hybridGenerationSwapOracleSql(
+      greenPrefix = 1, chainOf = b => if (b == 2) "g" else "")
+
+  /** The q257-family oracle SKELETON (one definition site for q257/
+    * q259 and q261): per-batch prefix populations replayed through
+    * prefixed bm25Sql chains, the dense leg riding the quantizer
+    * chain `chainOf(b)` ("" = the blue biased-half day-0 chain, "g" =
+    * the green chain trained on the sampled prefix-`greenPrefix`
+    * population), and every batch's RRF fusion replayed. Defaults
+    * preserve the pre-round-17 q257 oracle text verbatim.
+    */
+  private def hybridGenerationSwapOracleSql(
+      greenPrefix: Int, chainOf: Int => String): String = {
     val S = graft.queries.SimilarityOps
     val terms = "SELECT DISTINCT unnest(" + graft.queries.Tokenize.toksSql +
       ") AS word FROM documents WHERE doc_id = 7"
     val blueTrain = "(vec_id % 5 <> 0) AND (vec_id < 32 OR vec_id % 2 = 0)"
     val greenTrain =
-      s"(vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= 2) AND (${S.sampledTrainWhereSql})"
+      s"(vec_id % 5 <> 0 OR (vec_id // 5) % 4 <= $greenPrefix) AND (${S.sampledTrainWhereSql})"
     val perBatch = (0 until 4).map { b =>
-      val p = if (b < 2) "" else "g"
+      val p = chainOf(b)
       s"""pop$b AS (SELECT doc_id, text FROM uni
                WHERE doc_id % 5 <> 0 OR (doc_id // 5) % 4 <= $b),
              ${graft.queries.RetrievalOps.bm25Sql(s"pop$b", terms, s"x$b")},

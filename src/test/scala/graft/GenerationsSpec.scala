@@ -151,6 +151,75 @@ class GenerationsSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("retention window"), gone.getMessage)
   }
 
+  test("rollback then resolveAsOf: an out-of-band commit is logged AT the last mark, never shadowing the marked history") {
+    val root = tmp("asof_rollback")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000", retain = 4, mark = -1L)
+    writeGen(root, "gen-00001", "green")
+    Generations.commit(root, "gen-00001", retain = 4, mark = 2L)
+    // the green generation is bad — roll back with NO mark (the
+    // out-of-band convention). Round-16 ADVICE: logged literally as
+    // -1 this entry would match every `m <= mark` probe, answering
+    // for batches green actually served; it must inherit mark 2
+    // ("the pointer moved now"), keeping the log non-decreasing.
+    Generations.commit(root, "gen-00000", retain = 4)
+    assert(payloadOf(Generations.resolveAsOf(root, 1L)) == "blue")
+    // at/after the rollback the LAST commit at mark 2 answers: blue
+    assert(payloadOf(Generations.resolveAsOf(root, 2L)) == "blue")
+    assert(payloadOf(Generations.resolveAsOf(root, 3L)) == "blue")
+    // the next forward retrain resumes explicit marks above the log
+    writeGen(root, "gen-00002", "good-green")
+    Generations.commit(root, "gen-00002", retain = 4, mark = 5L)
+    assert(payloadOf(Generations.resolveAsOf(root, 4L)) == "blue")
+    assert(payloadOf(Generations.resolveAsOf(root, 5L)) == "good-green")
+  }
+
+  test("commit rejects a mark below the last logged mark") {
+    val root = tmp("mark_order")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000", mark = 3L)
+    writeGen(root, "gen-00001", "green")
+    val ex = intercept[IllegalArgumentException](
+      Generations.commit(root, "gen-00001", mark = 1L))
+    assert(ex.getMessage.contains("non-decreasing"), ex.getMessage)
+    // equal marks are fine (swap + rollback within one batch)
+    Generations.commit(root, "gen-00001", mark = 3L)
+    assert(payloadOf(Generations.resolve(root)) == "green")
+  }
+
+  test("migration: a pre-HISTORY root's serving generation survives the first new-code commit") {
+    val root = tmp("migrate")
+    // a root written by pre-HISTORY code: CURRENT exists, HISTORY absent
+    writeGen(root, "gen-00000", "legacy-serving")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "CURRENT"),
+      "gen-00000".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    writeGen(root, "gen-00001", "first-new-code")
+    Generations.commit(root, "gen-00001", retain = 2)
+    // without seeding, the keep-set is built from the single new
+    // HISTORY entry and GC deletes the generation serving until this
+    // instant — silent data loss under its in-flight readers
+    assert(payloadOf(Generations.resolve(root)) == "first-new-code")
+    assert(
+      new java.io.File(root, "gen-00000").isDirectory,
+      "the pre-HISTORY serving generation must survive the migration commit")
+    assert(Generations.history(root).head == ("gen-00000", -1L))
+  }
+
+  test("a malformed HISTORY line fails loudly with the file and the line") {
+    val root = tmp("badline")
+    writeGen(root, "gen-00000", "blue")
+    Generations.commit(root, "gen-00000")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "HISTORY"),
+      "gen-00000 0\ngen-00001 not-a-mark\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val ex = intercept[IllegalStateException](Generations.history(root))
+    assert(ex.getMessage.contains("HISTORY"), ex.getMessage)
+    assert(ex.getMessage.contains("not-a-mark"), ex.getMessage)
+    assert(ex.getMessage.contains(root), ex.getMessage)
+  }
+
   test("writer fence: a concurrent commit throws instead of racing the swap") {
     val root = tmp("fence")
     writeGen(root, "gen-00000", "blue")

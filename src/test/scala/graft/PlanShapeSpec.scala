@@ -831,4 +831,70 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pVec.contains("CartesianProduct"), pVec.take(3000))
     Engine.releaseScratch(spark)
   }
+
+  test("q261: the rollback restores BLUE current AND caught up to the stream watermark") {
+    SparkEntry.queries("q261_rollback_catchup")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q261", dir)
+    val root = s"$work/ann"
+    val G = graft.operators.Generations
+    val T = graft.operators.TieredIndex
+    // the pointer history records the swap (mark 2) then the rollback
+    // (mark 3): the audit trail answers both eras correctly
+    assert(G.resolve(root).endsWith("gen-00000"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 2L).endsWith("gen-00001"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 3L).endsWith("gen-00000"), G.history(root).toString)
+    // THE catch-up observable: blue's codes watermark reached the
+    // stream's last batch — the frozen gap (batches 2..3) was
+    // re-driven before the pointer moved
+    assert(
+      T.lastBatch(s"${G.resolve(root)}/codes") == 3L,
+      "rollback served a generation frozen behind the stream watermark")
+    // the post-rollback serve keeps the pruned read against blue
+    val S = graft.queries.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val iv = S.ivecs(spark, dir)
+    val q7 = iv.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
+      .queryExecution.executedPlan.toString
+    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
+
+  test("q263: the batched msearch's pruned scans are bounded by the plan, not by N requests") {
+    val p = plan("q263_hybrid_msearch")
+    // the batch's probed cells go down as ONE pushed literal set: the
+    // codes scan appears once (plus the equally-pruned coarse fetch)
+    // — never N per-request scans
+    val nCcid = "In\\(ccid, \\[".r.findAllIn(p).size
+    assert(nCcid >= 1 && nCcid <= 2, s"ccid-pruned scans = $nCcid\n" + p.take(3000))
+    // the batch's distinct words as ONE pushed word-list literal; the
+    // term-tf subtree appears twice in the DAG (the df pass + the
+    // scoring pass) — still plan-bounded, not request-bounded
+    val nWord = "In\\(word, \\[".r.findAllIn(p).size
+    assert(nWord >= 1 && nWord <= 2, s"word-pruned scans = $nWord\n" + p.take(3000))
+    // per-request top-k is a group limit, never a corpus sort
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q264: the CDC positional serve keeps per-term pruned reads") {
+    SparkEntry.queries("q264_phrase_cdc_lifecycle")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q264", dir)
+    val post = graft.operators.TieredIndex.read(spark, s"$work/postings")
+    val p = graft.queries.RetrievalOps
+      .phraseRank(post, Seq("slow", "hash", "batch"))
+      .queryExecution.executedPlan.toString
+    for (w <- Seq("slow", "hash", "batch"))
+      assert(
+        s"EqualTo\\(word,$w\\)".r.findFirstIn(p).isDefined,
+        s"term '$w' not pushed to the postings scan:\n" + p.take(3000))
+    // any tombstone still live after the CDC stream masks broadcast,
+    // never sort-merge (absorption by a major is equally acceptable)
+    assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Engine.releaseScratch(spark)
+  }
 }

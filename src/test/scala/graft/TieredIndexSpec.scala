@@ -243,6 +243,43 @@ class TieredIndexSpec extends AnyFunSuite {
     Engine.releaseScratch(spark)
   }
 
+  test("cross-index serve fence: a half-committed CDC batch fails loudly, repair realigns") {
+    import spark.implicits._
+    // the hybrid stack's dual-store window: ONE CDC batch commits into
+    // TWO independent indexes (postings then codes); a crash between
+    // the commits leaves them one batch apart, and a hybrid serve
+    // issued inside the window would fuse two different corpus states
+    val postings = tmp("fence_post")
+    val codes = tmp("fence_codes")
+    TieredIndex.create(spark, postings, keyed(0 until 50), 2, Seq(col("k")))
+    TieredIndex.create(spark, codes, keyed(0 until 50), 2, Seq(col("k")))
+    TieredIndex.append(spark, postings, keyed(50 until 60), batchId = 0L)
+    TieredIndex.append(spark, codes, keyed(50 until 60), batchId = 0L)
+    assert(TieredIndex.fenceAligned(postings, codes) == 0L)
+    // the crash: batch 1's postings commit lands, the codes commit
+    // never runs — the serve-time fence must refuse, naming the lag
+    TieredIndex.append(spark, postings, keyed(60 until 70), batchId = 1L)
+    val ex = intercept[IllegalArgumentException](
+      TieredIndex.fenceAligned(postings, codes))
+    assert(ex.getMessage.contains("append 1"), ex.getMessage)
+    assert(ex.getMessage.contains("append 0"), ex.getMessage)
+    assert(ex.getMessage.contains("readAsOf(0)"), ex.getMessage)
+    // the replayed batch repairs the lagging index (its own append
+    // no-ops on the leader via the watermark) and the fence realigns
+    TieredIndex.append(spark, codes, keyed(60 until 70), batchId = 1L)
+    assert(TieredIndex.fenceAligned(postings, codes) == 1L)
+    // the DELETE watermark is fenced too: a half-committed tombstone
+    // is the same window (q255/q258/q260's CDC batches commit both)
+    def keys(ids: Seq[Int]) = ids.map(i => f"k$i%08d").toDF("k")
+    TieredIndex.delete(spark, postings, keys(Seq(3)), batchId = 2L)
+    val exd = intercept[IllegalArgumentException](
+      TieredIndex.fenceAligned(postings, codes))
+    assert(exd.getMessage.contains("delete 2"), exd.getMessage)
+    TieredIndex.delete(spark, codes, keys(Seq(3)), batchId = 2L)
+    assert(TieredIndex.fenceAligned(postings, codes) == 1L)
+    Engine.releaseScratch(spark)
+  }
+
   private def scanCount(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
