@@ -2472,11 +2472,23 @@ object StreamOps {
             }
             // THE ROLLBACK EVENT: green regressed — roll back to blue
             // at batch 3 with ingest continuing (pointer-guarded, the
-            // retrain's replay discipline)
+            // retrain's replay discipline); each missed batch
+            // re-encodes from the retained staged source against
+            // BLUE's frozen quantizers under its original id
             if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
-              rollbackCatchUp(
-                ss, root, "gen-00000", upTo = bid, mark = bid, iv,
-                batchDocs, graft.operators.TieredIndex.Policy())
+              rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid) {
+                (tgt, b) =>
+                  val arr = iv.join(
+                    broadcast(batchDocs(b).select(col("doc_id").as("vec_id"))),
+                    Seq("vec_id"), "left_semi")
+                  val enc = S.ivfadcEncode(
+                    arr,
+                    ss.read.parquet(s"$tgt/coarse"),
+                    ss.read.parquet(s"$tgt/codebook"))
+                  T.append(ss, s"$tgt/codes", S.packCodes(enc), batchId = b)
+                  T.maintain(
+                    ss, s"$tgt/codes", Seq(col("ccid"), col("vec_id"))): Unit
+              }
             // HYBRID page from the live pair, fenced — at batch 3 the
             // fence itself proves the catch-up (a frozen blue index
             // would disagree with the postings watermark)
@@ -2627,6 +2639,188 @@ object StreamOps {
           .orderBy(col("batch_id"), col("phrase"), col("rk"))
       },
       Some(phraseCdcRanksOracleSql)
+    ),
+    // --------------------------------------------------------------- q265
+    // ROLLBACK WITH CATCH-UP UNDER THE FULL CDC MATRIX — q261's ops
+    // event composed into q260's deployment, the hardest rollback this
+    // engine can face: every micro-batch simultaneously APPENDS
+    // arrival slice b, RETRACTS standing slice b, and UPSERTS
+    // content-update slice b through BOTH live indexes; the dense leg
+    // swaps to the green generation at batch 2 (trained on the CDC
+    // STATE as of batch 1 — membership minus retractions plus
+    // arrivals, updates applied — with BOTH watermarks seeded at 1,
+    // the swap firing BEFORE the batch's dense ops so CDC batches 2-3
+    // land only in green); green regresses and batch 3 rolls back to
+    // blue WITH INGEST CONTINUING. The catch-up must re-drive the
+    // missed batches' TOMBSTONES as well as their appends — a
+    // rollback that replayed only arrivals would resurrect every doc
+    // retracted while green served and keep serving superseded
+    // content (stale codes) next to fresh — and it does so through
+    // the SAME applyBatch function the live stream uses (tombstones
+    // first, fresh codes second, exactly-once per watermark), so the
+    // catch-up path CANNOT drift from the live path. Gated pages:
+    // batches 0-1 blue, batch 2 green, batch 3 blue over the full
+    // shifted population with updates <= 3 applied — one resurrected
+    // retraction, one missed re-encode, or one frozen arrival
+    // anywhere fails the hash. At 100 TB: the catch-up is O(changed
+    // rows of the missed batches) on the one lagging index; the
+    // rollback stays zero-downtime on both legs.
+    QueryDef(
+      "q265_full_cdc_rollback",
+      (s, dir) => {
+        val S = graft.queries.SimilarityOps
+        val R = graft.queries.RetrievalOps
+        val T = graft.operators.TieredIndex
+        val G = graft.operators.Generations
+        val work = graft.Engine.scratchDir("q265", dir)
+        graft.Engine.deleteRecursively(work)
+        val docs = graft.Engine.table(s, dir, "documents")
+        val emb = graft.Engine.table(s, dir, "embeddings")
+        val uni = docs.join(
+          emb.select(col("vec_id")), docs("doc_id") === col("vec_id"), "left_semi")
+        val postDir = s"$work/postings"
+        T.create(
+          s, postDir, R.postingsOf(uni.filter(col("doc_id") % 5 =!= 0)),
+          4, Seq(col("word"), col("doc_id")))
+        val root = s"$work/ann"
+        val iv = S.ivecs(s, dir)
+        val day0 = iv.filter(col("vec_id") % 5 =!= 0)
+        S.writeIvfAdcArtifacts(
+          s, s"$root/gen-00000", day0, k = 16, rounds = 1,
+          trainIv = Some(day0.filter(
+            (col("vec_id") < 32 || col("vec_id") % 2 === 0) &&
+              col("vec_id") % 5 =!= 3)))
+        G.commit(root, "gen-00000", mark = -1L)
+        val incoming = stageBatches(
+          uni.filter(
+            col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 3)
+            .select(col("doc_id"), col("text"))
+            .withColumn(
+              "op",
+              when(col("doc_id") % 5 === 0, lit("add"))
+                .when(col("doc_id") % 5 === 1, lit("del"))
+                .otherwise(lit("upd"))),
+          work.toString, expr("(doc_id div 5) % 4"), 4)
+        val pagesDir = s"$work/pages"
+        val qTerms = docs
+          .filter(col("doc_id") === 7)
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
+          .distinct()
+          .localCheckpoint()
+        val q7 = iv
+          .filter(col("vec_id") === 7)
+          .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          .localCheckpoint()
+        def embAsOf(u: Long) = emb.withColumn(
+          "embedding",
+          when(
+            col("vec_id") % 5 === 3 && expr("(vec_id div 5) % 4") <= u,
+            reverse(col("embedding"))).otherwise(col("embedding")))
+        val stream = s.readStream
+          .schema(s.read.parquet(incoming).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(incoming)
+        val query = stream.writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val ss = batch.sparkSession
+            val adds = batch.filter(col("op") === "add")
+            val dels = batch.filter(col("op") === "del")
+            val upds = batch.filter(col("op") === "upd")
+              .withColumn("text", concat(col("text"), lit(" graft refreshed revision")))
+            // LEXICAL: tombstones first, fresh postings second
+            T.delete(
+              ss, postDir,
+              dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
+              batchId = bid)
+            if (bid > T.lastBatch(postDir))
+              T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
+            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            // the mid-stream retrain fires BEFORE this batch's dense
+            // ops: green trains on the CDC STATE as of batch 1, both
+            // watermarks seeded there, and CDC batches 2-3 land ONLY
+            // in green — the full-matrix gap the rollback must close
+            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+              val popPred =
+                (col("vec_id") % 5 === 2 || col("vec_id") % 5 === 3 ||
+                  col("vec_id") % 5 === 4) ||
+                  (col("vec_id") % 5 === 1 && expr("(vec_id div 5) % 4") > 1) ||
+                  (col("vec_id") % 5 === 0 && expr("(vec_id div 5) % 4") <= 1)
+              val ivState1 = S.toIv(embAsOf(1L)).filter(popPred)
+              S.writeIvfAdcArtifacts(
+                ss, s"$root/gen-00001", ivState1, k = 16, rounds = 1,
+                trainIv = Some(ivState1.filter(
+                  S.sampledTrainCol && col("vec_id") % 5 =!= 3)),
+                seedBatch = 1L, seedDeleteBatch = 1L)
+              G.commit(root, "gen-00001", mark = bid)
+            }
+            // ONE dense CDC apply for the live path AND the catch-up:
+            // batch b's staged rows (the retained source), tombstones
+            // first, fresh codes second, exactly-once per watermark
+            def applyDense(gen: String, b: Long): Unit = {
+              val rows = ss.read.parquet(incoming)
+                .filter(expr("(doc_id div 5) % 4") === b)
+              val bDels = rows.filter(col("op") === "del")
+              val bUpds = rows.filter(col("op") === "upd")
+              val bAdds = rows.filter(col("op") === "add")
+              T.delete(
+                ss, s"$gen/codes",
+                bDels.select(col("doc_id").as("vec_id"))
+                  .unionAll(bUpds.select(col("doc_id").as("vec_id"))),
+                batchId = b)
+              if (b > T.lastBatch(s"$gen/codes")) {
+                val addIv = iv.join(
+                  broadcast(bAdds.select(col("doc_id").as("vec_id"))),
+                  Seq("vec_id"), "left_semi")
+                val updIv = S.toIv(emb
+                  .join(
+                    broadcast(bUpds.select(col("doc_id").as("vec_id"))),
+                    Seq("vec_id"), "left_semi")
+                  .withColumn("embedding", reverse(col("embedding"))))
+                val enc = S.ivfadcEncode(
+                  addIv.unionByName(updIv),
+                  ss.read.parquet(s"$gen/coarse"),
+                  ss.read.parquet(s"$gen/codebook"))
+                T.append(ss, s"$gen/codes", S.packCodes(enc), batchId = b)
+              }
+              T.maintain(ss, s"$gen/codes", Seq(col("ccid"), col("vec_id"))): Unit
+            }
+            applyDense(G.resolve(root), bid)
+            // THE ROLLBACK EVENT at batch 3: the catch-up re-drives
+            // the missed CDC batches — tombstones AND appends —
+            // through the same applyDense, then moves the pointer
+            if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
+              rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid)(applyDense)
+            // HYBRID page, fenced across the full matrix
+            T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
+            val wL = org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))
+            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+              .filter(col("doc_id") =!= 7)
+              .orderBy(col("score").desc, col("doc_id"))
+              .limit(20)
+              .withColumn("lex_rk", row_number().over(wL).cast("long"))
+              .select(col("doc_id"), col("lex_rk"))
+            val vec = S
+              .ivfadcServe(
+                ss, G.resolve(root), q7, S.toIv(embAsOf(bid)), k = 16,
+                candN = 32, topN = 20)
+              .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
+            R.rrfFuse(lex, vec)
+              .select(
+                lit(bid).as("batch_id"), col("rk"), col("doc_id"),
+                col("rrf"), col("lex_rk"), col("vec_rk"))
+              .write.mode("overwrite").parquet(s"$pagesDir/b$bid")
+          }
+          .start()
+        query.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(pagesDir)
+          .orderBy(col("batch_id"), col("rk"))
+      },
+      Some(fullCdcRollbackOracleSql)
     )
   )
 
@@ -3015,10 +3209,12 @@ object StreamOps {
     * would serve blue's codes index silently frozen at the swap. The
     * driver loop that closes the gap is exactly the machinery the
     * watermarks already provide: blue's `lastBatch` NAMES the first
-    * missed batch, the retained staged source (`batchDocs`) replays
-    * each missed batch's arrivals, and each replay re-encodes against
-    * BLUE's frozen quantizers and appends under the ORIGINAL batch id
-    * — exactly-once by construction, so a crashed catch-up resumes
+    * missed batch, and each missed batch re-applies against BLUE
+    * through the SAME `applyBatch` function the live stream uses on
+    * the current generation (q261 re-encodes arrivals from the
+    * retained staged source against blue's frozen quantizers; q265
+    * replays the full add+retract+upsert matrix, tombstones first) —
+    * exactly-once by construction, so a crashed catch-up resumes
     * where it stopped (the loop re-derives `from` from the watermark)
     * and a concurrent replay no-ops. The pointer only moves AFTER the
     * target is current (commit last): a reader that resolves the
@@ -3031,26 +3227,20 @@ object StreamOps {
     * green machinery exists for (q261 gates it end to end).
     */
   private def rollbackCatchUp(
-      ss: org.apache.spark.sql.SparkSession, root: String, target: String,
-      upTo: Long, mark: Long, iv: org.apache.spark.sql.DataFrame,
-      batchDocs: Long => org.apache.spark.sql.DataFrame,
-      policy: graft.operators.TieredIndex.Policy): Unit = {
-    val S = graft.queries.SimilarityOps
-    val T = graft.operators.TieredIndex
+      root: String, target: String, upTo: Long, mark: Long)(
+      applyBatch: (String, Long) => Unit): Unit = {
     val tgt = s"$root/$target"
-    val codes = s"$tgt/codes"
     // the gap IS the target's watermark: (lastBatch, upTo] never
-    // reached it — re-drive each batch with its original id
-    val from = T.lastBatch(codes) + 1
-    (from to upTo).foreach { b =>
-      val arr = iv.join(
-        broadcast(batchDocs(b).select(col("doc_id").as("vec_id"))),
-        Seq("vec_id"), "left_semi")
-      val enc = S.ivfadcEncode(
-        arr, ss.read.parquet(s"$tgt/coarse"), ss.read.parquet(s"$tgt/codebook"))
-      T.append(ss, codes, S.packCodes(enc), batchId = b)
-      T.maintain(ss, codes, Seq(col("ccid"), col("vec_id")), policy): Unit
-    }
+    // reached it — re-drive each batch with its original id through
+    // the SAME per-batch apply the live stream uses (`applyBatch`
+    // takes the generation dir + batch id and is internally
+    // exactly-once against the index watermarks, so a crashed
+    // catch-up resumes and an over-replayed batch no-ops; under CDC
+    // the append and delete watermarks move in lockstep — every
+    // batch commits both — so the append watermark names the gap for
+    // both mutation kinds)
+    val from = graft.operators.TieredIndex.lastBatch(s"$tgt/codes") + 1
+    (from to upTo).foreach(b => applyBatch(tgt, b))
     // the pointer moves LAST: the rollback target is only resolvable
     // once it has caught up to the stream watermark
     graft.operators.Generations.commit(root, target, mark = mark)
@@ -3432,7 +3622,34 @@ object StreamOps {
     * merged corpus, and each batch's RRF fusion is replayed. A def —
     * eager interpolation rule.
     */
-  private def hybridFullCdcRetrainOracleSql: String = {
+  private def hybridFullCdcRetrainOracleSql: String =
+    hybridFullCdcOracleSql(
+      greenPrefix = 2, chainOf = b => if (b < 2) ("", "v") else ("g", "h"))
+
+  /** q265's oracle — the full-matrix skeleton with the ROLLBACK's
+    * chain map: green trains on the CDC STATE as of batch 1
+    * (membership minus retraction slices > 1 plus arrival slices
+    * <= 1; training excludes the updatable class, so content state is
+    * immaterial to the frozen quantizers) and serves ONLY batch 2's
+    * page; batches 0-1 AND 3 ride the blue chains — batch 3 over the
+    * full shifted population with updates <= 3 applied, which only
+    * holds if the catch-up re-drove BOTH the missed tombstones and
+    * the missed appends into blue. A def — eager interpolation rule.
+    */
+  private def fullCdcRollbackOracleSql: String =
+    hybridFullCdcOracleSql(
+      greenPrefix = 1, chainOf = b => if (b == 2) ("g", "h") else ("", "v"))
+
+  /** The q260-family oracle SKELETON (one definition site for q260
+    * and q265): FOUR quantizer chains (blue/green x original/updated
+    * content), the green pair trained on the CDC state as of batch
+    * `greenPrefix`, each batch's dense rows picked from the chain
+    * pair `chainOf(b)` = (original-content prefix, updated-content
+    * prefix). Defaults preserve the pre-round-17 q260 oracle text
+    * verbatim.
+    */
+  private def hybridFullCdcOracleSql(
+      greenPrefix: Int, chainOf: Int => (String, String)): String = {
     val S = graft.queries.SimilarityOps
     val terms = "SELECT DISTINCT unnest(" + graft.queries.Tokenize.toksSql +
       ") AS word FROM documents WHERE doc_id = 7"
@@ -3445,9 +3662,9 @@ object StreamOps {
     val blueTrain =
       "(vec_id % 5 <> 0) AND (vec_id % 5 <> 3) AND (vec_id < 32 OR vec_id % 2 = 0)"
     val greenTrain =
-      s"${pop("vec_id", 2)} AND (vec_id % 5 <> 3) AND (${S.sampledTrainWhereSql})"
+      s"${pop("vec_id", greenPrefix)} AND (vec_id % 5 <> 3) AND (${S.sampledTrainWhereSql})"
     val perBatch = (0 until 4).map { b =>
-      val (po, pu) = if (b < 2) ("", "v") else ("g", "h")
+      val (po, pu) = chainOf(b)
       s"""pop$b AS (SELECT doc_id,
                  CASE WHEN ${upd("doc_id", b)}
                    THEN text || ' graft refreshed revision' ELSE text END AS text

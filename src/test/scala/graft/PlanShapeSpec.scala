@@ -879,6 +879,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q265: the full-matrix rollback catches up BOTH watermarks before the pointer moves") {
+    SparkEntry.queries("q265_full_cdc_rollback")(spark, dir).count(): Unit
+    val work = Engine.scratchDir("q265", dir)
+    val root = s"$work/ann"
+    val G = graft.operators.Generations
+    val T = graft.operators.TieredIndex
+    assert(G.resolve(root).endsWith("gen-00000"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 2L).endsWith("gen-00001"), G.history(root).toString)
+    assert(G.resolveAsOf(root, 3L).endsWith("gen-00000"), G.history(root).toString)
+    // the catch-up observable, BOTH mutation kinds: a rollback that
+    // replayed only arrivals would leave the delete watermark frozen
+    // (resurrecting every doc retracted while green served)
+    val codes = s"${G.resolve(root)}/codes"
+    assert(
+      T.lastBatch(codes) == 3L,
+      "rollback served a generation with a frozen append watermark")
+    assert(
+      T.lastDeleteBatch(codes) == 3L,
+      "rollback served a generation with a frozen delete watermark")
+    Engine.releaseScratch(spark)
+  }
+
   test("q264: the CDC positional serve keeps per-term pruned reads") {
     SparkEntry.queries("q264_phrase_cdc_lifecycle")(spark, dir).count(): Unit
     val work = Engine.scratchDir("q264", dir)
