@@ -83,26 +83,70 @@ object StreamOps {
       df: org.apache.spark.sql.DataFrame, work: String,
       batchExpr: org.apache.spark.sql.Column, slices: Seq[Int]): String = {
     val incoming = s"$work/incoming"
-    def staged = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
+    val staged = Option(new java.io.File(incoming).listFiles).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-    var seen = staged.map(_.getName).toSet
     val base = math.max(
       System.currentTimeMillis,
       (staged.map(_.lastModified) :+ 0L).max + 60000L)
+    // ONE pass over the arrivals frame for ALL slices. The previous
+    // per-slice `filter(batchExpr === b).coalesce(1).write` loop paid
+    // |slices| full computations of `df` — for the hybrid gates that
+    // frame is documents ⋈ embedding-ids, so staging alone read the
+    // corpus |slices| times; at 100 TB a bookkeeping step must not be
+    // |slices| corpus passes. The slice id becomes a dynamic partition
+    // column, and `repartition(|slices|, __slice)` lands every row of
+    // one slice in exactly ONE task, so each partition dir holds
+    // exactly ONE file — `maxFilesPerTrigger=1` makes file ==
+    // micro-batch, so the 1-file-per-slice invariant is load-bearing
+    // and asserted below. Gated observables are aggregates / sorted
+    // pages, so the shuffle's row order inside a staged file is
+    // immaterial.
+    val tmp = new java.io.File(s"$work/stage_tmp")
+    graft.Engine.deleteRecursively(tmp)
+    df.withColumn("__slice", batchExpr.cast("int"))
+      .filter(col("__slice").isin(slices.map(b => b: Any): _*))
+      .repartition(slices.size, col("__slice"))
+      .write.partitionBy("__slice").parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incoming)): Unit
     for ((b, i) <- slices.zipWithIndex) {
-      df.filter(batchExpr === b).coalesce(1).write.mode("append").parquet(incoming)
-      val fs = staged
+      val fs = Option(new java.io.File(tmp, s"__slice=$b").listFiles)
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      // destination names CARRY THE SLICE NUMBER: two slices hashed to
+      // the same write task produce part files with IDENTICAL names,
+      // and a bare-name move into the flat incoming/ dir would silently
+      // REPLACE the first file with the second (rename(2) semantics) —
+      // one staged batch lost
+      val dest = new java.io.File(incoming, f"slice-$b%05d.parquet")
+      if (fs.isEmpty) {
+        // an EMPTY slice still stages a schema-only file — micro-batch
+        // ids must stay aligned with slice numbers (partitionBy never
+        // creates a dir for a value with no rows)
+        val etmp = new java.io.File(s"$work/stage_tmp_empty")
+        graft.Engine.deleteRecursively(etmp)
+        df.filter(lit(false)).coalesce(1).write.parquet(etmp.toString)
+        val ef = Option(etmp.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        require(ef.length == 1, s"stageBatchSlices: empty-slice write for $b produced ${ef.length} files")
+        java.nio.file.Files.move(ef(0).toPath, dest.toPath): Unit
+        graft.Engine.deleteRecursively(etmp)
+      } else {
+        require(
+          fs.length == 1,
+          s"stageBatchSlices: slice $b staged ${fs.length} files — " +
+            "repartition(|slices|, __slice) must land one file per slice " +
+            "(file == micro-batch under maxFilesPerTrigger=1)")
+        java.nio.file.Files.move(fs(0).toPath, dest.toPath): Unit
+      }
       // batch-id-equals-k depends on these mtimes: fail loudly if the
       // filesystem refuses (a slow write's real mtime could otherwise
       // scramble micro-batch ids and fail the gate undiagnosably)
-      fs.filterNot(f => seen(f.getName)).foreach { f =>
-        require(
-          f.setLastModified(base + i * 60000L),
-          s"stageBatches: setLastModified failed for ${f.getPath} — " +
-            "micro-batch ids would not equal the staged batch numbers")
-      }
-      seen = fs.map(_.getName).toSet
+      require(
+        dest.setLastModified(base + i * 60000L),
+        s"stageBatches: setLastModified failed for ${dest.getPath} — " +
+          "micro-batch ids would not equal the staged batch numbers")
     }
+    graft.Engine.deleteRecursively(tmp)
     incoming
   }
 
@@ -1431,8 +1475,7 @@ object StreamOps {
     QueryDef(
       "q236_bm25_stream_index",
       (s, dir) => {
-        import s.implicits._
-        val terms = Seq("hash", "join", "spark").toDF("word")
+        val terms = Seq("hash", "join", "spark")
         val T = graft.operators.TieredIndex
         val work = bm25StreamIngest(s, dir, "q236", afterBatch = (ss, bid, w) =>
           // rank against the LIVE index this batch just committed
@@ -1464,8 +1507,7 @@ object StreamOps {
     QueryDef(
       "q237_index_time_travel",
       (s, dir) => {
-        import s.implicits._
-        val terms = Seq("hash", "join", "spark").toDF("word")
+        val terms = Seq("hash", "join", "spark")
         val T = graft.operators.TieredIndex
         val work = bm25StreamIngest(
           s, dir, "q237",
@@ -3248,14 +3290,17 @@ object StreamOps {
 
   /** The fixed keyword query's positioned top-5 over a postings frame
     * — q236's per-batch observable and q237's per-snapshot one (same
-    * code object, so live and time-travel rankings cannot drift).
+    * code object, so live and time-travel rankings cannot drift). The
+    * terms go down as PUSHED LITERALS (`word IN (...)` reaches the
+    * word-clustered index scan and row-group-prunes to the terms' key
+    * ranges) — a broadcast-join restriction never reaches the scan.
     */
   private def bm25Top5(
       post: org.apache.spark.sql.DataFrame,
-      terms: org.apache.spark.sql.DataFrame, bid: Long): org.apache.spark.sql.DataFrame = {
+      words: Seq[String], bid: Long): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    graft.queries.RetrievalOps.bm25FromPostings(post, terms)
+    graft.queries.RetrievalOps.bm25FromPostingsPushed(post, words)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(5)
       .withColumn("rk", row_number().over(w).cast("long"))
