@@ -111,6 +111,24 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Coalesce to the ADVISORY SIZE, not to the parallelism floor:
+      // with the default (parallelismFirst=true) AQE refuses to
+      // coalesce below the core count, so every KB-sized post-shuffle
+      // stage of the streaming/serving family launches `cpus`
+      // near-empty tasks — pure scheduling overhead per micro-batch.
+      // false is Spark's own documented recommendation for busy
+      // clusters (honor advisoryPartitionSizeInBytes); it is the
+      // scale-correct setting, not a local tweak. The advisory size is
+      // env-parameterised: locally 8 MB (shuffles here are KB-MB; big
+      // enough that genuinely data-carrying stages still fan out,
+      // small enough that empty stages collapse to one task), in
+      // production the guide's 64-256 MB band.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted
       // to microsecond timestamps in table() below.

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * q60 is brute-force cosine top-k — the exact baseline. q61 is the
@@ -3307,11 +3309,41 @@ object SimilarityOps {
     // historical code population (quantizers are per-generation
     // artifacts — the CALLER resolves which generation's root to
     // serve from; q256 pairs Generations.resolveAsOf with this)
-    val cand = ivfadcProbeIndex(
+    //
+    // The candidate set is BOUNDED BY THE REQUEST GEOMETRY (<= |q| x
+    // candN rows — 640 at the widest gated request), so it is pulled
+    // to the driver as ONE 1-row aggregate (the probedCcids/termsLiteral
+    // precedent, never a data collect) and re-attached two ways: as a
+    // LITERAL candidate relation for the refine join, and as a pushed
+    // `vec_id IN (...)` predicate on the vector fetch — the refine
+    // stage previously joined broadcast(cand) against the FULL `iv`
+    // frame, the one remaining corpus-sized scan per serving request
+    // (a join restriction never reaches the scan; the pushed literal
+    // row-group-prunes it). This is the classic candidates->fetch
+    // execution of a production ANN server; the rows are identical
+    // (the join kept exactly these ids either way).
+    val candPairs = ivfadcProbeIndex(
       s, root, q, k, topN = candN, nprobe = nprobe, where = where,
       scoreFilter = scoreFilter, asOf = asOf)
-      .select(col("qid"), col("vec_id"))
-    exactRerank(cand, q, iv, topN)
+      .agg(sort_array(collect_set(struct(col("qid"), col("vec_id")))).as("ps"))
+      .head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "qid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "vec_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    val cand = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        candPairs.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))
+            : org.apache.spark.sql.Row).asJava),
+      candSchema)
+    val ids = candPairs.map(_.getLong(1)).distinct.sorted
+    val ivPruned =
+      if (ids.isEmpty) iv.filter(lit(false))
+      else iv.filter(col("vec_id").isin(ids: _*))
+    exactRerank(cand, q, ivPruned, topN)
   }
 
   /** The q226/q228 TRAINING-SAMPLE membership, Spark spelling: the

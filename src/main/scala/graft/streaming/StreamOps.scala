@@ -150,6 +150,57 @@ object StreamOps {
     incoming
   }
 
+  /** Per-LIFECYCLE memo of a generation's frozen quantizer frames.
+    * `ss.read.parquet($gen/coarse|codebook)` inside a foreachBatch
+    * loop re-lists the dir and re-reads parquet footers on the DRIVER
+    * every micro-batch — pure fixed overhead, since quantizers are
+    * immutable once their generation commits (rebuild-only
+    * artifacts). One lazy frame pair per generation dir serves the
+    * whole lifecycle; the memo lives in the query's closure and dies
+    * with it (never across runs — a bench pass that rebuilds the
+    * artifacts builds a fresh memo), and the frames are LAZY plans:
+    * every batch still reads the parquet bytes at execution, nothing
+    * caches data. Generation-swap lifecycles call it with the LIVE
+    * root per batch — a retrain's fresh dir is only ever read (and
+    * memoized) after its commit, so a memo entry can never go stale
+    * within a run.
+    */
+  private def quantReader(): (org.apache.spark.sql.SparkSession, String) =>
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val memo = scala.collection.mutable.Map
+      .empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    (ss, gen) =>
+      // synchronized: the dense leg may resolve quantizers from a
+      // legsInParallel pool thread
+      memo.synchronized {
+        memo.getOrElseUpdate(
+          gen, (ss.read.parquet(s"$gen/coarse"), ss.read.parquet(s"$gen/codebook")))
+      }
+  }
+
+  /** Run a micro-batch's two INDEPENDENT index legs concurrently —
+    * guide §2.6 "overlap independent jobs": the lexical (postings) and
+    * dense (codes) legs of one CDC batch touch DISJOINT TieredIndex
+    * dirs (each with its own writer lock and watermarks), so their
+    * jobs can back-fill each other's scheduling/planning gaps on the
+    * driver; actions were only sequential because the loop called
+    * them sequentially. The ORDER CONTRACTS all hold: order WITHIN a
+    * leg is preserved (tombstone before append, append before
+    * maintain), and the serve/fence runs strictly AFTER both legs
+    * (both Awaits return first). A failure in either leg rethrows at
+    * the Await and fails the batch loudly, exactly as the sequential
+    * spelling did.
+    */
+  private def legsInParallel(a: => Unit)(b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
   /** The MID-STREAM-SEARCHABILITY lifecycle at system depth (k,
     * rounds) — ONE definition site for q214 (16, 1) and q219 (256, 2),
     * so the shallow gate and the production-depth gate run the same
@@ -192,6 +243,11 @@ object StreamOps {
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
       .localCheckpoint()
+    // frozen-quantizer frames hoisted out of the per-batch loop
+    // (immutable artifacts; per-batch re-resolution is driver-side
+    // listing/footer work — lazy plans, nothing caches data)
+    val coarse = s.read.parquet(s"$work/coarse")
+    val codebook = s.read.parquet(s"$work/codebook")
     val stream = s.readStream
       .schema(s.read.parquet(incoming).schema)
       .option("maxFilesPerTrigger", 1)
@@ -202,10 +258,7 @@ object StreamOps {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val ss = batch.sparkSession
         if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
-          val enc = S.ivfadcEncode(
-            S.toIv(batch),
-            ss.read.parquet(s"$work/coarse"),
-            ss.read.parquet(s"$work/codebook"))
+          val enc = S.ivfadcEncode(S.toIv(batch), coarse, codebook)
           // pack at the index's own depth — the same dispatch the
           // artifact writer used for the day-0 base segment
           val packed = if (k <= 16) S.packCodes(enc) else S.packCodesHex(enc)
@@ -1071,6 +1124,9 @@ object StreamOps {
           S.ivecs(s, dir).filter(col("vec_id") % 5 =!= 0), k = 16, rounds = 1)
         val codesDir = s"$work/codes"
         val incoming = stageIncoming(s, dir, work.toString, table = "embeddings", idCol = "vec_id")
+        // frozen-quantizer frames hoisted out of the per-batch loop
+        val coarse = s.read.parquet(s"$work/coarse")
+        val codebook = s.read.parquet(s"$work/codebook")
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -1086,10 +1142,7 @@ object StreamOps {
             val ss = batch.sparkSession
             // frozen-codebook encode of the arrivals: the quantizers
             // come from the artifacts, never from this batch
-            val enc = S.ivfadcEncode(
-              S.toIv(batch),
-              ss.read.parquet(s"$work/coarse"),
-              ss.read.parquet(s"$work/codebook"))
+            val enc = S.ivfadcEncode(S.toIv(batch), coarse, codebook)
             graft.operators.TieredIndex.append(ss, codesDir, S.packCodes(enc), batchId = bid)
             // per-batch size/tier-aware maintenance (q174's cycle)
             graft.operators.TieredIndex.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
@@ -1385,6 +1438,9 @@ object StreamOps {
           .filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
           .localCheckpoint()
+        // frozen-quantizer frames hoisted out of the per-batch loop
+        val coarse = s.read.parquet(s"$work/coarse")
+        val codebook = s.read.parquet(s"$work/codebook")
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -1399,9 +1455,7 @@ object StreamOps {
             // no-ops on the watermark regardless)
             if (bid > graft.operators.TieredIndex.lastBatch(codesDir)) {
               val enc = S.ivfadcEncode(
-                S.toIv(batch.filter(col("op") === "add")),
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"))
+                S.toIv(batch.filter(col("op") === "add")), coarse, codebook)
               graft.operators.TieredIndex
                 .append(ss, codesDir, S.packCodesHex(enc), batchId = bid)
             }
@@ -1937,11 +1991,14 @@ object StreamOps {
           graft.operators.TieredIndex.Policy(retainGenerations = 16))
         val docs = graft.Engine.table(s, dir, "documents")
         val iv = S.ivecs(s, dir)
-        val qTerms = docs
+        // the fixed request's DISTINCT terms as a driver-side literal
+        // list, pulled ONCE per lifecycle (termsLiteral's bounded
+        // 1-row fetch) — every batch's tf leg pushes `word IN (...)`
+        // to the word-clustered postings scan instead of paying a
+        // broadcast join that never reaches the scan
+        val qWords = R.termsLiteral(docs
           .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -1951,7 +2008,7 @@ object StreamOps {
             val post = T.readAsOf(s, s"$work/postings", b.toLong)
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(post, qTerms)
+            val lex = R.bm25FromPostingsPushed(post, qWords)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
@@ -2026,15 +2083,21 @@ object StreamOps {
             .withColumn("op", when(col("doc_id") % 5 === 0, lit("add")).otherwise(lit("del"))),
           work.toString, expr("(doc_id div 5) % 4"), 4)
         val pagesDir = s"$work/pages"
-        val qTerms = docs
+        // the fixed request's DISTINCT terms as a driver-side literal
+        // list, pulled ONCE per lifecycle (termsLiteral's bounded
+        // 1-row fetch) — every batch's tf leg pushes `word IN (...)`
+        // to the word-clustered postings scan instead of paying a
+        // broadcast join that never reaches the scan
+        val qWords = R.termsLiteral(docs
           .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
           .localCheckpoint()
+        // frozen-quantizer frames hoisted out of the per-batch loop
+        val coarse = s.read.parquet(s"$work/coarse")
+        val codebook = s.read.parquet(s"$work/codebook")
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -2046,27 +2109,28 @@ object StreamOps {
             val ss = batch.sparkSession
             val adds = batch.filter(col("op") === "add")
             val dels = batch.filter(col("op") === "del")
-            // LEXICAL upsert + retract — the append under the append
-            // watermark, the doc-keyed tombstone under the SEPARATE
-            // delete watermark (one CDC batch commits both marks)
-            if (bid > T.lastBatch(postDir))
-              T.append(ss, postDir, R.postingsOf(adds), batchId = bid)
-            T.delete(ss, postDir, dels.select(col("doc_id")), batchId = bid)
-            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            // VECTOR upsert + retract — q227's loop at the q250 depth
-            if (bid > T.lastBatch(codesDir)) {
-              val arrivals = iv.join(
-                broadcast(adds.select(col("doc_id").as("vec_id"))),
-                Seq("vec_id"), "left_semi")
-              val enc = S.ivfadcEncode(
-                arrivals,
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"))
-              T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+            // the two index legs run CONCURRENTLY (disjoint dirs, §2.6)
+            legsInParallel {
+              // LEXICAL upsert + retract — the append under the append
+              // watermark, the doc-keyed tombstone under the SEPARATE
+              // delete watermark (one CDC batch commits both marks)
+              if (bid > T.lastBatch(postDir))
+                T.append(ss, postDir, R.postingsOf(adds), batchId = bid)
+              T.delete(ss, postDir, dels.select(col("doc_id")), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            } {
+              // VECTOR upsert + retract — q227's loop at the q250 depth
+              if (bid > T.lastBatch(codesDir)) {
+                val arrivals = iv.join(
+                  broadcast(adds.select(col("doc_id").as("vec_id"))),
+                  Seq("vec_id"), "left_semi")
+                val enc = S.ivfadcEncode(arrivals, coarse, codebook)
+                T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+              }
+              T.delete(
+                ss, codesDir, dels.select(col("doc_id").as("vec_id")), batchId = bid)
+              T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             }
-            T.delete(
-              ss, codesDir, dels.select(col("doc_id").as("vec_id")), batchId = bid)
-            T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             // HYBRID serve — retracted docs must be gone from BOTH
             // legs, and the sparse scores must carry the SHRUNK stats;
             // fenced: one CDC batch commits FOUR marks (append+delete
@@ -2074,7 +2138,7 @@ object StreamOps {
             T.fenceAligned(postDir, codesDir): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+            val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
@@ -2126,7 +2190,6 @@ object StreamOps {
     QueryDef(
       "q258_cdc_upsert_lifecycle",
       (s, dir) => {
-        import s.implicits._
         val S = graft.queries.SimilarityOps
         val R = graft.queries.RetrievalOps
         val T = graft.operators.TieredIndex
@@ -2152,11 +2215,17 @@ object StreamOps {
           uni.filter(col("doc_id") % 7 === 3).select(col("doc_id"), col("text")),
           work.toString, expr("(doc_id div 7) % 4"), 4)
         val pagesDir = s"$work/pages"
-        val terms = Seq("refreshed", "hash", "join").toDF("word").localCheckpoint()
+        // the request's terms, sorted — pushed per batch as `word IN
+        // (...)` literals (the termsLiteral convention for the fixed
+        // frames; here the set is already a literal)
+        val qWords = Seq("hash", "join", "refreshed")
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
           .localCheckpoint()
+        // frozen-quantizer frames hoisted out of the per-batch loop
+        val coarse = s.read.parquet(s"$work/coarse")
+        val codebook = s.read.parquet(s"$work/codebook")
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -2168,29 +2237,30 @@ object StreamOps {
             val ss = batch.sparkSession
             val updated = batch.withColumn(
               "text", concat(col("text"), lit(" graft refreshed revision")))
-            // LEXICAL upsert: tombstone FIRST (masks the pre-update
-            // postings), re-tokenized postings second — both under
-            // batchId bid against their separate watermarks
-            T.delete(ss, postDir, batch.select(col("doc_id")), batchId = bid)
-            if (bid > T.lastBatch(postDir))
-              T.append(ss, postDir, R.postingsOf(updated), batchId = bid)
-            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            // VECTOR upsert: tombstone, then the re-embedded content
-            // frozen-encoded against the day-0 quantizers
-            T.delete(
-              ss, codesDir, batch.select(col("doc_id").as("vec_id")), batchId = bid)
-            if (bid > T.lastBatch(codesDir)) {
-              val reEmb = emb
-                .join(broadcast(batch.select(col("doc_id").as("vec_id"))),
-                  Seq("vec_id"), "left_semi")
-                .withColumn("embedding", reverse(col("embedding")))
-              val enc = S.ivfadcEncode(
-                S.toIv(reEmb),
-                ss.read.parquet(s"$work/coarse"),
-                ss.read.parquet(s"$work/codebook"))
-              T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+            // the two index legs run CONCURRENTLY (disjoint dirs, §2.6)
+            legsInParallel {
+              // LEXICAL upsert: tombstone FIRST (masks the pre-update
+              // postings), re-tokenized postings second — both under
+              // batchId bid against their separate watermarks
+              T.delete(ss, postDir, batch.select(col("doc_id")), batchId = bid)
+              if (bid > T.lastBatch(postDir))
+                T.append(ss, postDir, R.postingsOf(updated), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            } {
+              // VECTOR upsert: tombstone, then the re-embedded content
+              // frozen-encoded against the day-0 quantizers
+              T.delete(
+                ss, codesDir, batch.select(col("doc_id").as("vec_id")), batchId = bid)
+              if (bid > T.lastBatch(codesDir)) {
+                val reEmb = emb
+                  .join(broadcast(batch.select(col("doc_id").as("vec_id"))),
+                    Seq("vec_id"), "left_semi")
+                  .withColumn("embedding", reverse(col("embedding")))
+                val enc = S.ivfadcEncode(S.toIv(reEmb), coarse, codebook)
+                T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+              }
+              T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             }
-            T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
             // SERVE both legs with metrics, fenced (the upsert batch
             // commits all four marks before either leg serves). The
             // exact re-rank corpus is the AS-UPDATED state (updates
@@ -2204,7 +2274,7 @@ object StreamOps {
                 reverse(col("embedding"))).otherwise(col("embedding"))))
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), terms)
+            val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(10)
               .withColumn("rk", row_number().over(wL).cast("long"))
@@ -2294,11 +2364,14 @@ object StreamOps {
                 .otherwise(lit("upd"))),
           work.toString, expr("(doc_id div 5) % 4"), 4)
         val pagesDir = s"$work/pages"
-        val qTerms = docs
+        // the fixed request's DISTINCT terms as a driver-side literal
+        // list, pulled ONCE per lifecycle (termsLiteral's bounded
+        // 1-row fetch) — every batch's tf leg pushes `word IN (...)`
+        // to the word-clustered postings scan instead of paying a
+        // broadcast join that never reaches the scan
+        val qWords = R.termsLiteral(docs
           .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -2309,6 +2382,9 @@ object StreamOps {
           when(
             col("vec_id") % 5 === 3 && expr("(vec_id div 5) % 4") <= u,
             reverse(col("embedding"))).otherwise(col("embedding")))
+        // per-generation frozen-quantizer memo (read once per
+        // generation, not once per batch)
+        val quant = quantReader()
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -2322,39 +2398,43 @@ object StreamOps {
             val dels = batch.filter(col("op") === "del")
             val upds = batch.filter(col("op") === "upd")
               .withColumn("text", concat(col("text"), lit(" graft refreshed revision")))
-            // LEXICAL: retractions + superseded content tombstone
-            // FIRST, fresh postings second (order contract: the
-            // tombstone must predate the re-appended rows)
-            T.delete(
-              ss, postDir,
-              dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
-              batchId = bid)
-            if (bid > T.lastBatch(postDir))
-              T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
-            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            // DENSE: the same discipline against the LIVE generation
-            val cur = G.resolve(root)
-            T.delete(
-              ss, s"$cur/codes",
-              dels.select(col("doc_id").as("vec_id"))
-                .unionAll(upds.select(col("doc_id").as("vec_id"))),
-              batchId = bid)
-            if (bid > T.lastBatch(s"$cur/codes")) {
-              val addIv = iv.join(
-                broadcast(adds.select(col("doc_id").as("vec_id"))),
-                Seq("vec_id"), "left_semi")
-              val updIv = S.toIv(emb
-                .join(
-                  broadcast(upds.select(col("doc_id").as("vec_id"))),
+            // the two index legs run CONCURRENTLY (disjoint dirs,
+            // §2.6); the retrain below waits for BOTH (it must see
+            // batch-2's dense ops land in blue before the swap)
+            legsInParallel {
+              // LEXICAL: retractions + superseded content tombstone
+              // FIRST, fresh postings second (order contract: the
+              // tombstone must predate the re-appended rows)
+              T.delete(
+                ss, postDir,
+                dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
+                batchId = bid)
+              if (bid > T.lastBatch(postDir))
+                T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            } {
+              // DENSE: the same discipline against the LIVE generation
+              val cur = G.resolve(root)
+              T.delete(
+                ss, s"$cur/codes",
+                dels.select(col("doc_id").as("vec_id"))
+                  .unionAll(upds.select(col("doc_id").as("vec_id"))),
+                batchId = bid)
+              if (bid > T.lastBatch(s"$cur/codes")) {
+                val addIv = iv.join(
+                  broadcast(adds.select(col("doc_id").as("vec_id"))),
                   Seq("vec_id"), "left_semi")
-                .withColumn("embedding", reverse(col("embedding"))))
-              val enc = S.ivfadcEncode(
-                addIv.unionByName(updIv),
-                ss.read.parquet(s"$cur/coarse"),
-                ss.read.parquet(s"$cur/codebook"))
-              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+                val updIv = S.toIv(emb
+                  .join(
+                    broadcast(upds.select(col("doc_id").as("vec_id"))),
+                    Seq("vec_id"), "left_semi")
+                  .withColumn("embedding", reverse(col("embedding"))))
+                val (cc, cb) = quant(ss, cur)
+                val enc = S.ivfadcEncode(addIv.unionByName(updIv), cc, cb)
+                T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+              }
+              T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
             }
-            T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
             // MID-STREAM RETRAIN on the current population STATE —
             // membership minus retractions plus arrivals as of batch
             // 2, content with updates <= 2 applied; BOTH fresh
@@ -2383,7 +2463,7 @@ object StreamOps {
             T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+            val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
@@ -2457,11 +2537,14 @@ object StreamOps {
           uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
           work.toString, expr("(doc_id div 5) % 4"), 4)
         val pagesDir = s"$work/pages"
-        val qTerms = docs
+        // the fixed request's DISTINCT terms as a driver-side literal
+        // list, pulled ONCE per lifecycle (termsLiteral's bounded
+        // 1-row fetch) — every batch's tf leg pushes `word IN (...)`
+        // to the word-clustered postings scan instead of paying a
+        // broadcast join that never reaches the scan
+        val qWords = R.termsLiteral(docs
           .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -2471,6 +2554,9 @@ object StreamOps {
         // staged membership
         val batchDocs = (b: Long) =>
           s.read.parquet(incoming).filter(expr("(doc_id div 5) % 4") === b)
+        // per-generation frozen-quantizer memo (read once per
+        // generation — blue AND green — not once per batch)
+        val quant = quantReader()
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -2480,64 +2566,66 @@ object StreamOps {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val ss = batch.sparkSession
-            // LEXICAL leg: appends through swap AND rollback
-            if (bid > T.lastBatch(postDir)) {
-              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
-              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            }
-            // the mid-stream retrain fires BEFORE this batch's dense
-            // append (pointer-guarded): green trains on the prefix-1
-            // population, it is seeded at batch 1, and batches 2-3
-            // land ONLY in green — the exact gap the rollback must
-            // close
-            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
-              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
-              val pop = iv.filter(
-                col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 1)
-              S.writeIvfAdcArtifacts(
-                ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
-                trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid - 1)
-              G.commit(root, "gen-00001", mark = bid)
-            }
-            // DENSE append to the LIVE generation
-            val cur = G.resolve(root)
-            if (bid > T.lastBatch(s"$cur/codes")) {
-              val arr = iv.join(
-                broadcast(batch.select(col("doc_id").as("vec_id"))),
-                Seq("vec_id"), "left_semi")
-              val enc = S.ivfadcEncode(
-                arr,
-                ss.read.parquet(s"$cur/coarse"),
-                ss.read.parquet(s"$cur/codebook"))
-              T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
-              T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
-            }
-            // THE ROLLBACK EVENT: green regressed — roll back to blue
-            // at batch 3 with ingest continuing (pointer-guarded, the
-            // retrain's replay discipline); each missed batch
-            // re-encodes from the retained staged source against
-            // BLUE's frozen quantizers under its original id
-            if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
-              rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid) {
-                (tgt, b) =>
-                  val arr = iv.join(
-                    broadcast(batchDocs(b).select(col("doc_id").as("vec_id"))),
-                    Seq("vec_id"), "left_semi")
-                  val enc = S.ivfadcEncode(
-                    arr,
-                    ss.read.parquet(s"$tgt/coarse"),
-                    ss.read.parquet(s"$tgt/codebook"))
-                  T.append(ss, s"$tgt/codes", S.packCodes(enc), batchId = b)
-                  T.maintain(
-                    ss, s"$tgt/codes", Seq(col("ccid"), col("vec_id"))): Unit
+            // the LEXICAL leg runs CONCURRENTLY with the dense leg's
+            // ordered retrain->append->rollback sequence (disjoint
+            // dirs, §2.6); the fence below waits for both
+            legsInParallel {
+              // LEXICAL leg: appends through swap AND rollback
+              if (bid > T.lastBatch(postDir)) {
+                T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+                T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
               }
+            } {
+              // the mid-stream retrain fires BEFORE this batch's dense
+              // append (pointer-guarded): green trains on the prefix-1
+              // population, it is seeded at batch 1, and batches 2-3
+              // land ONLY in green — the exact gap the rollback must
+              // close
+              if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+                graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+                val pop = iv.filter(
+                  col("vec_id") % 5 =!= 0 || expr("(vec_id div 5) % 4") <= 1)
+                S.writeIvfAdcArtifacts(
+                  ss, s"$root/gen-00001", pop, k = 16, rounds = 1,
+                  trainIv = Some(pop.filter(S.sampledTrainCol)), seedBatch = bid - 1)
+                G.commit(root, "gen-00001", mark = bid)
+              }
+              // DENSE append to the LIVE generation
+              val cur = G.resolve(root)
+              if (bid > T.lastBatch(s"$cur/codes")) {
+                val arr = iv.join(
+                  broadcast(batch.select(col("doc_id").as("vec_id"))),
+                  Seq("vec_id"), "left_semi")
+                val (cc, cb) = quant(ss, cur)
+                val enc = S.ivfadcEncode(arr, cc, cb)
+                T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+                T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id"))): Unit
+              }
+              // THE ROLLBACK EVENT: green regressed — roll back to blue
+              // at batch 3 with ingest continuing (pointer-guarded, the
+              // retrain's replay discipline); each missed batch
+              // re-encodes from the retained staged source against
+              // BLUE's frozen quantizers under its original id
+              if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
+                rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid) {
+                  (tgt, b) =>
+                    val arr = iv.join(
+                      broadcast(batchDocs(b).select(col("doc_id").as("vec_id"))),
+                      Seq("vec_id"), "left_semi")
+                    val (cc, cb) = quant(ss, tgt)
+                    val enc = S.ivfadcEncode(arr, cc, cb)
+                    T.append(ss, s"$tgt/codes", S.packCodes(enc), batchId = b)
+                    T.maintain(
+                      ss, s"$tgt/codes", Seq(col("ccid"), col("vec_id"))): Unit
+                }
+            }
             // HYBRID page from the live pair, fenced — at batch 3 the
             // fence itself proves the catch-up (a frozen blue index
             // would disagree with the postings watermark)
             T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+            val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
@@ -2745,11 +2833,14 @@ object StreamOps {
                 .otherwise(lit("upd"))),
           work.toString, expr("(doc_id div 5) % 4"), 4)
         val pagesDir = s"$work/pages"
-        val qTerms = docs
+        // the fixed request's DISTINCT terms as a driver-side literal
+        // list, pulled ONCE per lifecycle (termsLiteral's bounded
+        // 1-row fetch) — every batch's tf leg pushes `word IN (...)`
+        // to the word-clustered postings scan instead of paying a
+        // broadcast join that never reaches the scan
+        val qWords = R.termsLiteral(docs
           .filter(col("doc_id") === 7)
-          .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-          .distinct()
-          .localCheckpoint()
+          .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
         val q7 = iv
           .filter(col("vec_id") === 7)
           .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -2759,6 +2850,9 @@ object StreamOps {
           when(
             col("vec_id") % 5 === 3 && expr("(vec_id div 5) % 4") <= u,
             reverse(col("embedding"))).otherwise(col("embedding")))
+        // per-generation frozen-quantizer memo (read once per
+        // generation — blue AND green — not once per batch)
+        val quant = quantReader()
         val stream = s.readStream
           .schema(s.read.parquet(incoming).schema)
           .option("maxFilesPerTrigger", 1)
@@ -2772,33 +2866,6 @@ object StreamOps {
             val dels = batch.filter(col("op") === "del")
             val upds = batch.filter(col("op") === "upd")
               .withColumn("text", concat(col("text"), lit(" graft refreshed revision")))
-            // LEXICAL: tombstones first, fresh postings second
-            T.delete(
-              ss, postDir,
-              dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
-              batchId = bid)
-            if (bid > T.lastBatch(postDir))
-              T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
-            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-            // the mid-stream retrain fires BEFORE this batch's dense
-            // ops: green trains on the CDC STATE as of batch 1, both
-            // watermarks seeded there, and CDC batches 2-3 land ONLY
-            // in green — the full-matrix gap the rollback must close
-            if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
-              graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
-              val popPred =
-                (col("vec_id") % 5 === 2 || col("vec_id") % 5 === 3 ||
-                  col("vec_id") % 5 === 4) ||
-                  (col("vec_id") % 5 === 1 && expr("(vec_id div 5) % 4") > 1) ||
-                  (col("vec_id") % 5 === 0 && expr("(vec_id div 5) % 4") <= 1)
-              val ivState1 = S.toIv(embAsOf(1L)).filter(popPred)
-              S.writeIvfAdcArtifacts(
-                ss, s"$root/gen-00001", ivState1, k = 16, rounds = 1,
-                trainIv = Some(ivState1.filter(
-                  S.sampledTrainCol && col("vec_id") % 5 =!= 3)),
-                seedBatch = 1L, seedDeleteBatch = 1L)
-              G.commit(root, "gen-00001", mark = bid)
-            }
             // ONE dense CDC apply for the live path AND the catch-up:
             // batch b's staged rows (the retained source), tombstones
             // first, fresh codes second, exactly-once per watermark
@@ -2822,25 +2889,56 @@ object StreamOps {
                     broadcast(bUpds.select(col("doc_id").as("vec_id"))),
                     Seq("vec_id"), "left_semi")
                   .withColumn("embedding", reverse(col("embedding"))))
-                val enc = S.ivfadcEncode(
-                  addIv.unionByName(updIv),
-                  ss.read.parquet(s"$gen/coarse"),
-                  ss.read.parquet(s"$gen/codebook"))
+                val (cc, cb) = quant(ss, gen)
+                val enc = S.ivfadcEncode(addIv.unionByName(updIv), cc, cb)
                 T.append(ss, s"$gen/codes", S.packCodes(enc), batchId = b)
               }
               T.maintain(ss, s"$gen/codes", Seq(col("ccid"), col("vec_id"))): Unit
             }
-            applyDense(G.resolve(root), bid)
-            // THE ROLLBACK EVENT at batch 3: the catch-up re-drives
-            // the missed CDC batches — tombstones AND appends —
-            // through the same applyDense, then moves the pointer
-            if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
-              rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid)(applyDense)
+            // the LEXICAL leg runs CONCURRENTLY with the dense leg's
+            // ordered retrain->apply->rollback sequence (disjoint
+            // dirs, §2.6); the fence below waits for both
+            legsInParallel {
+              // LEXICAL: tombstones first, fresh postings second
+              T.delete(
+                ss, postDir,
+                dels.select(col("doc_id")).unionAll(upds.select(col("doc_id"))),
+                batchId = bid)
+              if (bid > T.lastBatch(postDir))
+                T.append(ss, postDir, R.postingsOf(adds.unionByName(upds)), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            } {
+              // the mid-stream retrain fires BEFORE this batch's dense
+              // ops: green trains on the CDC STATE as of batch 1, both
+              // watermarks seeded there, and CDC batches 2-3 land ONLY
+              // in green — the full-matrix gap the rollback must close
+              if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
+                graft.Engine.deleteRecursively(new java.io.File(s"$root/gen-00001"))
+                val popPred =
+                  (col("vec_id") % 5 === 2 || col("vec_id") % 5 === 3 ||
+                    col("vec_id") % 5 === 4) ||
+                    (col("vec_id") % 5 === 1 && expr("(vec_id div 5) % 4") > 1) ||
+                    (col("vec_id") % 5 === 0 && expr("(vec_id div 5) % 4") <= 1)
+                val ivState1 = S.toIv(embAsOf(1L)).filter(popPred)
+                S.writeIvfAdcArtifacts(
+                  ss, s"$root/gen-00001", ivState1, k = 16, rounds = 1,
+                  trainIv = Some(ivState1.filter(
+                    S.sampledTrainCol && col("vec_id") % 5 =!= 3)),
+                  seedBatch = 1L, seedDeleteBatch = 1L)
+                G.commit(root, "gen-00001", mark = bid)
+              }
+              applyDense(G.resolve(root), bid)
+              // THE ROLLBACK EVENT at batch 3: the catch-up re-drives
+              // the missed CDC batches — tombstones AND appends —
+              // through the same applyDense, then moves the pointer
+              if (bid == 3 && G.resolve(root).endsWith("gen-00001"))
+                rollbackCatchUp(root, "gen-00000", upTo = bid, mark = bid)(applyDense)
+            }
             // HYBRID page, fenced across the full matrix
             T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
             val wL = org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("doc_id"))
-            val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+            val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
               .filter(col("doc_id") =!= 7)
               .orderBy(col("score").desc, col("doc_id"))
               .limit(20)
@@ -2952,17 +3050,24 @@ object StreamOps {
     val codesDir = s"$work/codes"
     val arrivals = uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
     val pagesDir = s"$work/pages"
-    // hoisted request frames (q218 rationale): the fixed query's
-    // terms and micro-vector are shared by all batches
-    val qTerms = docs
+    // hoisted request inputs (q218 rationale): the fixed query's
+    // terms (a driver-side literal list — termsLiteral's bounded
+    // 1-row fetch, so every batch's tf leg pushes `word IN (...)` to
+    // the postings scan) and micro-vector are shared by all batches
+    val qWords = R.termsLiteral(docs
       .filter(col("doc_id") === 7)
-      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-      .distinct()
-      .localCheckpoint()
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
     val q7 = iv
       .filter(col("vec_id") === 7)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
       .localCheckpoint()
+    // frozen-quantizer frames hoisted out of the per-batch loop: the
+    // artifacts are immutable once written, and re-resolving them
+    // every micro-batch re-lists the dir + re-reads footers on the
+    // driver (lazy plans — each batch still reads the bytes at
+    // execution, nothing caches data)
+    val coarse = s.read.parquet(s"$work/coarse")
+    val codebook = s.read.parquet(s"$work/codebook")
     for (slices <- phases) {
       val incoming = stageBatchSlices(
         arrivals, work.toString, expr("(doc_id div 5) % 4"), slices)
@@ -2975,23 +3080,24 @@ object StreamOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
           val ss = batch.sparkSession
-          // LEXICAL upsert — exactly-once postings append + maintain
-          if (bid > T.lastBatch(postDir)) {
-            T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
-            T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
-          }
-          // VECTOR upsert — the batch's embeddings frozen-encode
-          // against the day-0 quantizers (q210's contract)
-          if (bid > T.lastBatch(codesDir)) {
-            val arr = iv.join(
-              broadcast(batch.select(col("doc_id").as("vec_id"))),
-              Seq("vec_id"), "left_semi")
-            val enc = S.ivfadcEncode(
-              arr,
-              ss.read.parquet(s"$work/coarse"),
-              ss.read.parquet(s"$work/codebook"))
-            T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
-            T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+          // the two index legs run CONCURRENTLY (disjoint dirs, §2.6)
+          legsInParallel {
+            // LEXICAL upsert — exactly-once postings append + maintain
+            if (bid > T.lastBatch(postDir)) {
+              T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+              T.maintain(ss, postDir, Seq(col("word"), col("doc_id"))): Unit
+            }
+          } {
+            // VECTOR upsert — the batch's embeddings frozen-encode
+            // against the day-0 quantizers (q210's contract)
+            if (bid > T.lastBatch(codesDir)) {
+              val arr = iv.join(
+                broadcast(batch.select(col("doc_id").as("vec_id"))),
+                Seq("vec_id"), "left_semi")
+              val enc = S.ivfadcEncode(arr, coarse, codebook)
+              T.append(ss, codesDir, S.packCodes(enc), batchId = bid)
+              T.maintain(ss, codesDir, Seq(col("ccid"), col("vec_id"))): Unit
+            }
           }
           // HYBRID serve of the two LIVE indexes this batch mutated —
           // behind the cross-index fence (both watermark pairs agree,
@@ -2999,7 +3105,7 @@ object StreamOps {
           T.fenceAligned(postDir, codesDir): Unit
           val wL = org.apache.spark.sql.expressions.Window
             .orderBy(col("score").desc, col("doc_id"))
-          val lex = R.bm25FromPostings(T.read(ss, postDir), qTerms)
+          val lex = R.bm25FromPostingsPushed(T.read(ss, postDir), qWords)
             .filter(col("doc_id") =!= 7)
             .orderBy(col("score").desc, col("doc_id"))
             .limit(20)
@@ -3064,6 +3170,9 @@ object StreamOps {
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
       .localCheckpoint()
+    // per-generation frozen-quantizer memo (read once per generation,
+    // not once per batch)
+    val quant = quantReader()
     val stream = s.readStream
       .schema(s.read.parquet(incoming).schema)
       .option("maxFilesPerTrigger", 1)
@@ -3078,10 +3187,8 @@ object StreamOps {
         // replayed pre-swap batch a no-op)
         val cur = G.resolve(root)
         if (bid > T.lastBatch(s"$cur/codes")) {
-          val enc = S.ivfadcEncode(
-            S.toIv(batch),
-            ss.read.parquet(s"$cur/coarse"),
-            ss.read.parquet(s"$cur/codebook"))
+          val (cc, cb) = quant(ss, cur)
+          val enc = S.ivfadcEncode(S.toIv(batch), cc, cb)
           T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
           T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id")), policy): Unit
         }
@@ -3148,11 +3255,13 @@ object StreamOps {
       uni.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
       work.toString, expr("(doc_id div 5) % 4"), 4)
     val pagesDir = s"$work/pages"
-    val qTerms = docs
+    // the fixed request's terms as a once-per-lifecycle driver-side
+    // literal list: every batch's tf leg pushes `word IN (...)` to
+    // the word-clustered postings scan (a broadcast-join restriction
+    // never reaches the scan)
+    val qWords = R.termsLiteral(docs
       .filter(col("doc_id") === 7)
-      .select(explode(graft.queries.Tokenize.toksExpr).as("word"))
-      .distinct()
-      .localCheckpoint()
+      .select(explode(graft.queries.Tokenize.toksExpr).as("word")))
     val q7 = iv
       .filter(col("vec_id") === 7)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
@@ -3165,6 +3274,9 @@ object StreamOps {
     var epochKey: (Long, String) = null
     var dlCache: org.apache.spark.sql.DataFrame = null
     var statsCache: org.apache.spark.sql.DataFrame = null
+    // per-generation frozen-quantizer memo (read once per generation,
+    // not once per batch)
+    val quant = quantReader()
     val stream = s.readStream
       .schema(s.read.parquet(incoming).schema)
       .option("maxFilesPerTrigger", 1)
@@ -3174,23 +3286,27 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val ss = batch.sparkSession
-        // LEXICAL leg: appends straight through the swap
-        if (bid > T.lastBatch(postDir)) {
-          T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
-          T.maintain(ss, postDir, Seq(col("word"), col("doc_id")), policy): Unit
-        }
-        // DENSE leg: append to the LIVE generation
-        val cur = G.resolve(root)
-        if (bid > T.lastBatch(s"$cur/codes")) {
-          val arrivals = iv.join(
-            broadcast(batch.select(col("doc_id").as("vec_id"))),
-            Seq("vec_id"), "left_semi")
-          val enc = S.ivfadcEncode(
-            arrivals,
-            ss.read.parquet(s"$cur/coarse"),
-            ss.read.parquet(s"$cur/codebook"))
-          T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
-          T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id")), policy): Unit
+        // the two index legs run CONCURRENTLY (disjoint dirs, §2.6);
+        // the retrain below waits for BOTH (batch-2's dense append
+        // must land in blue before the swap)
+        legsInParallel {
+          // LEXICAL leg: appends straight through the swap
+          if (bid > T.lastBatch(postDir)) {
+            T.append(ss, postDir, R.postingsOf(batch), batchId = bid)
+            T.maintain(ss, postDir, Seq(col("word"), col("doc_id")), policy): Unit
+          }
+        } {
+          // DENSE leg: append to the LIVE generation
+          val cur = G.resolve(root)
+          if (bid > T.lastBatch(s"$cur/codes")) {
+            val arrivals = iv.join(
+              broadcast(batch.select(col("doc_id").as("vec_id"))),
+              Seq("vec_id"), "left_semi")
+            val (cc, cb) = quant(ss, cur)
+            val enc = S.ivfadcEncode(arrivals, cc, cb)
+            T.append(ss, s"$cur/codes", S.packCodes(enc), batchId = bid)
+            T.maintain(ss, s"$cur/codes", Seq(col("ccid"), col("vec_id")), policy): Unit
+          }
         }
         // the mid-stream retrain, pointer-guarded (q253's shape)
         if (bid == 2 && G.resolve(root).endsWith("gen-00000")) {
@@ -3220,9 +3336,7 @@ object StreamOps {
         T.fenceAligned(postDir, s"${G.resolve(root)}/codes"): Unit
         val wL = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))
-        val tf = post
-          .join(broadcast(qTerms), "word")
-          .select(col("doc_id"), col("word"), col("tf").cast("double").as("tf"))
+        val tf = R.termTfPushed(post, qWords)
         val lex = R.bm25Score(tf, dlCache, statsCache)
           .filter(col("doc_id") =!= 7)
           .orderBy(col("score").desc, col("doc_id"))

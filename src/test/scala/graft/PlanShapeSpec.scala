@@ -466,11 +466,27 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q224: the filtered serve keeps the pruned scan and broadcast-only joins") {
+    // the serve now executes as TWO plans (round-18 §3: probe fetch ->
+    // literal refine), so the probed-list pruning is pinned on the
+    // PROBE plan and the candidate pruning on the returned REFINE plan
     val df = SparkEntry.queries("q224_ann_filtered_serve")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
+    // the refine stage's vector fetch is pruned to the candidate set
+    // as pushed literals — never a full-corpus scan per request
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
+    val S = graft.queries.SimilarityOps
+    import org.apache.spark.sql.functions._
+    val idx = S.buildIvfAdcIndex(spark, dir, k = 256, rounds = 2)
+    val q = S.ivecs(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val probe = S.ivfadcProbeIndex(
+      spark, idx, q, k = 256, topN = 16, nprobe = 4,
+      where = Some(col("vec_id") % 3 === 1))
+    val pp = probe.queryExecution.executedPlan.toString
     // the metadata predicate must not cost the probe its list pruning:
     // the codes FileScan still carries the pushed LITERAL ccid set
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    assert("In\\(ccid, \\[".r.findFirstIn(pp).isDefined, pp.take(3000))
     // the in-scan predicate (vec_id % 3 = 1) sits in a Filter DIRECTLY
     // over the codes relation — BELOW the x8 unpack-explode, fused with
     // the probed-list restriction, so a tight filter shrinks the
@@ -478,7 +494,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // '(vec_id' appears in every serve plan via the query-frame filter;
     // this is the structural fact the round-12 pruning bug teaches to
     // verify, not grep)
-    val codesScanFilters = df.queryExecution.optimizedPlan.collect {
+    val codesScanFilters = probe.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.child match {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -495,9 +511,12 @@ class PlanShapeSpec extends AnyFunSuite {
       codesScanFilters.exists(c => c.contains("% 3") && c.contains("ccid")),
       s"no fused (ccid IN, vec_id % 3) filter directly over the codes relation:\n" +
         codesScanFilters.mkString("\n"))
-    // serving stays broadcast-only end to end (probe lookup tables,
-    // candidate fetch, refine stage) — nothing sort-merges or goes
-    // cartesian when a predicate is added
+    // both stages stay broadcast-only (probe lookup tables, candidate
+    // fetch, refine stage) — nothing sort-merges or goes cartesian
+    // when a predicate is added
+    assert(pp.contains("BroadcastHashJoin"), pp.take(3000))
+    assert(!pp.contains("SortMergeJoin"), pp.take(3000))
+    assert(!pp.contains("CartesianProduct"), pp.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
@@ -526,9 +545,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q231: the label-constrained serve keeps the pruned scan; mining stays broadcast-only") {
     val p = plan("q231_hard_negative_mining")
-    // the per-query scoreFilter must not cost the probe its list
-    // pruning: the codes FileScan still carries the pushed literal set
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // the serve executes as probe fetch -> literal refine (round-18
+    // §3; the probe's In(ccid) pruning is pinned by the generic
+    // ivfadcProbeIndex test and q224's filtered probe): the returned
+    // refine plan must fetch ONLY the candidate rows as pushed
+    // literals — never a full-corpus scan per request
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
@@ -561,10 +583,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q244: the served dense leg keeps its pushed probed-list literals through the fusion") {
     val p = plan("q244_hybrid_rrf_served")
     // the one claim this composition exists to gate physically: the
-    // dense leg's codes scan still carries the LITERAL ccid set when
-    // composed under RRF — the per-request nprobe/|cells| economics
-    // survive the fusion plan
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // dense leg's per-request economics survive the fusion. The serve
+    // executes as probe fetch -> literal refine (round-18 §3), so the
+    // fused plan must carry the candidate-literal vector fetch (the
+    // probe's own In(ccid) pruning is pinned by the probe tests)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     // both legs page via distributed top-k; fusion joins bounded lists
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
@@ -573,7 +596,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q245: the graded serve keeps the pruned scan; metrics stay broadcast-only") {
     val p = plan("q245_served_metrics")
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3): candidate pruning
+    // on the returned plan; probe pruning pinned by the probe tests
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
@@ -640,9 +665,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val vec = S.ivfadcServe(spark, work.toString, q7, iv, k = 16, candN = 32, topN = 20)
       .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
     val p = R.rrfFuse(lex, vec).queryExecution.executedPlan.toString
-    // the dense leg's codes scan keeps its pushed probed-list literals
-    // under the fusion plan; nothing goes cartesian
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // the dense leg executes as probe fetch -> literal refine
+    // (round-18 §3; probe In(ccid) pruning pinned by the probe tests):
+    // the fused plan keeps the candidate-literal vector fetch, and
+    // nothing goes cartesian
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     Engine.releaseScratch(spark)
   }
@@ -662,9 +689,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q252: the batched hybrid eval keeps the pruned dense scan and per-query group limits") {
     val p = plan("q252_hybrid_system_metrics")
-    // the dense leg (all 20 queries in one serve) still pushes its
-    // probed-list literal set to the codes scan
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // the dense leg (all 20 queries in one serve) executes as probe
+    // fetch -> literal refine (round-18 §3): ONE candidate-literal
+    // vector fetch for the whole batch rides the returned plan (the
+    // probe's own In(ccid) pruning is pinned by the probe tests)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     // the batched lexical leg's per-query top-20 is a group limit,
     // never a corpus sort; nothing goes cartesian
     assert(p.contains("WindowGroupLimit"), p.take(3000))
@@ -717,7 +746,9 @@ class PlanShapeSpec extends AnyFunSuite {
       .select(col("vec_id").as("doc_id"), col("rn").as("vec_rk"))
     val p = R.rrfFuse(lex, vec).queryExecution.executedPlan.toString
     assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(3000))
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3): candidate pruning
+    // on the fused plan; probe pruning pinned by the probe tests
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     Engine.releaseScratch(spark)
   }
@@ -742,7 +773,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
     val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
       .queryExecution.executedPlan.toString
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     Engine.releaseScratch(spark)
   }
@@ -773,7 +805,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // read-back): each page's dense leg must push its probed-list
     // literals to that snapshot's codes scan, composed under RRF
     val p = plan("q259_hybrid_page_time_travel")
-    assert("In\\(ccid, \\[".r.findAllIn(p).size >= 4, p.take(3000))
+    // each page's dense leg executes as probe fetch -> literal refine
+    // (round-18 §3): the four refine legs each carry their
+    // candidate-literal vector fetch (probe In(ccid) pruning is pinned
+    // by the probe tests and exercised per snapshot by the fetch)
+    assert("vec_id#\\d+L INSET".r.findAllIn(p).size >= 4, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
@@ -783,7 +819,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // the probed-list literals must reach every generation's codes
     // scan, and nothing may go cartesian
     val p = plan("q256_generation_time_travel")
-    assert("In\\(ccid, \\[".r.findAllIn(p).size >= 4, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3): four as-of refine
+    // legs, each with its candidate-literal vector fetch
+    assert("vec_id#\\d+L INSET".r.findAllIn(p).size >= 4, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
@@ -804,7 +842,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // RETRAINED generation's codes
     val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
       .queryExecution.executedPlan.toString
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     Engine.releaseScratch(spark)
   }
@@ -827,7 +866,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val pVec = S.ivfadcServe(spark, work.toString, q7, iv, k = 16, candN = 32, topN = 10)
       .queryExecution.executedPlan.toString
     assert(!"SortMergeJoin .*LeftAnti".r.findFirstIn(pVec).isDefined, pVec.take(3000))
-    assert("In\\(ccid, \\[".r.findFirstIn(pVec).isDefined, pVec.take(3000))
+    // probe fetch -> literal refine (round-18 §3)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(pVec).isDefined, pVec.take(3000))
     assert(!pVec.contains("CartesianProduct"), pVec.take(3000))
     Engine.releaseScratch(spark)
   }
@@ -857,18 +897,20 @@ class PlanShapeSpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
     val p = S.ivfadcServe(spark, G.resolve(root), q7, iv, k = 16, candN = 32, topN = 20)
       .queryExecution.executedPlan.toString
-    assert("In\\(ccid, \\[".r.findFirstIn(p).isDefined, p.take(3000))
+    // probe fetch -> literal refine (round-18 §3)
+    assert("vec_id#\\d+L INSET".r.findFirstIn(p).isDefined, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     Engine.releaseScratch(spark)
   }
 
   test("q263: the batched msearch's pruned scans are bounded by the plan, not by N requests") {
     val p = plan("q263_hybrid_msearch")
-    // the batch's probed cells go down as ONE pushed literal set: the
-    // codes scan appears once (plus the equally-pruned coarse fetch)
-    // — never N per-request scans
-    val nCcid = "In\\(ccid, \\[".r.findAllIn(p).size
-    assert(nCcid >= 1 && nCcid <= 2, s"ccid-pruned scans = $nCcid\n" + p.take(3000))
+    // the batch's dense leg executes as probe fetch -> literal refine
+    // (round-18 §3): ONE candidate-literal vector fetch serves the
+    // whole 20-query batch — never N per-request scans (the probe's
+    // single pushed In(ccid) scan is pinned by the probe tests)
+    val nVec = "vec_id#\\d+L INSET".r.findAllIn(p).size
+    assert(nVec >= 1 && nVec <= 2, s"candidate-pruned scans = $nVec\n" + p.take(3000))
     // the batch's distinct words as ONE pushed word-list literal; the
     // term-tf subtree appears twice in the DAG (the df pass + the
     // scoring pass) — still plan-bounded, not request-bounded
